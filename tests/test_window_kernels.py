@@ -1,0 +1,162 @@
+"""Kernel-level tests: pure window/join kernels vs DuckDB oracles on seeded
+synthetic transcripts, in both single-flush and multi-epoch (state-carrying)
+modes. No Ray needed — kernels are pure functions over Arrow tables."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dstream_ray.sources.transcripts import generate_transcripts
+from dstream_ray.stages.windows import (
+    session_join_kernel,
+    session_kernel,
+    sliding_kernel,
+    to_residual_rows,
+    tumbling_kernel,
+)
+
+GAP_S = 120
+WIDTH_S = 300
+SLIDE_S = 150
+
+
+@pytest.fixture(scope="module")
+def feed() -> pa.Table:
+    return generate_transcripts(n_convs=60, mean_turns=12, seed=3, session_gap_s=GAP_S)
+
+
+def run_epochs(kernel, feed: pa.Table, n_epochs: int, **kw) -> pa.Table:
+    """Split the feed into n sequential epochs (per-conv order preserved),
+    run the kernel with carried state, flush at the end, concat emissions."""
+    rows = to_residual_rows(feed)
+    bounds = np.linspace(0, rows.num_rows, n_epochs + 1).astype(int)
+    state: dict = {}
+    outs = []
+    for i in range(n_epochs):
+        chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+        flush = i == n_epochs - 1
+        out, state = kernel(chunk, state, flush=flush, **kw)
+        outs.append(out)
+    return pa.concat_tables(outs)
+
+
+def oracle(feed: pa.Table, sql: str):
+    con = duckdb.connect()
+    con.register("transcripts", feed)
+    return con.execute(sql).fetch_arrow_table()
+
+
+def assert_same(result: pa.Table, expected: pa.Table, keys: list[str]):
+    import pandas as pd
+
+    r = result.to_pandas().sort_values(keys).reset_index(drop=True)
+    e = expected.to_pandas().sort_values(keys).reset_index(drop=True)
+    r = r[sorted(r.columns)]
+    e = e[sorted(e.columns)]
+    pd.testing.assert_frame_equal(r, e, check_dtype=False)
+
+
+TUMBLING_SQL = f"""
+SELECT conv_id, CAST(floor(epoch(ts)/{WIDTH_S}) AS BIGINT) AS window_id,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE role='user') AS n_user_turns,
+       count(*) FILTER (WHERE role='tool') AS n_tool_turns,
+       sum(length(text)) AS n_chars
+FROM transcripts GROUP BY 1, 2
+"""
+
+SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT conv_id, turn_idx, role, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_S}*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS session_id
+  FROM flagged
+)
+SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_turns,
+       count(*) FILTER (WHERE role='user') AS n_user_turns,
+       count(*) FILTER (WHERE role='tool') AS n_tool_turns,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn_idx,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn_idx,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM sess GROUP BY 1, 2
+"""
+
+JOIN_SQL = f"""
+WITH flagged AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_S}*1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS session_id
+  FROM flagged
+), attributed AS (
+  SELECT conv_id, CAST(session_id AS BIGINT) AS session_id, turn_idx, role, tool,
+         max(CASE WHEN role='user' THEN turn_idx END)
+           OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS user_turn_idx
+  FROM sess
+)
+SELECT conv_id, session_id, CAST(user_turn_idx AS BIGINT) AS user_turn_idx,
+       CAST(turn_idx AS BIGINT) AS tool_turn_idx, tool
+FROM attributed WHERE role='tool' AND user_turn_idx IS NOT NULL
+"""
+
+SLIDING_SQL = f"""
+WITH fan AS (
+  SELECT conv_id, CAST(floor(epoch(ts)/{SLIDE_S}) AS BIGINT) AS window_id, length(text) AS lc FROM transcripts
+  UNION ALL
+  SELECT conv_id, CAST(floor(epoch(ts)/{SLIDE_S}) AS BIGINT) - 1 AS window_id, length(text) AS lc FROM transcripts
+)
+SELECT conv_id, window_id, count(*) AS n_turns, sum(lc) AS n_chars
+FROM fan GROUP BY 1, 2
+"""
+
+
+@pytest.mark.parametrize("n_epochs", [1, 4])
+def test_tumbling(feed, n_epochs):
+    out = run_epochs(tumbling_kernel, feed, n_epochs, width_s=WIDTH_S)
+    exp = oracle(feed, TUMBLING_SQL)
+    assert_same(out, exp, ["conv_id", "window_id"])
+
+
+@pytest.mark.parametrize("n_epochs", [1, 5])
+def test_session(feed, n_epochs):
+    out = run_epochs(session_kernel, feed, n_epochs, gap_s=GAP_S)
+    exp = oracle(feed, SESSION_SQL)
+    assert_same(out, exp, ["conv_id", "session_id"])
+
+
+@pytest.mark.parametrize("n_epochs", [1, 3])
+def test_session_join(feed, n_epochs):
+    out = run_epochs(session_join_kernel, feed, n_epochs, gap_s=GAP_S)
+    exp = oracle(feed, JOIN_SQL)
+    assert_same(out, exp, ["conv_id", "session_id", "tool_turn_idx"])
+
+
+@pytest.mark.parametrize("n_epochs", [1, 4])
+def test_sliding(feed, n_epochs):
+    out = run_epochs(sliding_kernel, feed, n_epochs, width_s=WIDTH_S, slide_s=SLIDE_S)
+    exp = oracle(feed, SLIDING_SQL)
+    assert_same(out, exp, ["conv_id", "window_id"])
+
+
+def test_epoch_invariance_matches_single_pass(feed):
+    """Multi-epoch (any split) emissions must equal the single-flush result —
+    the replay/exactly-once foundation."""
+    for kernel, kw, keys in [
+        (tumbling_kernel, {"width_s": WIDTH_S}, ["conv_id", "window_id"]),
+        (session_kernel, {"gap_s": GAP_S}, ["conv_id", "session_id"]),
+        (session_join_kernel, {"gap_s": GAP_S}, ["conv_id", "session_id", "tool_turn_idx"]),
+        (sliding_kernel, {"width_s": WIDTH_S, "slide_s": SLIDE_S}, ["conv_id", "window_id"]),
+    ]:
+        single = run_epochs(kernel, feed, 1, **kw)
+        multi = run_epochs(kernel, feed, 7, **kw)
+        assert_same(multi, single, keys)
