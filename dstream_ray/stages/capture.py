@@ -1,0 +1,60 @@
+"""Capture/relay stage: ordered, deduplicated delivery of raw feed rows.
+
+This is the engine's version of dstream's core data path — the byte-stable
+line relay (/root/reference/pkg/executor/providers.go:234-261) plus the
+dual-cursor duplicate suppression of the CDC ingester (LSN cross-transaction
++ seqval within-transaction, docs/capability-inventory.md:133): a row is
+accepted iff its ``turn_idx`` is at or beyond the conversation's delivery
+cursor; accepted rows are emitted sorted by ``(conv_id, turn_idx)`` with
+``text`` bytes untouched (Arrow string column passthrough — never through
+pandas object coercion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def relay_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Accept-and-order raw transcript rows for one partition-epoch.
+
+    ``state["next_turn"]`` maps conv_id -> next expected turn_idx (the
+    positional watermark). Rows below the cursor are duplicates from a replay
+    and are dropped; the cursor advances to ``last accepted + 1`` only here —
+    and is persisted only after the sink publish succeeds (the caller's
+    two-phase commit), matching publish-then-advance.
+    """
+    next_turn: dict = dict(state.get("next_turn", {}))
+    if new_rows.num_rows == 0:
+        return new_rows, {"next_turn": next_turn}
+    conv = np.asarray(new_rows["conv_id"].to_pandas(), dtype=object)
+    turn = new_rows["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, codes = np.unique(conv, return_inverse=True)
+    order = np.lexsort((turn, codes))
+    conv_s, turn_s, codes_s = conv[order], turn[order], codes[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    ends = np.r_[starts[1:], len(codes_s)]
+    thresholds = np.array(
+        [next_turn.get(uniq[codes_s[s]], 0) for s in starts], dtype=np.int64
+    )
+    thr = np.repeat(thresholds, ends - starts)
+    # drop replayed rows (below cursor) and intra-epoch duplicates
+    dup = np.zeros(len(turn_s), dtype=bool)
+    dup[1:] = (codes_s[1:] == codes_s[:-1]) & (turn_s[1:] == turn_s[:-1])
+    accept = (turn_s >= thr) & ~dup
+    acc_idx = order[accept]
+    out = new_rows.take(pa.array(acc_idx))
+    # advance cursors to last accepted turn + 1 per conv
+    conv_a, turn_a = conv_s[accept], turn_s[accept]
+    if len(conv_a):
+        a_starts = np.flatnonzero(np.r_[True, conv_a[1:] != conv_a[:-1]])
+        a_ends = np.r_[a_starts[1:], len(conv_a)]
+        for s, e in zip(a_starts, a_ends):
+            next_turn[conv_a[s]] = int(turn_a[e - 1]) + 1
+    return out, {"next_turn": next_turn}

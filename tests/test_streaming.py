@@ -1,0 +1,184 @@
+"""End-to-end streaming engine tests: micro-batch epochs, exactly-once
+two-phase commit, kill-and-resume equivalence, lifecycle verbs — the engine
+analog of the reference's failure-behavior matrix
+(/root/reference/pkg/executor/handshake_test.go) and replay-safe checkpoint
+semantics (docs/plugins/mssql-ingester.md:75-87)."""
+
+import json
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+from dstream_ray.sources.transcripts import generate_transcripts
+
+GAP_S = 120
+WIDTH_S = 300
+
+
+def make_cfg(tmp_path, feed_dir, **kw):
+    return StreamingConfig(
+        feed_dir=str(feed_dir),
+        out_dir=str(tmp_path / "out"),
+        num_partitions=4,
+        files_per_epoch=2,
+        operators={
+            "tumbling": {"width_s": WIDTH_S},
+            "session": {"gap_s": GAP_S},
+            "session_join": {"gap_s": GAP_S},
+        },
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed")
+    generate_transcripts(
+        n_convs=40, mean_turns=10, seed=11, session_gap_s=GAP_S,
+        mega_conv_turns=300, out_path=str(d), n_shards=6,
+    )
+    return d
+
+
+def read_sink(job: StreamingJob, op: str) -> pd.DataFrame:
+    t = job.sink.read_op(op)
+    return t.to_pandas() if t is not None else pd.DataFrame()
+
+
+def oracle_on_feed(feed_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{feed_dir}/*.parquet')"
+    )
+    return con.execute(sql).fetch_arrow_table().to_pandas()
+
+
+def sorted_eq(a: pd.DataFrame, b: pd.DataFrame, keys):
+    a = a.sort_values(keys).reset_index(drop=True)
+    b = b.sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
+
+def test_streaming_end_to_end(ray_session, tmp_path, feed_dir):
+    job = StreamingJob(make_cfg(tmp_path, feed_dir))
+    status = job.run()
+    assert status["flushed"]
+    assert status["committed_epochs"] >= 3  # 6 shards / 2 per epoch
+
+    # relay contract: sink events == feed rows exactly, text byte-equal
+    events = read_sink(job, "events")
+    feed = oracle_on_feed(feed_dir, "SELECT * FROM transcripts")
+    sorted_eq(events, feed, ["conv_id", "turn_idx"])
+
+    # tumbling matches GROUP BY oracle over the whole feed
+    tq = f"""
+    SELECT conv_id, CAST(floor(epoch(ts)/{WIDTH_S}) AS BIGINT) AS window_id,
+           count(*) AS n_turns,
+           count(*) FILTER (WHERE role='user') AS n_user_turns,
+           count(*) FILTER (WHERE role='tool') AS n_tool_turns,
+           sum(length(text)) AS n_chars
+    FROM transcripts GROUP BY 1,2"""
+    sorted_eq(read_sink(job, "tumbling"), oracle_on_feed(feed_dir, tq),
+              ["conv_id", "window_id"])
+
+    # session join emitted some pairs and they are unique per tool turn
+    pairs = read_sink(job, "session_join")
+    assert len(pairs) > 0
+    assert not pairs.duplicated(["conv_id", "tool_turn_idx"]).any()
+
+    # lineage/metrics: totals add up across manifests
+    last = job.store.last_committed()[1]
+    tot_in = sum(p["rows_in_total"] for p in last["partitions"].values())
+    assert tot_in == len(feed)
+
+
+def test_kill_and_resume_matches_uninterrupted(ray_session, tmp_path, feed_dir):
+    cfg_a = make_cfg(tmp_path / "a", feed_dir)
+    job_a = StreamingJob(cfg_a)
+    job_a.run()
+
+    # interrupted run: one epoch, then a brand-new driver resumes
+    cfg_b = make_cfg(tmp_path / "b", feed_dir)
+    StreamingJob(cfg_b).run(max_epochs=1, flush_at_end=False)
+    job_b2 = StreamingJob(cfg_b)  # fresh driver (≙ process restart)
+    job_b2.run()
+
+    for op in ["events", "tumbling", "session", "session_join"]:
+        keys = {
+            "events": ["conv_id", "turn_idx"],
+            "tumbling": ["conv_id", "window_id"],
+            "session": ["conv_id", "session_id"],
+            "session_join": ["conv_id", "session_id", "tool_turn_idx"],
+        }[op]
+        sorted_eq(read_sink(job_b2, op), read_sink(StreamingJob(cfg_a), op), keys)
+
+
+def test_crash_before_commit_replays_idempotently(ray_session, tmp_path, feed_dir):
+    cfg = make_cfg(tmp_path, feed_dir)
+    job = StreamingJob(cfg)
+    job.run(max_epochs=2, flush_at_end=False)
+
+    # simulate a crash AFTER sink promote but BEFORE manifest commit of epoch 1:
+    # delete the commit record; sink files from epoch 1 remain on disk
+    os.remove(job.store._commit_path(1))
+    assert job.store.last_committed()[0] == 0
+
+    # resume replays epoch 1 (same input files, same prior state) and continues
+    job2 = StreamingJob(cfg)
+    job2.run()
+    events = read_sink(job2, "events")
+    feed = oracle_on_feed(feed_dir, "SELECT * FROM transcripts")
+    sorted_eq(events, feed, ["conv_id", "turn_idx"])  # no dup, no loss
+
+
+def test_lifecycle_verbs(ray_session, tmp_path, feed_dir):
+    cfg = make_cfg(tmp_path, feed_dir)
+    job = StreamingJob(cfg)
+    assert job.init()["status"] == "ready"
+    plan = job.plan()
+    assert len(plan["pending_files"]) == 6 and plan["file_cursor"] == 0
+    assert job.status() == {"committed_epochs": 0}
+    job.run(max_epochs=1, flush_at_end=False)
+    st = job.status()
+    assert st["committed_epochs"] == 1 and st["file_cursor"] == 2
+    assert job.plan()["file_cursor"] == 2
+    assert job.destroy()["status"] == "destroyed"
+    assert not os.path.exists(cfg.out_dir)
+
+
+def test_late_data_routing(ray_session, tmp_path):
+    # two shards: second contains a brand-new conv whose ts is far behind the
+    # partition watermark -> routed to the 'late' sink, excluded from windows
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    t0 = 1_700_000_000_000_000
+    import pyarrow.parquet as pq
+
+    def mk(conv, turns, base_us):
+        return pa.table({
+            "conv_id": pa.array([conv] * turns),
+            "turn_idx": pa.array(range(turns), type=pa.int32()),
+            "role": pa.array(["user", "assistant", "tool"] * 10)[:turns],
+            "text": pa.array([f"{conv}-{i}" for i in range(turns)]),
+            "tool": pa.array([""] * turns),
+            "ts": pa.array([base_us + i * 1_000_000 for i in range(turns)],
+                           type=pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    pq.write_table(mk("fresh", 6, t0 + 10_000_000_000), str(feed / "f0.parquet"))
+    pq.write_table(mk("stale", 6, t0), str(feed / "f1.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=1,
+        files_per_epoch=1, operators={"tumbling": {"width_s": 300}},
+        allowed_lateness_s=60,
+    )
+    job = StreamingJob(cfg)
+    job.run()
+    late = read_sink(job, "late")
+    events = read_sink(job, "events")
+    assert set(late["conv_id"]) == {"stale"} and len(late) == 6
+    assert set(events["conv_id"]) == {"fresh"}
