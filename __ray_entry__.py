@@ -1,16 +1,8 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init``/``ray.shutdown``. See SURVEY.md for the engine design and
+dstream_ray/pipelines for implementations.
 """
 
 from __future__ import annotations
@@ -20,25 +12,75 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the full streaming loop —
+    derive the transcript feed, run it through capture → tumbling/session
+    windows + stream-stream join → exactly-once sink in micro-batch epochs,
+    then return the committed session-join output as the result Dataset."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines import queries as q
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = tempfile.mkdtemp(prefix="dstream_entry_")
+    feed_dir = f"{workdir}/feed"
+    # materialise the derived feed as the append-only log (3 shards -> epochs)
+    feed = q.q_transcripts_feed("/root/testdata/sf0.001").to_pandas()
+    feed = feed.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(feed_dir, exist_ok=True)
+    tbl = pa.Table.from_pandas(feed.drop(columns=["partition_id"]), preserve_index=False)
+    n = tbl.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(tbl.slice(lo, hi - lo), f"{feed_dir}/feed-{i:02d}.parquet")
+
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=f"{workdir}/out",
+            num_partitions=4,
+            files_per_epoch=1,
+            operators={
+                "tumbling": {"width_s": q.TUMBLING_S},
+                "session": {"gap_s": q.SESSION_GAP_S},
+                "session_join": {"gap_s": q.SESSION_GAP_S},
+            },
+        )
+    )
+    job.run()
+    result = job.sink.read_op("session_join")
+    out = result.to_pandas() if result is not None else feed.head(0)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from dstream_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # transcript feed + streaming operators (batch surface)
+        "transcripts_feed": q.q_transcripts_feed,
+        "tumbling_window": q.q_tumbling_window,
+        "sliding_window": q.q_sliding_window,
+        "session_window": q.q_session_window,
+        "stream_join": q.q_stream_join,
+        "partition_watermarks": q.q_partition_watermarks,
+        "role_stats": q.q_role_stats,
+        "tool_usage": q.q_tool_usage,
+        # generic stream analytics + relational coverage
+        "events_hourly": q.q_events_hourly,
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "orders_by_segment": q.q_orders_by_segment,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dstream_ray.pipelines.oracles import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,289 @@
+"""Batch-mode query pipelines — the correctness surface for the driver.
+
+Each function takes an ``sf_dir`` of testdata parquet and returns a Ray
+Dataset / pandas DataFrame / pyarrow Table. Every query here has (or
+deliberately omits, for non-SQL ops) a matching DuckDB oracle in
+:mod:`dstream_ray.pipelines.oracles`; column names are kept identical on both
+sides.
+
+Efficiency shape (these run at 100 TB in spirit): all transcript queries fuse
+the feed derivation and the windowing into ONE ``groupby(partition_id)``
+shuffle; cheap-cardinality aggregates pre-aggregate inside ``map_batches``
+before a tiny final groupby; small lookup sides are broadcast, never
+shuffled. Ray is assumed already initialised by the caller (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from dstream_ray.sources.transcripts import (
+    ORACLE_PARTITIONS,
+    events_to_transcripts_table,
+)
+from dstream_ray.stages.windows import (
+    session_join_kernel,
+    session_kernel,
+    sliding_kernel,
+    to_residual_rows,
+    tumbling_kernel,
+)
+
+# Window parameters sized to the testdata pacing (~10.7 h mean inter-turn
+# gap over a 30-day span): day-scale windows, 12 h session gap.
+TUMBLING_S = 86_400
+SLIDING_W_S = 172_800
+SLIDING_S_S = 86_400
+SESSION_GAP_S = 43_200
+
+
+# ---------------------------------------------------------------------------
+# transcript-feed queries (fused derive + window: one shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _events_with_partition(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "partition_id", pa.array((uid % ORACLE_PARTITIONS).astype(np.int32))
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _per_partition(sf_dir: str, fn: Callable[[pa.Table], pa.Table]) -> rd.Dataset:
+    """One hash shuffle; ``fn`` sees the full transcripts of one partition."""
+
+    def group_fn(events_group: pa.Table) -> pa.Table:
+        return fn(events_to_transcripts_table(events_group))
+
+    return (
+        _events_with_partition(sf_dir)
+        .groupby("partition_id")
+        .map_groups(group_fn, batch_format="pyarrow")
+    )
+
+
+def q_transcripts_feed(sf_dir: str) -> rd.Dataset:
+    return _per_partition(sf_dir, lambda t: t)
+
+
+def _window_query(kernel, **params) -> Callable[[str], rd.Dataset]:
+    def run(sf_dir: str) -> rd.Dataset:
+        def fn(transcripts: pa.Table) -> pa.Table:
+            out, _ = kernel(to_residual_rows(transcripts), {}, flush=True, **params)
+            return out
+
+        return _per_partition(sf_dir, fn)
+
+    return run
+
+
+q_tumbling_window = _window_query(tumbling_kernel, width_s=TUMBLING_S)
+q_sliding_window = _window_query(sliding_kernel, width_s=SLIDING_W_S, slide_s=SLIDING_S_S)
+q_session_window = _window_query(session_kernel, gap_s=SESSION_GAP_S)
+q_stream_join = _window_query(session_join_kernel, gap_s=SESSION_GAP_S)
+
+
+def q_partition_watermarks(sf_dir: str) -> rd.Dataset:
+    """Per-partition lineage/metrics row: row count, conv count, watermark
+    (max event-time seen) — the monotonic cursor that replaces the LSN."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "partition_id": pa.array(
+                    [int(t["partition_id"][0].as_py())], type=pa.int32()
+                ),
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "n_convs": pa.array(
+                    [len(np.unique(np.asarray(t["conv_id"].to_pandas())))],
+                    type=pa.int64(),
+                ),
+                "watermark_us": pa.array([int(ts.max())], type=pa.int64()),
+            }
+        )
+
+    return _per_partition(sf_dir, fn)
+
+
+def q_role_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-role counts: partial aggregate per partition, tiny final merge."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"role": t["role"], "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        ).to_pandas()
+        g = df.groupby("role", as_index=False).agg(
+            n_turns=("role", "size"), total_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _per_partition(sf_dir, fn)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("role").aggregate(
+        Sum("n_turns", alias_name="n_turns"), Sum("total_chars", alias_name="total_chars")
+    )
+    return out.to_pandas()
+
+
+def q_tool_usage(sf_dir: str) -> pd.DataFrame:
+    """Per-tool call counts + distinct conversations (tool turns only)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = t.select(["conv_id", "role", "tool"]).to_pandas()
+        df = df[df["role"] == "tool"]
+        g = df.groupby("tool", as_index=False).agg(
+            n_calls=("tool", "size"), n_convs=("conv_id", "nunique")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # conv_ids never span partitions, so per-partition distinct counts sum
+    partials = _per_partition(sf_dir, fn)
+    from ray.data.aggregate import Sum
+
+    return (
+        partials.groupby("tool")
+        .aggregate(Sum("n_calls", alias_name="n_calls"), Sum("n_convs", alias_name="n_convs"))
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic event-stream analytics (pre-aggregation pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling hourly window over the raw events stream, integer-cent value sums
+    (floats are kept out of oracle-compared outputs by design)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        val_cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour_id": hour,
+                "v": val_cents,
+            }
+        )
+        g = df.groupby(["event_type", "hour_id"], as_index=False).agg(
+            n_events=("v", "size"), value_cents=("v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational demos (wide-op coverage: groupby / broadcast join)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped aggregate, integer-cent money."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "price_cents": np.round(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_rows=("qty", "size"), sum_qty=("qty", "sum"), sum_price_cents=("price_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+        .to_pandas()
+    )
+
+
+def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer via broadcast of the small side (no shuffle join):
+    the dimension table is ray.put once and read per batch."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_by_key_ref = ray.put(
+        dict(
+            zip(
+                cust["c_custkey"].to_numpy(zero_copy_only=False),
+                cust["c_mktsegment"].to_pandas(),
+            )
+        )
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    class Joiner:
+        def __init__(self):
+            self.seg = ray.get(seg_by_key_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = pd.Series(keys).map(self.seg)
+            cents = np.round(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            df = pd.DataFrame({"c_mktsegment": seg, "cents": cents})
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+        .to_pandas()
+    )
