@@ -1,0 +1,261 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.md): end-to-end turns/sec through the full
+streaming loop — capture → tumbling/session windows + stream-stream join →
+exactly-once parquet sink, micro-batched with checkpoints — over a
+transcript feed derived from $GRAFT_SF_DIR's events table and replicated
+deterministically to benchmark scale (REPL conv-suffix copies; no external
+data).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ...}
+
+--scaling: runs the headline job in two fresh processes (RAY_GRAFT_CPUS=2
+and =8, i.e. N and 4N) on the SAME cached feed and reports both throughputs
+plus efficiency (T_lo/T_hi)/(hi/lo) — the sandbox evidence for the north
+rule's two-cluster-size criterion (no real multi-node cluster here). The
+pair is 2->8 rather than 8->32 because this VM's memory bandwidth saturates
+near ~10 concurrent kernel streams (see BASELINE.md's sweep): past that,
+added cores measure the memory bus, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("RAY_GRAFT_BENCH_REPL", "1000"))
+FEED_SHARDS = int(os.environ.get("RAY_GRAFT_BENCH_SHARDS", "32"))
+PARTITIONS = int(os.environ.get("RAY_GRAFT_BENCH_PARTITIONS", "64"))
+SCALING_CPUS = (2, 8)
+
+
+def feed_cache_dir() -> str:
+    tag = f"{os.path.basename(SF_DIR.rstrip('/'))}_r{REPL}_s{FEED_SHARDS}"
+    return f"/tmp/dstream_bench_feed_{tag}"
+
+
+def prepare_feed() -> str:
+    """Derive the transcript feed once and replicate it REPL× with distinct
+    conv suffixes (deterministic). Cached across runs/processes."""
+    out = feed_cache_dir()
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines.queries import q_transcripts_feed
+
+    base = q_transcripts_feed(SF_DIR).to_pandas()
+    base = base.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    base = base.drop(columns=["partition_id"])
+    tbl = pa.Table.from_pandas(base, preserve_index=False)
+    n = tbl.num_rows
+    # replicate with conv suffix; write shard files interleaving replicas so
+    # every epoch touches every replica (uniform load)
+    per_shard = []
+    for r in range(REPL):
+        conv = pa.array(
+            np.char.add(
+                np.asarray(base["conv_id"], dtype=str), f"_r{r:03d}"
+            ),
+            type=pa.string(),
+        )
+        per_shard.append(tbl.set_column(0, "conv_id", conv))
+    big = pa.concat_tables(per_shard)
+    total = big.num_rows
+    bounds = np.linspace(0, total, FEED_SHARDS + 1).astype(int)
+    for i in range(FEED_SHARDS):
+        pq.write_table(
+            big.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(out, f"feed-{i:04d}.parquet"),
+        )
+    with open(marker, "w") as fh:
+        fh.write(str(total))
+    return out
+
+
+def warmup() -> None:
+    """Spin up the worker pool with a trivial Dataset job so the timed run
+    measures steady-state compute + shuffle, not process spawning."""
+    import ray.data as rd
+
+    rd.range(1_000_000, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def run_headline(feed_dir: str) -> tuple[float, int]:
+    from dstream_ray.pipelines.queries import SESSION_GAP_S, TUMBLING_S
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    # sink + checkpoints on tmpfs: the benchmark measures compute + shuffle
+    # + commit protocol, not this VM's single disk (a real deployment sinks
+    # to object storage); disk writeback from one run would otherwise bleed
+    # into the next run's timing.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_dir = f"{base}/dstream_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.sync()
+    cfg = StreamingConfig(
+        feed_dir=feed_dir,
+        out_dir=out_dir,
+        num_partitions=PARTITIONS,
+        files_per_epoch=max(1, FEED_SHARDS // 4),  # 4 epochs
+        # wide nodes: 2 cpus per task halves concurrent memory streams —
+        # the kernels saturate this VM's memory bandwidth near ~16 streams
+        # and raylet/driver need headroom (measured 27s -> 8s at 32 cpus)
+        task_num_cpus=2 if NUM_CPUS > 16 else 1,
+        operators={
+            "tumbling": {"width_s": TUMBLING_S},
+            "session": {"gap_s": SESSION_GAP_S},
+            "session_join": {"gap_s": SESSION_GAP_S},
+        },
+    )
+    job = StreamingJob(cfg)
+    t0 = time.time()
+    job.run()
+    wall = time.time() - t0
+    last = job.store.last_committed()[1]
+    rows = sum(p["rows_in_total"] for p in last["partitions"].values())
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return wall, rows
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entry
+
+    out = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        _ = len(res)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def single_run() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    feed = prepare_feed()
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+    import glob as g
+
+    for f in g.glob(os.path.join(feed, "*.parquet")):
+        pq.read_table(f)
+    warmup()
+
+    wall, rows = run_headline(feed)
+    queries = run_queries()
+    result = {
+        "metric": "end-to-end streaming turns/sec (capture->windows+join->exactly-once sink)",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "turns_per_sec": round(rows / wall, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling_run() -> dict:
+    lo, hi = SCALING_CPUS
+    results = {}
+    for n in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            RAY_GRAFT_BENCH_HEADLINE_ONLY="1",
+            PYTHONPATH="/root/repo",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd="/root/repo",
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same job, fresh ray.init at two parallelism levels)",
+        "cpus": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": results[lo]["turns_per_sec"],
+        f"turns_per_sec_{hi}": results[hi]["turns_per_sec"],
+        "rows": results[hi]["rows"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling_run()))
+    elif os.environ.get("RAY_GRAFT_BENCH_HEADLINE_ONLY"):
+        import ray
+
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        feed = prepare_feed()
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        for f in g.glob(os.path.join(feed, "*.parquet")):
+            pq.read_table(f)
+        warmup()
+        wall, rows = run_headline(feed)
+        print(
+            json.dumps(
+                {
+                    "value": round(wall, 3),
+                    "rows": rows,
+                    "turns_per_sec": round(rows / wall, 1),
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+        ray.shutdown()
+    else:
+        print(json.dumps(single_run()))

@@ -51,8 +51,24 @@ SESSION_GAP_S = 43_200
 # ---------------------------------------------------------------------------
 
 
+def _tuned_read(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """read_parquet with byte-sized blocks + push-based shuffle strategy.
+
+    Ray's defaults split each file into ~num_cpus blocks and use a pull-based
+    sort shuffle; on micro/small inputs that costs O(blocks×partitions) tiny
+    objects (measured 3-15x slowdowns at 32 cpus — see BASELINE.md)."""
+    from ray.data.context import ShuffleStrategy
+
+    rd.DataContext.get_current().shuffle_strategy = (
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    )
+    size = os.path.getsize(path)
+    n_blocks = int(max(4, min(64, size // (32 * 1024 * 1024) + 4)))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=n_blocks)
+
+
 def _events_with_partition(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"))
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -171,9 +187,8 @@ def q_tool_usage(sf_dir: str) -> pd.DataFrame:
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling hourly window over the raw events stream, integer-cent value sums
     (floats are kept out of oracle-compared outputs by design)."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
-    )
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"),
+                     columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -210,10 +225,8 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
 
 def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped aggregate, integer-cent money."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
-    )
+    ds = _tuned_read(os.path.join(sf_dir, "lineitem.parquet"),
+                     columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -259,9 +272,8 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
             )
         )
     )
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
-    )
+    ds = _tuned_read(os.path.join(sf_dir, "orders.parquet"),
+                     columns=["o_custkey", "o_totalprice"])
 
     class Joiner:
         def __init__(self):

@@ -77,6 +77,11 @@ class StreamingConfig:
         }
     )
     allowed_lateness_s: int | None = None  # None = late routing off
+    # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
+    # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
+    # streams (and leaves headroom for raylet/driver) — size
+    # (num_cpus_total / task_num_cpus) to the node like an actor pool.
+    task_num_cpus: int = 1
 
     @property
     def sink_dir(self) -> str:
@@ -194,6 +199,52 @@ def _flush_partition_task(partition, epoch, prev, cfg):
     return process_partition(None, partition, epoch, prev, cfg, flush=True)
 
 
+# --- explicit hash exchange (the epoch's single shuffle) -------------------
+#
+# Why raw Ray tasks and not Dataset.groupby here: the streaming epoch needs
+# (a) reduce parallelism == num_partitions regardless of input block count,
+# (b) stable partition->task ownership for the keyed state store, and
+# (c) no per-epoch boundary re-sampling. Ray Data's sort-based groupby
+# couples reduce width to block count and resamples every epoch — measured
+# 3-15x slowdowns on micro-batches (see BASELINE.md). The batch query
+# surface still uses Dataset groupby; this exchange is the streaming
+# scale path (SURVEY.md §7.3).
+
+
+@ray.remote
+def _split_task(path: str, num_partitions: int) -> tuple:
+    """Map side: read one feed shard, hash-split by conv_id into P tables.
+
+    Returned as P separate objects (num_returns=P) so each reduce task pulls
+    only its slice — the object-store analog of a network exchange."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    pid = partition_ids(t["conv_id"], num_partitions)
+    order = np.argsort(pid, kind="stable")
+    t2 = t.take(pa.array(order))
+    pid_s = pid[order]
+    starts = np.flatnonzero(np.r_[True, pid_s[1:] != pid_s[:-1]])
+    ends = np.r_[starts[1:], len(pid_s)]
+    out = [t.slice(0, 0)] * num_partitions
+    for s, e in zip(starts, ends):
+        out[int(pid_s[s])] = t2.slice(s, e - s)
+    return tuple(out)
+
+
+@ray.remote
+def _first_ref(parts: tuple):
+    """Unwrap the single-partition case (num_returns=1 returns the tuple)."""
+    return parts[0]
+
+
+@ray.remote
+def _reduce_task(partition, epoch, prev, cfg, flush, *parts):
+    parts = [p for p in parts if p is not None and p.num_rows]
+    table = pa.concat_tables(parts) if parts else None
+    return process_partition(table, partition, epoch, prev, cfg, flush=flush)
+
+
 class StreamingJob:
     """Driver facade with dstream's lifecycle verbs
     (cmd/init.go, cmd/plan.go, cmd/status.go, cmd/destroy.go analogs)."""
@@ -248,49 +299,48 @@ class StreamingJob:
         return dict(last[1].get("partitions", {})) if last else {}
 
     # -- epoch execution ---------------------------------------------------
-    def run_epoch(self, files: list[str], *, flush: bool = False) -> dict:
-        """One micro-batch: process `files` (possibly empty for a flush-only
-        epoch) through every partition, two-phase-commit the results."""
-        last = self.store.last_committed()
-        epoch = (last[0] + 1) if last else 0
-        prev_parts = self._prev_partitions()
+    def _submit_epoch(self, epoch: int, files: list[str], prev_by_part: dict, flush: bool) -> list:
+        """Submit one epoch's map/reduce DAG; returns P reduce refs.
+
+        ``prev_by_part[k]`` may be a plain dict (from a committed manifest)
+        or an ObjectRef of the previous epoch's reduce result for partition k
+        — Ray derefs it at the task boundary, which is what lets consecutive
+        epochs pipeline per-partition without a global barrier."""
         cfg = self.cfg
-        t0 = time.time()
-
-        results: list[dict] = []
+        P = cfg.num_partitions
+        ncpu = cfg.task_num_cpus
+        reduce = _reduce_task.options(num_cpus=ncpu)
         if files:
-            ds = rd.read_parquet(files)
-
-            def add_part(batch: pa.Table) -> pa.Table:
-                pid = partition_ids(batch["conv_id"], cfg.num_partitions)
-                return batch.append_column("partition_id", pa.array(pid))
-
-            ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-
-            def run_group(group: pa.Table) -> pa.Table:
-                partition = int(group["partition_id"][0].as_py())
-                prev = prev_parts.get(str(partition), {})
-                res = process_partition(
-                    group, partition, epoch, prev, cfg, flush=flush
+            if P == 1:
+                read = _split_task.options(num_returns=1, num_cpus=ncpu)
+                slices = [[_first_ref.remote(read.remote(f, 1))] for f in files]
+            else:
+                split = _split_task.options(num_returns=P, num_cpus=ncpu)
+                slices = [split.remote(f, P) for f in files]
+            return [
+                reduce.remote(
+                    k,
+                    epoch,
+                    prev_by_part.get(k, {}),
+                    cfg,
+                    flush,
+                    *[slices[b][k] for b in range(len(files))],
                 )
-                return pa.table({"result": pa.array([json.dumps(res)])})
-
-            out = ds.groupby("partition_id").map_groups(
-                run_group, batch_format="pyarrow"
-            )
-            results = [json.loads(r["result"]) for r in out.take_all()]
-        if flush:
-            seen = {r["partition"] for r in results}
-            refs = [
-                _flush_partition_task.remote(
-                    int(k), epoch, prev_parts[k], cfg
-                )
-                for k in prev_parts
-                if int(k) not in seen
+                for k in range(P)
             ]
-            results.extend(ray.get(refs))
+        # flush-only epoch
+        return [
+            reduce.remote(k, epoch, prev_by_part.get(k, {}), cfg, True)
+            for k in range(P)
+            if k in prev_by_part
+        ]
 
-        # phase 2: promote staged files, then commit the manifest (atomic)
+    def _commit_epoch(
+        self, epoch: int, n_files: int, results: list[dict], flush: bool, t0: float
+    ) -> dict:
+        """Phase 2: promote staged sink files, then atomically commit the
+        manifest (publish-then-advance)."""
+        prev_parts = self._prev_partitions()
         all_files = [f for r in results for f in r["files"]]
         ExactlyOnceParquetSink.promote(all_files)
 
@@ -321,7 +371,7 @@ class StreamingJob:
         }
         manifest = {
             "epoch": epoch,
-            "file_cursor": self._file_cursor() + len(files),
+            "file_cursor": self._file_cursor() + n_files,
             "flushed": flush,
             "wall_s": round(time.time() - t0, 3),
             "partitions": partitions,
@@ -330,28 +380,67 @@ class StreamingJob:
         self.store.commit(epoch, manifest)
         return manifest
 
+    def run_epoch(self, files: list[str], *, flush: bool = False) -> dict:
+        """One micro-batch synchronously: submit, wait, two-phase commit."""
+        last = self.store.last_committed()
+        epoch = (last[0] + 1) if last else 0
+        prev = {int(k): v for k, v in self._prev_partitions().items()}
+        t0 = time.time()
+        results = ray.get(self._submit_epoch(epoch, files, prev, flush))
+        return self._commit_epoch(epoch, len(files), results, flush, t0)
+
     def run(
         self,
         *,
         max_epochs: int | None = None,
         flush_at_end: bool = True,
+        pipeline_depth: int = 3,
     ) -> dict:
-        """Consume the feed from the committed cursor to its current end."""
+        """Consume the feed from the committed cursor to its current end.
+
+        Epochs are pipelined: each partition's epoch-(e+1) reduce task is
+        chained on its epoch-e reduce result (an ObjectRef), so compute for
+        later epochs overlaps earlier epochs' stragglers. Manifests still
+        commit strictly in epoch order (at most ``pipeline_depth`` epochs are
+        in flight, bounding object-store pressure); crash anywhere ⇒ resume
+        from the last committed manifest replays idempotently."""
         self.init()
         self.store.gc_uncommitted()
-        n = 0
-        while max_epochs is None or n < max_epochs:
-            cursor = self._file_cursor()
-            pending = self.discover_files()[cursor:]
-            if not pending:
-                break
-            batch = pending[: self.cfg.files_per_epoch]
-            is_last = len(pending) <= self.cfg.files_per_epoch
-            self.run_epoch(batch, flush=flush_at_end and is_last)
-            n += 1
+        pending = self.discover_files()[self._file_cursor() :]
+        fpe = self.cfg.files_per_epoch
+        batches = [pending[i : i + fpe] for i in range(0, len(pending), fpe)]
+        consumed_all = True
+        if max_epochs is not None and len(batches) > max_epochs:
+            batches = batches[:max_epochs]
+            consumed_all = False
         last = self.store.last_committed()
-        if flush_at_end and last and not last[1].get("flushed", False):
-            self.run_epoch([], flush=True)
+        next_epoch = (last[0] + 1) if last else 0
+        prev_by_part: dict = {int(k): v for k, v in self._prev_partitions().items()}
+
+        do_flush = flush_at_end and consumed_all
+        if batches:
+            plan = [(next_epoch + i, b, False) for i, b in enumerate(batches)]
+            if do_flush:
+                # fold the flush into the last data epoch
+                e, b, _ = plan[-1]
+                plan[-1] = (e, b, True)
+        elif do_flush and prev_by_part and not (last and last[1].get("flushed", False)):
+            plan = [(next_epoch, [], True)]
+        else:
+            plan = []
+
+        inflight: list[tuple[int, list[str], bool, float, list]] = []
+        for epoch, files, flush in plan:
+            refs = self._submit_epoch(epoch, files, prev_by_part, flush)
+            # chain: the next epoch's prev for partition k is this reduce ref
+            if files:
+                prev_by_part = dict(enumerate(refs))
+            inflight.append((epoch, files, flush, time.time(), refs))
+            while len(inflight) >= pipeline_depth:
+                e0, f0, fl0, t0, r0 = inflight.pop(0)
+                self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
+        for e0, f0, fl0, t0, r0 in inflight:
+            self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
         return self.status()
 
 

@@ -33,28 +33,27 @@ def relay_kernel(
     next_turn: dict = dict(state.get("next_turn", {}))
     if new_rows.num_rows == 0:
         return new_rows, {"next_turn": next_turn}
-    conv = np.asarray(new_rows["conv_id"].to_pandas(), dtype=object)
+    conv = new_rows["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    enc = conv.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    names = enc.dictionary.to_pylist()  # code -> conv_id (distinct convs only)
     turn = new_rows["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq, codes = np.unique(conv, return_inverse=True)
     order = np.lexsort((turn, codes))
-    conv_s, turn_s, codes_s = conv[order], turn[order], codes[order]
-    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
-    ends = np.r_[starts[1:], len(codes_s)]
-    thresholds = np.array(
-        [next_turn.get(uniq[codes_s[s]], 0) for s in starts], dtype=np.int64
-    )
-    thr = np.repeat(thresholds, ends - starts)
+    turn_s, codes_s = turn[order], codes[order]
+    thr_by_code = np.array([next_turn.get(nm, 0) for nm in names], dtype=np.int64)
+    thr = thr_by_code[codes_s]
     # drop replayed rows (below cursor) and intra-epoch duplicates
     dup = np.zeros(len(turn_s), dtype=bool)
     dup[1:] = (codes_s[1:] == codes_s[:-1]) & (turn_s[1:] == turn_s[:-1])
     accept = (turn_s >= thr) & ~dup
-    acc_idx = order[accept]
-    out = new_rows.take(pa.array(acc_idx))
+    out = new_rows.take(pa.array(order[accept]))
     # advance cursors to last accepted turn + 1 per conv
-    conv_a, turn_a = conv_s[accept], turn_s[accept]
-    if len(conv_a):
-        a_starts = np.flatnonzero(np.r_[True, conv_a[1:] != conv_a[:-1]])
-        a_ends = np.r_[a_starts[1:], len(conv_a)]
+    codes_a, turn_a = codes_s[accept], turn_s[accept]
+    if len(codes_a):
+        a_starts = np.flatnonzero(np.r_[True, codes_a[1:] != codes_a[:-1]])
+        a_ends = np.r_[a_starts[1:], len(codes_a)]
         for s, e in zip(a_starts, a_ends):
-            next_turn[conv_a[s]] = int(turn_a[e - 1]) + 1
+            next_turn[names[codes_a[s]]] = int(turn_a[e - 1]) + 1
     return out, {"next_turn": next_turn}

@@ -18,8 +18,9 @@ conversation closes exactly when that conversation produces a row beyond it.
 State per partition is therefore just the raw rows of still-open windows
 ("residual") plus tiny per-conv counters — a file-backed RocksDB-style store.
 
-All aggregates here are recomputed from residual+new rows at emission time;
-residual size is bounded by open-window row counts per conversation.
+Performance: conv keys are Arrow-dictionary-encoded (C-speed hashing); the
+hot path is numpy over integer codes — no Python-object string arrays.
+Per-conv dict state is touched only once per distinct conv (not per row).
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 US = 1_000_000
+_I64MIN = np.iinfo(np.int64).min
 
 # Residual row layout carried in state (text replaced by its length: window
 # aggregates never need the bytes, keeping state small).
@@ -55,9 +57,7 @@ def to_residual_rows(batch: pa.Table) -> pa.Table:
             "turn_idx": batch["turn_idx"].cast(pa.int32()),
             "role": batch["role"].cast(pa.string()),
             "tool": batch["tool"].cast(pa.string()),
-            "ts_us": batch["ts"].cast(pa.int64())
-            if pa.types.is_timestamp(batch.schema.field("ts").type)
-            else batch["ts"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
             "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
         }
     )
@@ -65,38 +65,68 @@ def to_residual_rows(batch: pa.Table) -> pa.Table:
 
 @dataclass
 class Cols:
-    """Sorted column arrays for one partition-epoch (+ carried residual)."""
+    """One partition-epoch, sorted by (conv_id, turn_idx); integer-code view.
 
-    conv: np.ndarray  # object array of conv_id strings, sorted
-    codes: np.ndarray  # int codes, contiguous runs per conv
+    The string columns are NOT materialized in sorted order — ``origin`` +
+    ``order`` defer that, so row extraction (residual carry, join emission)
+    only copies the few rows selected, never the whole table. Numeric/flag
+    columns are small fancy-indexed numpy arrays."""
+
+    origin: pa.Table  # residual-layout rows in ORIGINAL order
+    order: np.ndarray  # sort permutation: sorted position -> origin row
+    codes: np.ndarray  # conv dictionary codes, contiguous runs (sorted)
+    uniq: pa.Array  # code -> conv_id string (appearance order)
     turn: np.ndarray
-    role: np.ndarray
-    tool: np.ndarray
     ts: np.ndarray  # int64 µs
     n_chars: np.ndarray
+    is_user: np.ndarray
+    is_tool: np.ndarray
     starts: np.ndarray = field(init=False)  # conv segment starts
     ends: np.ndarray = field(init=False)
 
     def __post_init__(self):
         n = len(self.codes)
-        self.starts = np.flatnonzero(np.r_[True, self.codes[1:] != self.codes[:-1]]) if n else np.empty(0, np.int64)
+        self.starts = (
+            np.flatnonzero(np.r_[True, self.codes[1:] != self.codes[:-1]])
+            if n
+            else np.empty(0, np.int64)
+        )
         self.ends = np.r_[self.starts[1:], n] if n else np.empty(0, np.int64)
+
+    def conv_names(self) -> list[str]:
+        """code -> conv_id string (length = #distinct convs, small)."""
+        return self.uniq.to_pylist()
+
+    def conv_strings(self, row_sel: np.ndarray) -> pa.Array:
+        """conv_id string column for the selected row indices/mask."""
+        codes = self.codes[row_sel]
+        return pa.DictionaryArray.from_arrays(
+            pa.array(codes.astype(np.int32)), self.uniq
+        ).cast(pa.string())
 
 
 def prep(table: pa.Table) -> Cols:
-    """Sort one partition's residual-layout rows by (conv_id, turn_idx)."""
-    conv = np.asarray(table["conv_id"].to_pandas(), dtype=object)
+    """Dictionary-encode conv ids and sort by (conv, turn) — all C kernels."""
+    conv = table["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    enc = conv.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turn = table["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq, codes = np.unique(conv, return_inverse=True)
     order = np.lexsort((turn, codes))
+    role = table["role"]
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
     return Cols(
-        conv=conv[order],
+        origin=table,
+        order=order,
         codes=codes[order],
+        uniq=enc.dictionary,
         turn=turn[order],
-        role=np.asarray(table["role"].to_pandas(), dtype=object)[order],
-        tool=np.asarray(table["tool"].to_pandas(), dtype=object)[order],
         ts=table["ts_us"].to_numpy(zero_copy_only=False)[order],
         n_chars=table["n_chars"].to_numpy(zero_copy_only=False)[order],
+        is_user=pc.equal(role, "user").to_numpy(zero_copy_only=False)[order],
+        is_tool=pc.equal(role, "tool").to_numpy(zero_copy_only=False)[order],
     )
 
 
@@ -106,18 +136,10 @@ def _concat_residual(residual: pa.Table | None, new: pa.Table) -> pa.Table:
     return pa.concat_tables([residual, new.select(residual.column_names)])
 
 
-def _take(table_like: Cols, mask: np.ndarray) -> pa.Table:
-    """Rows of a Cols view back into a residual-layout arrow table."""
-    return pa.table(
-        {
-            "conv_id": pa.array(table_like.conv[mask], type=pa.string()),
-            "turn_idx": pa.array(table_like.turn[mask].astype(np.int32)),
-            "role": pa.array(table_like.role[mask], type=pa.string()),
-            "tool": pa.array(table_like.tool[mask], type=pa.string()),
-            "ts_us": pa.array(table_like.ts[mask]),
-            "n_chars": pa.array(table_like.n_chars[mask]),
-        }
-    )
+def _take(cols: Cols, mask: np.ndarray) -> pa.Table:
+    """Selected (sorted-position) rows back into a residual-layout table —
+    copies only the selected rows via one C take."""
+    return cols.origin.take(pa.array(cols.order[mask]))
 
 
 def _group_agg(keys: list[np.ndarray], cols: Cols) -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -139,8 +161,8 @@ def _group_agg(keys: list[np.ndarray], cols: Cols) -> tuple[np.ndarray, dict[str
     ones = np.ones(n, dtype=np.int64)
     agg = {
         "n_turns": np.add.reduceat(ones, starts),
-        "n_user_turns": np.add.reduceat((cols.role == "user").astype(np.int64), starts),
-        "n_tool_turns": np.add.reduceat((cols.role == "tool").astype(np.int64), starts),
+        "n_user_turns": np.add.reduceat(cols.is_user.astype(np.int64), starts),
+        "n_tool_turns": np.add.reduceat(cols.is_tool.astype(np.int64), starts),
         "n_chars": np.add.reduceat(cols.n_chars, starts),
         "min_ts": np.minimum.reduceat(cols.ts, starts),
         "max_ts": np.maximum.reduceat(cols.ts, starts),
@@ -159,6 +181,17 @@ def _conv_last(values: np.ndarray, cols: Cols) -> np.ndarray:
 # Tumbling window
 # ---------------------------------------------------------------------------
 
+_TUMBLING_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "window_id": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_user_turns": pa.array([], type=pa.int64()),
+        "n_tool_turns": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }
+)
+
 
 def tumbling_kernel(
     new_rows: pa.Table,
@@ -176,18 +209,8 @@ def tumbling_kernel(
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     n = len(cols.codes)
-    empty = pa.table(
-        {
-            "conv_id": pa.array([], type=pa.string()),
-            "window_id": pa.array([], type=pa.int64()),
-            "n_turns": pa.array([], type=pa.int64()),
-            "n_user_turns": pa.array([], type=pa.int64()),
-            "n_tool_turns": pa.array([], type=pa.int64()),
-            "n_chars": pa.array([], type=pa.int64()),
-        }
-    )
     if n == 0:
-        return empty, state
+        return _TUMBLING_EMPTY, state
     bucket = cols.ts // w_us
     starts, agg = _group_agg([bucket], cols)
     # open bucket per conv = bucket of the conv's last row
@@ -202,7 +225,7 @@ def tumbling_kernel(
     em = starts[emit_run]
     out = pa.table(
         {
-            "conv_id": pa.array(cols.conv[em], type=pa.string()),
+            "conv_id": cols.conv_strings(em),
             "window_id": pa.array(bucket[em]),
             "n_turns": pa.array(agg["n_turns"][emit_run]),
             "n_user_turns": pa.array(agg["n_user_turns"][emit_run]),
@@ -216,6 +239,15 @@ def tumbling_kernel(
 # ---------------------------------------------------------------------------
 # Sliding window
 # ---------------------------------------------------------------------------
+
+_SLIDING_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "window_id": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }
+)
 
 
 def sliding_kernel(
@@ -240,17 +272,9 @@ def sliding_kernel(
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     emitted_below: dict = dict(state.get("emitted_below", {}))
-    empty = pa.table(
-        {
-            "conv_id": pa.array([], type=pa.string()),
-            "window_id": pa.array([], type=pa.int64()),
-            "n_turns": pa.array([], type=pa.int64()),
-            "n_chars": pa.array([], type=pa.int64()),
-        }
-    )
     n = len(cols.codes)
     if n == 0:
-        return empty, state
+        return _SLIDING_EMPTY, state
     b = cols.ts // s_us
     # fan out each row to its k windows
     rep_idx = np.repeat(np.arange(n), k)
@@ -266,30 +290,29 @@ def sliding_kernel(
     ones = np.ones(len(win), dtype=np.int64)
     n_turns = np.add.reduceat(ones, rstarts)
     n_chars = np.add.reduceat(cols.n_chars[rep_idx], rstarts)
-    run_conv_code = codes_r[rstarts]
+    run_codes = codes_r[rstarts]
     run_win = win[rstarts]
-    run_conv = cols.conv[rep_idx[rstarts]]
 
-    # per conv: max bucket and closure threshold
+    # per-conv closure thresholds, indexed by code
+    names = cols.conv_names()
     maxb_per_conv = _conv_last(b, cols)  # b is non-decreasing within conv
-    conv_uniq_codes = cols.codes[cols.starts]
-    thresh_map = {}
-    low_map = {}
-    for cc, mb, cname in zip(conv_uniq_codes, maxb_per_conv, cols.conv[cols.starts]):
-        lo = emitted_below.get(cname, np.iinfo(np.int64).min)
-        hi = np.iinfo(np.int64).max if flush else mb - k + 1
-        thresh_map[cc] = hi
-        low_map[cc] = lo
-        if not flush:
-            emitted_below[cname] = max(lo, hi) if lo != np.iinfo(np.int64).min else hi
-        else:
-            emitted_below.pop(cname, None)
-    hi_arr = np.array([thresh_map[c] for c in run_conv_code])
-    lo_arr = np.array([low_map[c] for c in run_conv_code])
-    emit_run = (run_win < hi_arr) & (run_win >= np.where(lo_arr == np.iinfo(np.int64).min, np.iinfo(np.int64).min, lo_arr))
+    lo_by_code = np.array([emitted_below.get(nm, _I64MIN) for nm in names])
+    if flush:
+        hi_by_code = np.full(len(names), np.iinfo(np.int64).max)
+    else:
+        hi_by_code = maxb_per_conv - k + 1
+        for i, nm in enumerate(names):
+            emitted_below[nm] = int(
+                max(lo_by_code[i], hi_by_code[i])
+                if lo_by_code[i] != _I64MIN
+                else hi_by_code[i]
+            )
+    emit_run = (run_win < hi_by_code[run_codes]) & (run_win >= lo_by_code[run_codes])
     out = pa.table(
         {
-            "conv_id": pa.array(run_conv[emit_run], type=pa.string()),
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(run_codes[emit_run].astype(np.int32)), cols.uniq
+            ).cast(pa.string()),
             "window_id": pa.array(run_win[emit_run]),
             "n_turns": pa.array(n_turns[emit_run]),
             "n_chars": pa.array(n_chars[emit_run]),
@@ -325,6 +348,20 @@ def _assign_sessions(cols: Cols, gap_us: int) -> np.ndarray:
     return csum - conv_base
 
 
+_SESSION_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "session_id": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_user_turns": pa.array([], type=pa.int64()),
+        "n_tool_turns": pa.array([], type=pa.int64()),
+        "first_turn_idx": pa.array([], type=pa.int64()),
+        "last_turn_idx": pa.array([], type=pa.int64()),
+        "duration_us": pa.array([], type=pa.int64()),
+    }
+)
+
+
 def session_kernel(
     new_rows: pa.Table,
     state: dict,
@@ -342,26 +379,16 @@ def session_kernel(
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     closed_count: dict = dict(state.get("closed_count", {}))
-    empty = pa.table(
-        {
-            "conv_id": pa.array([], type=pa.string()),
-            "session_id": pa.array([], type=pa.int64()),
-            "n_turns": pa.array([], type=pa.int64()),
-            "n_user_turns": pa.array([], type=pa.int64()),
-            "n_tool_turns": pa.array([], type=pa.int64()),
-            "first_turn_idx": pa.array([], type=pa.int64()),
-            "last_turn_idx": pa.array([], type=pa.int64()),
-            "duration_us": pa.array([], type=pa.int64()),
-        }
-    )
     if len(cols.codes) == 0:
-        return empty, state
+        return _SESSION_EMPTY, state
     sess = _assign_sessions(cols, gap_us)
     starts, agg = _group_agg([sess], cols)
     last_sess_per_conv = np.repeat(_conv_last(sess, cols), cols.ends - cols.starts)
-    run_conv = cols.conv[starts]
+    names = cols.conv_names()
+    base_by_code = np.array([closed_count.get(nm, 0) for nm in names], dtype=np.int64)
+    run_codes = cols.codes[starts]
     run_sess = sess[starts]
-    base = np.array([closed_count.get(c, 0) for c in run_conv], dtype=np.int64)
+    base = base_by_code[run_codes]
     if flush:
         emit_run = np.ones(len(starts), dtype=bool)
         residual = None
@@ -371,12 +398,16 @@ def session_kernel(
         emit_run = ~row_open[starts]
         residual = _take(cols, row_open)
         # advance closed_count: sessions 0..last-1 closed this epoch
-        for cc_name, last_s in zip(cols.conv[cols.starts], _conv_last(sess, cols)):
-            if last_s > 0:
-                closed_count[cc_name] = closed_count.get(cc_name, 0) + int(last_s)
+        # (conv segments are contiguous; map code -> its last session index)
+        conv_last_sess = _conv_last(sess, cols)
+        last_by_code = np.empty(len(names), dtype=np.int64)
+        last_by_code[cols.codes[cols.starts]] = conv_last_sess
+        for code, nm in enumerate(names):
+            if last_by_code[code] > 0:
+                closed_count[nm] = closed_count.get(nm, 0) + int(last_by_code[code])
     out = pa.table(
         {
-            "conv_id": pa.array(run_conv[emit_run], type=pa.string()),
+            "conv_id": cols.conv_strings(starts[emit_run]),
             "session_id": pa.array((base + run_sess)[emit_run]),
             "n_turns": pa.array(agg["n_turns"][emit_run]),
             "n_user_turns": pa.array(agg["n_user_turns"][emit_run]),
@@ -387,6 +418,17 @@ def session_kernel(
         }
     )
     return out, {"residual": residual, "closed_count": closed_count}
+
+
+_JOIN_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "session_id": pa.array([], type=pa.int64()),
+        "user_turn_idx": pa.array([], type=pa.int64()),
+        "tool_turn_idx": pa.array([], type=pa.int64()),
+        "tool": pa.array([], type=pa.string()),
+    }
+)
 
 
 def session_join_kernel(
@@ -409,29 +451,20 @@ def session_join_kernel(
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     closed_count: dict = dict(state.get("closed_count", {}))
-    empty = pa.table(
-        {
-            "conv_id": pa.array([], type=pa.string()),
-            "session_id": pa.array([], type=pa.int64()),
-            "user_turn_idx": pa.array([], type=pa.int64()),
-            "tool_turn_idx": pa.array([], type=pa.int64()),
-            "tool": pa.array([], type=pa.string()),
-        }
-    )
     if len(cols.codes) == 0:
-        return empty, state
+        return _JOIN_EMPTY, state
     sess = _assign_sessions(cols, gap_us)
     # running max of user turn_idx within (conv, session) — pandas cummax is
     # a C kernel; key = composite run id
     run_id = np.cumsum(
         np.r_[True, (cols.codes[1:] != cols.codes[:-1]) | (sess[1:] != sess[:-1])]
     )
-    user_turn = np.where(cols.role == "user", cols.turn, -1).astype(np.float64)
-    last_user = (
-        pd.Series(user_turn).groupby(run_id).cummax().to_numpy()
-    )
+    user_turn = np.where(cols.is_user, cols.turn, -1).astype(np.float64)
+    last_user = pd.Series(user_turn).groupby(run_id).cummax().to_numpy()
     last_sess_per_conv = np.repeat(_conv_last(sess, cols), cols.ends - cols.starts)
-    is_pair = (cols.role == "tool") & (last_user >= 0)
+    is_pair = cols.is_tool & (last_user >= 0)
+    names = cols.conv_names()
+    base_by_code = np.array([closed_count.get(nm, 0) for nm in names], dtype=np.int64)
     if flush:
         emit = is_pair
         residual = None
@@ -441,17 +474,21 @@ def session_join_kernel(
         emit = is_pair & closed_row
         residual = _take(cols, ~closed_row)
         new_closed = dict(closed_count)
-        for cc_name, last_s in zip(cols.conv[cols.starts], _conv_last(sess, cols)):
-            if last_s > 0:
-                new_closed[cc_name] = new_closed.get(cc_name, 0) + int(last_s)
-    base = np.array([closed_count.get(c, 0) for c in cols.conv[emit]], dtype=np.int64) if emit.any() else np.empty(0, np.int64)
+        conv_last_sess = _conv_last(sess, cols)
+        last_by_code = np.empty(len(names), dtype=np.int64)
+        last_by_code[cols.codes[cols.starts]] = conv_last_sess
+        for code, nm in enumerate(names):
+            if last_by_code[code] > 0:
+                new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code])
+    base = base_by_code[cols.codes[emit]]
+    emitted = cols.origin.take(pa.array(cols.order[emit]))
     out = pa.table(
         {
-            "conv_id": pa.array(cols.conv[emit], type=pa.string()),
+            "conv_id": cols.conv_strings(emit),
             "session_id": pa.array(base + sess[emit]),
             "user_turn_idx": pa.array(last_user[emit].astype(np.int64)),
             "tool_turn_idx": pa.array(cols.turn[emit].astype(np.int64)),
-            "tool": pa.array(cols.tool[emit], type=pa.string()),
+            "tool": emitted["tool"],
         }
     )
     if flush:
