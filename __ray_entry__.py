@@ -61,6 +61,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from dstream_ray.pipelines import dataops as d
     from dstream_ray.pipelines import queries as q
 
     return {
@@ -77,6 +78,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_by_segment": q.q_orders_by_segment,
+        # training-data ops: text analysis
+        "doc_stats": d.q_doc_stats,
+        "langid_markers": d.q_langid_markers,
+        "lang_stats": d.q_lang_stats,
+        "doc_fingerprint": d.q_doc_fingerprint,
+        "doc_fingerprint_rolling": d.q_doc_fingerprint_rolling,  # rows-only
+        # training-data ops: dedup family
+        "dedup_exact": d.q_dedup_exact,
+        "minhash_dedup": d.q_minhash_dedup,  # rows-only (+ pytest vs brute force)
+        "simhash": d.q_simhash,  # rows-only
+        "ngram_jaccard": d.q_ngram_jaccard,
+        "embedding_neardup": d.q_embedding_neardup,
+        # training-data ops: similarity search
+        "knn_bruteforce": d.q_knn_bruteforce,
+        "knn_lsh": d.q_knn_lsh,  # rows-only (+ pytest recall)
+        "embedding_norms": d.q_embedding_norms,
+        "centroid_by_label": d.q_centroid_by_label,
+        # multimodal plumbing (stub decode; rows-only)
+        "multimodal_features": d.q_multimodal_features,
     }
 
 

@@ -1,0 +1,334 @@
+"""Training-data operation pipelines over ``documents`` / ``embeddings``.
+
+The dedup / similarity / text-analysis queries the engine adds beyond the
+reference's operator surface (a 100 TB training-data pipeline's toolbox).
+Each SQL-expressible one has an oracle in
+:mod:`dstream_ray.pipelines.oracles`; the signature/sketch ones (MinHash,
+SimHash, LSH) are rows-only for the driver and validated against brute force
+in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from dstream_ray.stages import ann, dedup, multimodal, text
+
+
+def _read_documents(sf_dir: str, columns=None) -> rd.Dataset:
+    from dstream_ray.pipelines.queries import _tuned_read
+
+    return _tuned_read(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _read_embeddings(sf_dir: str) -> rd.Dataset:
+    from dstream_ray.pipelines.queries import _tuned_read
+
+    return _tuned_read(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    """Token/quality metrics per doc — DocStats actor pool."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        text.DocStats, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+
+
+def q_langid_markers(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        text.LangIdMarkers, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+
+
+def q_lang_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read_documents(sf_dir, ["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(
+            n_docs=("lang", "size"), total_chars=("n_chars", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        text.fingerprint_md5, batch_format="pyarrow"
+    )
+
+
+def q_doc_fingerprint_rolling(sf_dir: str):
+    """Winnowing rolling-hash fingerprint (rows-only: not SQL-expressible)."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        text.rolling_fingerprint, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: survivors = min doc_id per distinct text (+ copy count).
+    Hash the content per batch, ONE groupby on the hash."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    import hashlib
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "h": pa.array(hs)})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pandas")
+        .to_pandas()[["doc_id", "n_copies"]]
+    )
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup clusters: shingle→minhash→band buckets (one
+    groupby)→candidate pairs→exact-Jaccard verify (broadcast texts)→
+    min-label components. Rows-only for the driver; pytest checks against
+    brute-force Jaccard on the tiny sf."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(
+        dedup.MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=2
+    )
+    cands = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(dedup.candidate_pairs_from_band_group, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.drop_duplicates(["doc_a", "doc_b"]) if len(cands) else cands
+    # verify candidates with exact shingle Jaccard; candidate texts broadcast
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    text_by_id = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
+    if len(cands):
+        ref = ray.put(text_by_id)
+
+        @ray.remote
+        def verify(pairs: pd.DataFrame) -> pd.DataFrame:
+            texts = ray.get(ref)
+            keep = []
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+                ja = dedup.jaccard(
+                    dedup.shingle_hashes(texts[int(a)]),
+                    dedup.shingle_hashes(texts[int(b)]),
+                )
+                keep.append(ja >= 0.8)
+            return pairs[np.asarray(keep, dtype=bool)]
+
+        chunks = np.array_split(cands, max(1, len(cands) // 5000))
+        verified = pd.concat(ray.get([verify.remote(c) for c in chunks]), ignore_index=True)
+    else:
+        verified = pd.DataFrame({"doc_a": [], "doc_b": []})
+    return dedup.connected_components_min_label(verified, ids)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash + blocking band per doc (rows-only)."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        dedup.simhash_batch, batch_format="pyarrow", batch_size=2048
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact pairwise token-set Jaccard within each ``source`` block
+    (blocking key bounds the quadratic term — the scale pattern)."""
+    ds = _read_documents(sf_dir, ["doc_id", "source", "text"])
+    return (
+        ds.groupby("source")
+        .map_groups(dedup.ngram_jaccard_pairs_group, batch_format="pandas")
+    )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking key
+    bounds the quadratic term; swap in LSH buckets when no natural key
+    exists). tau=0.3 fits the synthetic embeddings' cosine range (max ~0.51);
+    real near-dup pipelines run 0.9+."""
+    ds = _read_embeddings(sf_dir)
+    return ds.groupby("label").map_groups(
+        lambda g: ann.cosine_neardup_group(g, tau=0.3), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = 8
+KNN_K = 10
+
+
+def _load_queries(sf_dir: str) -> dict:
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = np.asarray(tbl["vec_id"].to_pylist()) < KNN_QUERIES
+    ids = np.asarray(tbl["vec_id"].to_pylist())[mask]
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(tbl["embedding"].to_pylist(), mask) if m]
+    )
+    return {"ids": ids, "vecs": vecs}
+
+
+def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul
+    partial top-k, tiny driver merge."""
+    qref = ray.put(_load_queries(sf_dir))
+    ds = _read_embeddings(sf_dir)
+    partials = ds.map_batches(
+        lambda b, _q=qref: ann.BruteForceTopK(_q, k=KNN_K)(b),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).to_pandas()
+    return ann.merge_topk(partials, k=KNN_K)
+
+
+def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN: hyperplane signatures block the corpus; queries only
+    search colliding buckets. Rows-only; recall vs brute force in pytest."""
+    q = _load_queries(sf_dir)
+    lsh = ann.HyperplaneLSH(dim=q["vecs"].shape[1])
+    qsigns = (ann.normalize_rows(q["vecs"]) @ lsh.planes.T) > 0
+    qbucket = np.zeros(len(qsigns), dtype=np.int64)
+    for i in range(qsigns.shape[1]):
+        qbucket |= qsigns[:, i].astype(np.int64) << i
+    wanted = set(int(b) for b in qbucket)
+    ds = _read_embeddings(sf_dir).map_batches(
+        ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
+        fn_constructor_kwargs={"dim": q["vecs"].shape[1]},
+    )
+    sub = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(b["bucket"].to_numpy(zero_copy_only=False), list(wanted)))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # per-query brute force within its bucket only
+    out = []
+    for qid, qb in zip(q["ids"], qbucket):
+        block = sub[sub["bucket"] == int(qb)]
+        if not len(block):
+            continue
+        M = ann.normalize_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in block["embedding"]])
+        )
+        qv = ann.normalize_rows(q["vecs"][q["ids"] == qid])[0]
+        sims = M @ qv
+        ids = block["vec_id"].to_numpy(dtype=np.int64)
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -sims[keep]))[:KNN_K]
+        sel_ids = ids[keep][order]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(order), qid, dtype=np.int64),
+                    "neighbor_id": sel_ids,
+                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    )
+
+
+def q_embedding_norms(sf_dir: str):
+    def norms(b: pa.Table) -> pa.Table:
+        M = ann._stack(b["embedding"])
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "norm_x1000": pa.array(
+                    np.floor(1000 * np.linalg.norm(M, axis=1)).astype(np.int64)
+                ),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(norms, batch_format="pyarrow")
+
+
+def q_centroid_by_label(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid, exploded to (label, dim, value): per-batch partial
+    sums (the mergeable-sketch pattern), tiny driver merge."""
+    ds = _read_embeddings(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = ann._stack(b["embedding"])
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        sums = np.stack([M[labels == u].sum(axis=0) for u in uniq])
+        counts = np.array([(labels == u).sum() for u in uniq])
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int32)),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for label, g in parts.groupby("label"):
+        total = np.sum(np.stack([np.asarray(v) for v in g["vsum"]]), axis=0)
+        n = g["n"].sum()
+        avg = total / n
+        for d, v in enumerate(avg):
+            rows.append((int(label), d + 1, int(np.floor(1000 * v))))
+    return pd.DataFrame(rows, columns=["label", "dim", "avg_x1000"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode; real Ray-side pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Synthetic media table -> actor-pool featurizer (fake decode). The
+    sf_dir is unused (no media in testdata); size fixed + seeded so the
+    rows-only check is deterministic."""
+    media = multimodal.generate_media_table(n=128, seed=5)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        multimodal.MediaFeaturizer,
+        batch_format="pyarrow",
+        batch_size=32,  # binary payloads: keep batches small
+        concurrency=2,
+        fn_constructor_kwargs={"decode": "fake"},
+    ).to_pandas()
+    out = feats[["media_id", "kind"]].copy()
+    out["feat_mean_x100"] = np.floor(100 * feats["feat_mean"]).astype(np.int64)
+    out["emb_dim"] = feats["embedding"].map(len).astype(np.int64)
+    return out.sort_values("media_id").reset_index(drop=True)

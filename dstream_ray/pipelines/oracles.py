@@ -124,6 +124,121 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
 FROM lineitem GROUP BY 1, 2
 """
 
+# --- training-data operations (documents / embeddings) --------------------
+
+ORACLE_SQL["doc_stats"] = """
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+       CAST(CASE WHEN len(t) > 0
+                 THEN floor(length(replace(text,' ',''))*100.0 / len(t))
+                 ELSE 0 END AS BIGINT) AS mean_tok_len_x100,
+       (len(t) BETWEEN 10 AND 1000)
+         AND (len(list_filter(t, x -> x IN ('the','a','and','of','to')))*5 <= len(t))
+         AS is_quality
+FROM toks
+"""
+
+ORACLE_SQL["langid_markers"] = """
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text),'\\s+'),
+             x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(string_split_regex(trim(text),'\\s+'),
+             x -> x IN ('le','la','les','et','est'))) AS s_fr,
+         len(list_filter(string_split_regex(trim(text),'\\s+'),
+             x -> x IN ('el','los','las','y','es'))) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_de > s_fr AND s_de > s_es AND s_de > 0 THEN 'de'
+            WHEN s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > s_de AND s_es > s_fr AND s_es > 0 THEN 'es'
+            ELSE 'en' END AS pred_lang
+FROM scored
+"""
+
+ORACLE_SQL["lang_stats"] = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+ORACLE_SQL["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+ORACLE_SQL["dedup_exact"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+ORACLE_SQL["ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, source, list_distinct(string_split_regex(trim(text),'\\s+')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(floor(1000.0 * len(list_intersect(a.t, b.t))
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))) AS BIGINT)
+         AS jaccard_x1000
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE floor(1000.0 * len(list_intersect(a.t, b.t))
+      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))) >= 200
+"""
+
+ORACLE_SQL["embedding_norms"] = """
+SELECT vec_id,
+       CAST(floor(1000 * sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+            x -> x*x)))) AS BIGINT) AS norm_x1000
+FROM embeddings
+"""
+
+ORACLE_SQL["knn_bruteforce"] = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), e AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), sims AS (
+  SELECT qid, nid, list_cosine_similarity(qv, ev) AS cos
+  FROM q CROSS JOIN e WHERE nid != qid
+), ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+ORACLE_SQL["embedding_neardup"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(1000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cos_x1000
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+"""
+
+ORACLE_SQL["centroid_by_label"] = """
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(floor(1000 * avg(v)) AS BIGINT) AS avg_x1000
+FROM (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
 ORACLE_SQL["orders_by_segment"] = """
 SELECT c.c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- Brute-force cosine top-k: the broadcast pattern — the (small) query matrix
+  is ``ray.put`` once; every batch does one float64 matmul against it and
+  emits per-batch partial top-k; the driver merges partials (k × queries
+  rows, tiny). No shuffle.
+- LSH-bucketed variant: random-hyperplane signatures (seeded, identical
+  across actors) block the corpus; search touches only colliding buckets —
+  the scale path for 10^10-vector corpora. Recall vs brute force is
+  pytest-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _stack(batch_col) -> np.ndarray:
+    """list<float> arrow column -> (n, d) float64 matrix without pandas."""
+    arr = batch_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = np.asarray(q["ids"])
+        self.Q = normalize_rows(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = normalize_rows(_stack(batch["embedding"]))
+        sims = self.Q @ M.T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, k - 1)[:k]
+            top = top[np.lexsort((vec_ids[top], -row[top]))]
+            out_q.append(np.full(len(top), self.query_ids[qi]))
+            out_n.append(vec_ids[top])
+            out_s.append(row[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def merge_topk(partials: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Driver-side merge of per-batch partial top-k -> final (query, rank)."""
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(g), qid, dtype=np.int64),
+                    "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    )
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage (seeded per actor, identical
+    everywhere): bucket = sign-bit string of ``n_planes`` projections."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = normalize_rows(_stack(batch["embedding"]))
+        signs = (M @ self.planes.T) > 0
+        bucket = np.zeros(len(M), dtype=np.int64)
+        for i in range(signs.shape[1]):
+            bucket |= signs[:, i].astype(np.int64) << i
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "bucket": pa.array(bucket),
+            }
+        )
+
+
+def cosine_neardup_group(group: pd.DataFrame, *, tau: float = 0.95) -> pd.DataFrame:
+    """Pairs with cosine >= tau inside one LSH bucket (or label block)."""
+    ids = group["vec_id"].to_numpy(dtype=np.int64)
+    M = normalize_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in group["embedding"]])
+    )
+    sims = M @ M.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    hit = sims[ia, ib] >= tau
+    return pd.DataFrame(
+        {
+            "vec_a": np.minimum(ids[ia[hit]], ids[ib[hit]]),
+            "vec_b": np.maximum(ids[ia[hit]], ids[ib[hit]]),
+            "cos_x1000": np.floor(1000 * sims[ia[hit], ib[hit]]).astype(np.int64),
+        }
+    )

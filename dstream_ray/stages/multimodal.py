@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The image/audio codec libraries are not available in this container, so the
+DECODE step is stubbed two ways (clearly marked):
+
+- ``decode=\"strict\"`` raises ``NotImplementedError`` — the shape a real
+  deployment fills in with PIL/ffmpeg;
+- ``decode=\"fake\"`` (default for tests) derives a deterministic pixel
+  array from the payload bytes, so the Ray-side plumbing — schema, actor
+  pool, batch sizing, output layout — is real and tested end-to-end.
+
+Scale notes baked into the stage shapes: binary rows are large, so batches
+stay SMALL (``batch_size=32``-ish) and the featurizer is an ACTOR POOL
+(model weights loaded once per actor in ``__init__``); outputs carry fixed
+``list<float>`` embeddings suitable for the ann stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def generate_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Seeded synthetic media rows (binary payloads + metadata)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)[
+        rng.integers(0, 3, n)
+    ]
+    payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in range(n)]
+    w = rng.integers(16, 256, n).astype(np.int32)
+    h = rng.integers(16, 256, n).astype(np.int32)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+            "sample_rate": pa.array(
+                np.where(kinds == "audio", 16000, 0).astype(np.int32)
+            ),
+            "n_frames": pa.array(
+                np.where(kinds == "video", rng.integers(8, 64, n), 1).astype(np.int32)
+            ),
+        }
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB: deterministic 'pixels' from bytes (replaces PIL.Image.open)."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    need = max(1, (width // 8) * (height // 8))
+    reps = -(-need // len(b))
+    return np.tile(b, reps)[:need].astype(np.float32)
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode → feature-extract → fixed-dim embedding.
+
+    ``__init__`` loads the 'model' (a seeded projection matrix — stand-in
+    for real weights) ONCE per actor. ``__call__`` handles a small batch of
+    binary rows and emits ``(media_id, kind, embedding list<float>,
+    feat_mean, feat_std)``.
+    """
+
+    def __init__(self, dim: int = 32, decode: str = "fake", seed: int = 11):
+        if decode not in ("fake", "strict"):
+            raise ValueError(decode)
+        self.decode = decode
+        rng = np.random.default_rng(seed)
+        # 'model weights': fixed random projection, loaded once per actor
+        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+        self.dim = dim
+
+    def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.decode == "strict":
+            raise NotImplementedError(
+                "real image/audio decoding requires PIL/ffmpeg — not in this "
+                "container; use decode='fake' for plumbing tests"
+            )
+        return _fake_decode(payload, width, height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        embs = np.empty((len(payloads), self.dim), dtype=np.float32)
+        means = np.empty(len(payloads), dtype=np.float64)
+        stds = np.empty(len(payloads), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            px = self._decode(p, int(widths[i]), int(heights[i]))
+            means[i] = float(px.mean())
+            stds[i] = float(px.std())
+            hist = np.bincount(px.astype(np.int64) % 256, minlength=256).astype(
+                np.float32
+            )
+            embs[i] = hist @ self.proj
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "embedding": pa.array(list(embs), type=pa.list_(pa.float32())),
+                "feat_mean": pa.array(means),
+                "feat_std": pa.array(stds),
+            }
+        )
+
+
+def resize_stub(batch: pa.Table, *, target: int = 64) -> pa.Table:
+    """STUB resize stage: real implementation would decode + resample; here
+    the payload passes through and only metadata is rewritten (the Ray-side
+    contract — schema in/out — is what this exercises)."""
+    n = batch.num_rows
+    return (
+        batch.set_column(
+            batch.schema.get_field_index("width"),
+            "width",
+            pa.array(np.full(n, target, dtype=np.int32)),
+        ).set_column(
+            batch.schema.get_field_index("height"),
+            "height",
+            pa.array(np.full(n, target, dtype=np.int32)),
+        )
+    )

@@ -1,0 +1,191 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Operate on the ``documents`` table (``doc_id, text, lang, source, n_chars``)
+as vectorized batch kernels; the stateful variants (compiled regexes, marker
+tables) are callable CLASSES for ``map_batches(Cls, concurrency=N)`` actor
+pools — setup once per actor, work per batch.
+
+Every metric that feeds a DuckDB oracle uses integer/boolean outputs and
+token semantics identical to ``string_split_regex(trim(text), '\\s+')`` so
+both sides agree exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _token_count_regex(words: tuple[str, ...]) -> re.Pattern:
+    """Counts whitespace-delimited tokens exactly equal to one of ``words`` —
+    same semantics as filtering the \\s+ split list."""
+    alt = "|".join(re.escape(w) for w in words)
+    return re.compile(rf"(?:^|\s)(?:{alt})(?=\s|$)")
+
+
+class DocStats:
+    """Actor-pool stage: per-doc token/quality metrics.
+
+    __init__ compiles all patterns once per actor;
+    __call__ is vectorized pandas/numpy per batch.
+    """
+
+    def __init__(self):
+        self.tok = re.compile(r"\S+")
+        self.alpha = re.compile(r"[a-zA-Z]")
+        self.stop = _token_count_regex(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        stripped = text.str.strip()
+        n_tokens = stripped.str.count(self.tok).astype("int64")
+        n_tokens = n_tokens.where(stripped != "", 0)
+        n_alpha = text.str.count(self.alpha).astype("int64")
+        n_stop = text.str.count(self.stop).astype("int64")
+        n_nospace = text.str.replace(" ", "", regex=False).str.len().astype("int64")
+        mean_tok_len_x100 = np.where(
+            n_tokens > 0, (n_nospace * 100) // n_tokens.clip(lower=1), 0
+        ).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "n_alpha": n_alpha,
+                "n_stop": n_stop,
+                "mean_tok_len_x100": mean_tok_len_x100,
+                "is_quality": (n_tokens.between(10, 1000)) & (n_stop * 5 <= n_tokens),
+            }
+        )
+        return out
+
+
+class LangIdMarkers:
+    """Marker-word language ID (SQL-expressible variant: exact token counts
+    per language marker set, argmax with ties -> 'en')."""
+
+    def __init__(self):
+        self.pats = {lang: _token_count_regex(ws) for lang, ws in LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].astype(str)
+        scores = {lang: text.str.count(p).to_numpy() for lang, p in self.pats.items()}
+        de, fr, es = scores["de"], scores["fr"], scores["es"]
+        pred = np.full(len(text), "en", dtype=object)
+        pred[(de > fr) & (de > es) & (de > 0)] = "de"
+        pred[(fr > de) & (fr > es) & (fr > 0)] = "fr"
+        pred[(es > de) & (es > fr) & (es > 0)] = "es"
+        return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+
+class LangIdNgram:
+    """Real language-ID heuristic: cosine over character-trigram frequency
+    profiles built per actor from small seeded exemplar corpora. Not
+    SQL-expressible — validated by pytest on synthetic multilingual text."""
+
+    EXEMPLARS = {
+        "en": "the quick brown fox jumps over the lazy dog and then it runs to "
+        "the house of the friend who was waiting with a cup of tea",
+        "de": "der schnelle braune fuchs springt über den faulen hund und läuft "
+        "dann zum haus des freundes der mit einer tasse tee wartete",
+        "fr": "le rapide renard brun saute par dessus le chien paresseux et "
+        "court ensuite vers la maison de l ami qui attendait avec une tasse de thé",
+        "es": "el rápido zorro marrón salta sobre el perro perezoso y luego "
+        "corre hacia la casa del amigo que esperaba con una taza de té",
+    }
+
+    def __init__(self):
+        self.profiles = {
+            lang: self._profile(txt) for lang, txt in self.EXEMPLARS.items()
+        }
+
+    @staticmethod
+    def _trigrams(s: str) -> list[str]:
+        s = f"  {s.lower()}  "
+        return [s[i : i + 3] for i in range(len(s) - 2)]
+
+    def _profile(self, s: str) -> dict[str, float]:
+        from collections import Counter
+
+        c = Counter(self._trigrams(s))
+        norm = sum(v * v for v in c.values()) ** 0.5
+        return {k: v / norm for k, v in c.items()}
+
+    def classify(self, s: str) -> str:
+        from collections import Counter
+
+        c = Counter(self._trigrams(s))
+        best, best_score = "en", -1.0
+        for lang, prof in self.profiles.items():
+            score = sum(prof.get(k, 0.0) * v for k, v in c.items())
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": [self.classify(t) for t in batch["text"].astype(str)],
+            }
+        )
+
+
+def fingerprint_md5(batch: pa.Table) -> pa.Table:
+    """Content fingerprint (md5 hex) per doc — matches DuckDB ``md5(text)``."""
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+            ),
+        }
+    )
+
+
+def rolling_fingerprint(batch: pa.Table, *, window: int = 16) -> pa.Table:
+    """Winnowing-style document fingerprint: min of rolling polynomial hashes
+    over byte windows — robust to small appends. Vectorized numpy; not
+    SQL-expressible (rows-only check + pytest)."""
+    texts = batch["text"].to_pylist()
+    fps = np.empty(len(texts), dtype=np.uint64)
+    B = np.uint64(1000003)
+    with np.errstate(over="ignore"):
+        powB = B ** np.uint64(window - 1)
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                fps[i] = h
+                continue
+            # rolling hash over all windows
+            h = np.uint64(0)
+            first = b[:window]
+            for x in first:
+                h = h * B + x
+            hashes = np.empty(len(b) - window + 1, dtype=np.uint64)
+            hashes[0] = h
+            for j in range(1, len(hashes)):
+                h = (h - b[j - 1] * powB) * B + b[j + window - 1]
+                hashes[j] = h
+            fps[i] = hashes.min()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint64": pa.array(fps.astype(np.int64)),
+        }
+    )
