@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
         "session_window": q.q_session_window,
+        "session_salted": q.q_session_salted,  # hot-key-salted two-phase variant
+        "tumbling_salted": q.q_tumbling_salted,  # pre-aggregation (skew-proof) variant
         "stream_join": q.q_stream_join,
         "partition_watermarks": q.q_partition_watermarks,
         "role_stats": q.q_role_stats,

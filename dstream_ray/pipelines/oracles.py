@@ -245,3 +245,7 @@ SELECT c.c_mktsegment, count(*) AS n_orders,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
+
+# salted variants must equal their unsalted oracles exactly
+ORACLE_SQL["session_salted"] = ORACLE_SQL["session_window"]
+ORACLE_SQL["tumbling_salted"] = ORACLE_SQL["tumbling_window"]

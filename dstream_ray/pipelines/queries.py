@@ -113,6 +113,58 @@ q_session_window = _window_query(session_kernel, gap_s=SESSION_GAP_S)
 q_stream_join = _window_query(session_join_kernel, gap_s=SESSION_GAP_S)
 
 
+def q_session_salted(sf_dir: str) -> rd.Dataset:
+    """Session windows via HOT-KEY SALTING (two-phase): chunk mega-convs by
+    turn ranges, sessionize chunks in parallel, merge island summaries.
+    Same oracle as session_window — outputs must be identical."""
+    from dstream_ray.stages.salted import salted_session_windows
+
+    # chunk_turns small so even testdata convs exercise the merge path
+    return salted_session_windows(
+        q_transcripts_feed(sf_dir), gap_s=SESSION_GAP_S, chunk_turns=16
+    )
+
+
+def q_tumbling_salted(sf_dir: str) -> pd.DataFrame:
+    """Tumbling windows via the pre-aggregation (skew-proof) pattern:
+    per-batch partial counts per (conv, window) — no conv co-location —
+    then a groupby over the partials. Same oracle as tumbling_window."""
+    ds = q_transcripts_feed(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_pandas(),
+                "window_id": ts // (TUMBLING_S * 1_000_000),
+                "u": (np.asarray(b["role"].to_pandas()) == "user").astype(np.int64),
+                "t": (np.asarray(b["role"].to_pandas()) == "tool").astype(np.int64),
+                "c": pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["conv_id", "window_id"], as_index=False).agg(
+            n_turns=("u", "size"),
+            n_user_turns=("u", "sum"),
+            n_tool_turns=("t", "sum"),
+            n_chars=("c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "window_id"])
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_user_turns", alias_name="n_user_turns"),
+            Sum("n_tool_turns", alias_name="n_tool_turns"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .to_pandas()
+    )
+
+
 def q_partition_watermarks(sf_dir: str) -> rd.Dataset:
     """Per-partition lineage/metrics row: row count, conv count, watermark
     (max event-time seen) — the monotonic cursor that replaces the LSN."""

@@ -36,6 +36,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -77,6 +78,8 @@ class StreamingConfig:
         }
     )
     allowed_lateness_s: int | None = None  # None = late routing off
+    sink_kind: str = "parquet"  # see sinks.registry (parquet | ndjson | console)
+    lease_ttl_s: float = 120.0  # multi-job exclusivity (≙ blob-lease lock)
     # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
     # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
     # streams (and leaves headroom for raylet/driver) — size
@@ -105,8 +108,10 @@ def process_partition(
     writes + state snapshot. Pure w.r.t. (input rows, prev state) — replaying
     it produces identical emissions, which is what makes the two-phase commit
     exactly-once observable."""
+    from dstream_ray.sinks.registry import create_sink
+
     store = CheckpointStore(cfg.checkpoint_dir)
-    sink = ExactlyOnceParquetSink(cfg.sink_dir)
+    sink = create_sink(cfg.sink_kind, cfg.sink_dir)
     state = store.load_state(prev.get("state_path"))
     prev_wm = int(prev.get("watermark_us", -1))
     rows_in = table.num_rows if table is not None else 0
@@ -115,6 +120,30 @@ def process_partition(
 
     files: list[str] = []
     rows_out: dict[str, int] = {}
+
+    # malformed-row quarantine (≙ the E2E harness's JSON-validity filter,
+    # /root/reference/test/e2e/e2e_test.go:229-233): rows violating the feed
+    # contract go to a 'quarantine' sink instead of poisoning state.
+    if table.num_rows:
+        valid = pc.and_(
+            pc.and_(
+                pc.is_valid(table["conv_id"]), pc.is_valid(table["ts"])
+            ),
+            pc.and_(
+                pc.is_valid(table["turn_idx"]),
+                pc.greater_equal(
+                    pc.fill_null(table["turn_idx"], -1), 0
+                ),
+            ),
+        )
+        valid_np = valid.to_numpy(zero_copy_only=False)
+        if not valid_np.all():
+            bad = table.filter(pc.invert(valid))
+            files.append(
+                sink.write_staged(bad, "quarantine", partition, epoch, prev_wm)
+            )
+            rows_out["quarantine"] = bad.num_rows
+            table = table.filter(valid)
 
     # late-data policy (north-star W7): a row is late if its ts is behind the
     # partition watermark by more than the allowance — route to 'late' sink,
@@ -341,7 +370,7 @@ class StreamingJob:
         """Phase 2: promote staged sink files, then atomically commit the
         manifest (publish-then-advance)."""
         prev_parts = self._prev_partitions()
-        all_files = [f for r in results for f in r["files"]]
+        all_files = [f for r in results for f in r["files"] if f]
         ExactlyOnceParquetSink.promote(all_files)
 
         partitions = dict(prev_parts)  # carry forward idle partitions
@@ -389,6 +418,42 @@ class StreamingJob:
         results = ray.get(self._submit_epoch(epoch, files, prev, flush))
         return self._commit_epoch(epoch, len(files), results, flush, t0)
 
+    def follow(
+        self,
+        *,
+        poll_interval_s: float = 0.2,
+        max_poll_interval_s: float = 5.0,
+        idle_limit_s: float | None = 10.0,
+        flush_at_end: bool = True,
+    ) -> dict:
+        """Tail the feed directory like the CDC poll loop: process new shard
+        files as they appear, doubling the poll interval while idle up to
+        ``max_poll_interval_s`` and resetting on data (≙ the reference's
+        exponential-backoff poller, docs/capability-inventory.md:135).
+        Stops after ``idle_limit_s`` of continuous idleness (None = forever,
+        until externally stopped)."""
+        self.init()
+        interval = poll_interval_s
+        idle_since = None
+        while True:
+            pending = self.discover_files()[self._file_cursor() :]
+            if pending:
+                self.run(flush_at_end=False)
+                interval = poll_interval_s  # reset backoff on data
+                idle_since = None
+                continue
+            now = time.time()
+            idle_since = idle_since or now
+            if idle_limit_s is not None and now - idle_since >= idle_limit_s:
+                break
+            time.sleep(interval)
+            interval = min(interval * 2, max_poll_interval_s)
+        if flush_at_end:
+            last = self.store.last_committed()
+            if last and not last[1].get("flushed", False):
+                self.run_epoch([], flush=True)
+        return self.status()
+
     def run(
         self,
         *,
@@ -405,6 +470,35 @@ class StreamingJob:
         in flight, bounding object-store pressure); crash anywhere ⇒ resume
         from the last committed manifest replays idempotently."""
         self.init()
+        # multi-job exclusivity: one driver per checkpoint tree (≙ the
+        # reference's blob-lease lock with stale-break,
+        # docs/capability-inventory.md:186-192). A second concurrent driver
+        # skips instead of corrupting the commit sequence.
+        from dstream_ray.state.lease import Lease
+
+        lease = Lease(
+            os.path.join(self.cfg.out_dir, "_locks", "job.lock"),
+            owner=f"pid-{os.getpid()}",
+            ttl_s=self.cfg.lease_ttl_s,
+        )
+        if not lease.acquire():
+            return {"status": "skipped", "reason": "lease held by another job"}
+        try:
+            return self._run_locked(
+                max_epochs=max_epochs,
+                flush_at_end=flush_at_end,
+                pipeline_depth=pipeline_depth,
+            )
+        finally:
+            lease.release()
+
+    def _run_locked(
+        self,
+        *,
+        max_epochs: int | None,
+        flush_at_end: bool,
+        pipeline_depth: int,
+    ) -> dict:
         self.store.gc_uncommitted()
         pending = self.discover_files()[self._file_cursor() :]
         fpe = self.cfg.files_per_epoch
