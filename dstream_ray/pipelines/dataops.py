@@ -95,19 +95,25 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     import hashlib
 
-    def add_hash(b: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"], "h": pa.array(hs)})
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
+    def partial(b: pa.Table) -> pa.Table:
+        # per-batch partial: min doc_id + count per content hash
+        df = pd.DataFrame(
+            {
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()],
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            }
         )
+        g = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
         .to_pandas()[["doc_id", "n_copies"]]
     )
 
@@ -121,9 +127,19 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     bands = docs.map_batches(
         dedup.MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=2
     )
+
+    # coarse-partition the bucket space, then extract pairs VECTORIZED per
+    # partition (one python call per partition, not per bucket)
+    def add_bucket_part(b: pa.Table) -> pa.Table:
+        h = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "bucket_part", pa.array((h % np.uint64(32)).astype(np.int32))
+        )
+
     cands = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(dedup.candidate_pairs_from_band_group, batch_format="pandas")
+        bands.map_batches(add_bucket_part, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(dedup.candidate_pairs_from_band_partition, batch_format="pandas")
         .to_pandas()
     )
     cands = cands.drop_duplicates(["doc_a", "doc_b"]) if len(cands) else cands

@@ -106,6 +106,36 @@ def candidate_pairs_from_band_group(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
 
+def candidate_pairs_from_band_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized candidate-pair extraction for a PARTITION of band rows
+    (many buckets at once): sort, find same-(band_id, band_hash) runs,
+    expand only the multi-doc runs. Avoids one Python call per bucket —
+    buckets are numerous and tiny, partitions are few and large."""
+    if not len(df):
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    df = df.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+    band = df["band_id"].to_numpy()
+    bh = df["band_hash"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    new_run = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], len(df)]
+    sizes = ends - starts
+    out_a, out_b = [], []
+    for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+        u = np.unique(ids[s:e])
+        if len(u) < 2:
+            continue
+        ia, ib = np.triu_indices(len(u), k=1)
+        out_a.append(u[ia])
+        out_b.append(u[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    ).drop_duplicates()
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     if len(a) == 0 and len(b) == 0:
         return 1.0
