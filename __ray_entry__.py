@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_by_label": d.q_centroid_by_label,
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_features": d.q_multimodal_features,
+        "hll_distinct_users": d.q_hll_distinct_users,  # rows-only (approx; pytest bounds error)
     }
 
 

@@ -348,3 +348,25 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     out["feat_mean_x100"] = np.floor(100 * feats["feat_mean"]).astype(np.int64)
     out["emb_dim"] = feats["embedding"].map(len).astype(np.int64)
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event_type via mergeable HLL sketches:
+    one sketch per key per batch in map_batches, tiny driver-side merge.
+    Rows-only for the driver (approximate ≠ SQL-exact); pytest bounds the
+    error vs count(DISTINCT) at <5%."""
+    from dstream_ray.pipelines.queries import _tuned_read
+    from dstream_ray.stages.sketches import hll_merge_partials, hll_partial_batch
+
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"),
+                     columns=["event_type", "user_id"])
+    parts = ds.map_batches(
+        lambda b: hll_partial_batch(b, key_col="event_type", value_col="user_id"),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return hll_merge_partials(parts)

@@ -1,0 +1,98 @@
+"""Mergeable sketches (SURVEY.md §2 custom-operator class c: "a novel
+sketch"): HyperLogLog distinct counting, built for the pre-aggregation
+pattern — one sketch per batch inside ``map_batches``, merged in a tiny
+second stage. Registers are a numpy array; merge = elementwise max.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dstream_ray.common import fnv1a_u64
+
+
+class HLL:
+    """Dense HyperLogLog with 2^p registers (standard bias-corrected
+    estimator; p=12 → ~1.6% relative error)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        # FNV-1a disperses poorly in high bits for short similar keys;
+        # murmur3's fmix64 finalizer restores avalanche before bucketing.
+        with np.errstate(over="ignore"):
+            h = h.copy()
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of `rest` + 1 (capped at 64-p+1)
+        rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        # count leading zeros via float trick is lossy; do it with log2
+        bits = np.zeros(len(h), dtype=np.uint64)
+        bits[nz] = np.uint64(63) - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.uint64)
+        rank[nz] = (bits[nz] + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def add_strings(self, values) -> None:
+        arr = pa.array([str(v) for v in values], type=pa.string())
+        self.add_hashes(fnv1a_u64(arr))
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HLL":
+        return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+def hll_partial_batch(batch: pa.Table, *, key_col: str, value_col: str, p: int = 12) -> pa.Table:
+    """One serialized HLL per key per batch (the mergeable-sketch partial)."""
+    df = pd.DataFrame(
+        {
+            "k": batch[key_col].to_pandas(),
+            "v": batch[value_col].to_pandas().astype(str),
+        }
+    )
+    keys, blobs = [], []
+    for k, g in df.groupby("k"):
+        h = HLL(p)
+        h.add_strings(g["v"].tolist())
+        keys.append(k)
+        blobs.append(h.to_bytes())
+    return pa.table({"key": pa.array(keys), "sketch": pa.array(blobs, type=pa.binary())})
+
+
+def hll_merge_partials(parts: pd.DataFrame, p: int = 12) -> pd.DataFrame:
+    """Tiny final stage: merge per-key sketches, emit estimates."""
+    rows = []
+    for k, g in parts.groupby("key"):
+        h = HLL(p)
+        for blob in g["sketch"]:
+            h = h.merge(HLL.from_bytes(bytes(blob), p))
+        rows.append((k, int(round(h.estimate()))))
+    return pd.DataFrame(rows, columns=["key", "approx_distinct"])

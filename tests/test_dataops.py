@@ -195,3 +195,41 @@ def test_dedup_exact_with_actual_duplicates(ray_session):
     )
     assert out["doc_id"].tolist() == [0, 1, 3]
     assert out["n_copies"].tolist() == [3, 2, 1]
+
+
+def test_hll_accuracy_and_merge():
+    from dstream_ray.stages.sketches import HLL
+
+    rng = np.random.default_rng(3)
+    vals = [f"user{int(v)}" for v in rng.integers(0, 50_000, 200_000)]
+    truth = len(set(vals))
+    h = HLL()
+    h.add_strings(vals)
+    assert abs(h.estimate() - truth) / truth < 0.05
+    # mergeability: split into 10 sketches, merge, same estimate
+    hs = [HLL() for _ in range(10)]
+    for i, v in enumerate(vals):
+        hs[i % 10].add_strings([v])
+    merged = hs[0]
+    for x in hs[1:]:
+        merged = merged.merge(x)
+    assert merged.estimate() == h.estimate()
+
+
+def test_hll_pipeline_per_event_type(ray_session):
+    """Distinct users per event_type via the mergeable-sketch pattern,
+    within 5% of the exact answer."""
+    import duckdb
+
+    from dstream_ray.pipelines.dataops import q_hll_distinct_users
+
+    got = q_hll_distinct_users("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT event_type AS key, count(DISTINCT user_id) AS n FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1"
+    ).fetch_df()
+    m = got.merge(exact, on="key")
+    assert len(m) == len(exact)
+    rel_err = (m["approx_distinct"] - m["n"]).abs() / m["n"]
+    assert (rel_err < 0.05).all(), m
