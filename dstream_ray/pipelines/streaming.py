@@ -299,12 +299,21 @@ class StreamingJob:
         if last is None:
             return {"committed_epochs": 0}
         epoch, manifest = last
+        parts = manifest.get("partitions", {})
+        cumulative_out: dict[str, int] = {}
+        for p in parts.values():
+            for op, n in p.get("rows_out_total", {}).items():
+                cumulative_out[op] = cumulative_out.get(op, 0) + n
         return {
             "committed_epochs": epoch + 1,
             "file_cursor": manifest["file_cursor"],
             "flushed": manifest.get("flushed", False),
-            "totals": manifest.get("totals", {}),
-            "partitions": len(manifest.get("partitions", {})),
+            "totals": manifest.get("totals", {}),  # LAST epoch only
+            "cumulative": {
+                "rows_in": sum(p.get("rows_in_total", 0) for p in parts.values()),
+                "rows_out": cumulative_out,
+            },
+            "partitions": len(parts),
         }
 
     def destroy(self) -> dict:

@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis): for ANY feed and ANY epoch split, the
+streaming kernels' accumulated emissions equal the single-pass result and the
+DuckDB oracle. The reference has no property tests (SURVEY.md §5) — this is
+strictly stronger coverage of the replay/exactly-once foundation."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dstream_ray.stages.capture import relay_kernel
+from dstream_ray.stages.windows import (
+    session_join_kernel,
+    session_kernel,
+    sliding_kernel,
+    to_residual_rows,
+    tumbling_kernel,
+)
+
+GAP_S = 60
+WIDTH_S = 120
+
+
+@st.composite
+def feeds(draw):
+    n_convs = draw(st.integers(1, 8))
+    rows = []
+    t0 = 1_700_000_000_000_000
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 12))
+        ts = t0 + draw(st.integers(0, 10**9))
+        for t in range(n_turns):
+            ts += draw(st.integers(0, 200)) * 1_000_000  # gaps 0-200s
+            rows.append(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": t,
+                    "role": ["user", "assistant", "tool"][t % 3],
+                    "text": draw(st.text(max_size=8)),
+                    "tool": "tx" if t % 3 == 2 else "",
+                    "ts": ts,
+                }
+            )
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in rows]),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], type=pa.int32()),
+            "role": pa.array([r["role"] for r in rows]),
+            "text": pa.array([r["text"] for r in rows]),
+            "tool": pa.array([r["tool"] for r in rows]),
+            "ts": pa.array([r["ts"] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    n_epochs = draw(st.integers(1, 4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(0, tbl.num_rows), min_size=n_epochs - 1, max_size=n_epochs - 1
+            )
+        )
+    )
+    return tbl, [0, *cuts, tbl.num_rows]
+
+
+def run_split(kernel, rows: pa.Table, bounds, **kw) -> pd.DataFrame:
+    state: dict = {}
+    outs = []
+    for i in range(len(bounds) - 1):
+        chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+        out, state = kernel(chunk, state, flush=(i == len(bounds) - 2), **kw)
+        outs.append(out)
+    return pa.concat_tables(outs).to_pandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_all_kernels(data):
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    for kernel, kw in [
+        (tumbling_kernel, {"width_s": WIDTH_S}),
+        (session_kernel, {"gap_s": GAP_S}),
+        (session_join_kernel, {"gap_s": GAP_S}),
+        (sliding_kernel, {"width_s": WIDTH_S, "slide_s": WIDTH_S // 2}),
+    ]:
+        single = run_split(kernel, rows, [0, rows.num_rows], **kw)
+        multi = run_split(kernel, rows, bounds, **kw)
+        pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds())
+def test_session_matches_duckdb(data):
+    tbl, bounds = data
+    out = run_split(session_kernel, to_residual_rows(tbl), bounds, gap_s=GAP_S)
+    con = duckdb.connect()
+    con.register("transcripts", tbl)
+    exp = con.execute(
+        f"""
+        WITH flagged AS (
+          SELECT conv_id, turn_idx, role, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST({GAP_S} AS BIGINT)*1000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), sess AS (
+          SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT conv_id, session_id, count(*) AS n_turns,
+               count(*) FILTER (WHERE role='user') AS n_user_turns,
+               count(*) FILTER (WHERE role='tool') AS n_tool_turns,
+               CAST(min(turn_idx) AS BIGINT) AS first_turn_idx,
+               CAST(max(turn_idx) AS BIGINT) AS last_turn_idx,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        FROM sess GROUP BY 1,2
+        """
+    ).fetch_arrow_table().to_pandas()
+    pd.testing.assert_frame_equal(canon(out), canon(exp), check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds(), st.integers(0, 3))
+def test_relay_replay_safety(data, replay_from):
+    """Replaying an arbitrary prefix of epochs against the advanced cursor
+    emits nothing new (the dual-cursor dedup property)."""
+    tbl, bounds = data
+    state: dict = {}
+    accepted = 0
+    for i in range(len(bounds) - 1):
+        chunk = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        out, state = relay_kernel(chunk, state)
+        accepted += out.num_rows
+    assert accepted == tbl.num_rows
+    k = min(replay_from, len(bounds) - 2)
+    replay_chunk = tbl.slice(bounds[k], bounds[k + 1] - bounds[k])
+    out, _ = relay_kernel(replay_chunk, state)
+    assert out.num_rows == 0
+
+
+def test_counter_demo_source(ray_session):
+    from dstream_ray.sources.counter import counter_as_transcripts, counter_source
+
+    ds = counter_source(max_count=50, interval_ms=100)
+    df = ds.to_pandas().sort_values("value").reset_index(drop=True)
+    assert list(df["value"]) == list(range(50))
+    assert (df["timestamp"].diff().dropna().dt.total_seconds() == 0.1).all()
+
+    feed = counter_as_transcripts(max_count=30)
+    out, _ = tumbling_kernel(to_residual_rows(feed), {}, width_s=10, flush=True)
+    assert out.num_rows > 0
+    assert out.to_pandas()["n_turns"].sum() == 30
