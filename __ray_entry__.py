@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_by_segment": q.q_orders_by_segment,
+        "big_spenders": d.q_big_spenders,  # native hash join path
+        "top_lineitems": d.q_top_lineitems,
         # training-data ops: text analysis
         "doc_stats": d.q_doc_stats,
         "langid_markers": d.q_langid_markers,
@@ -95,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops: similarity search
         "knn_bruteforce": d.q_knn_bruteforce,
         "knn_lsh": d.q_knn_lsh,  # rows-only (+ pytest recall)
+        "knn_ivf": d.q_knn_ivf,  # rows-only (+ pytest recall)
         "embedding_norms": d.q_embedding_norms,
         "centroid_by_label": d.q_centroid_by_label,
         # multimodal plumbing (stub decode; rows-only)

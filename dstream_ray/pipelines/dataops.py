@@ -370,3 +370,171 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     ).to_pandas()
     return hll_merge_partials(parts)
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (the coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_lite(M: np.ndarray, k: int, iters: int = 8, seed: int = 77) -> np.ndarray:
+    """Seeded Lloyd iterations on a sample — the IVF coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)  # cosine on normalized rows
+        for j in range(len(C)):
+            sel = M[assign == j]
+            if len(sel):
+                c = sel.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def q_knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF ANN: train a coarse quantizer on a driver-side sample (seeded),
+    broadcast the centroids, bucket the corpus by nearest centroid inside
+    map_batches, and search only the n_probe closest lists per query.
+    Rows-only; pytest bounds recall vs brute force."""
+    q = _load_queries(sf_dir)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sample = ann.normalize_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()[:2000]])
+    )
+    C = _kmeans_lite(sample, n_lists)
+    c_ref = ray.put(C)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        M = ann.normalize_rows(ann._stack(b["embedding"]))
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": b["embedding"],
+                "ivf_list": pa.array(np.argmax(M @ cents.T, axis=1).astype(np.int32)),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    Q = ann.normalize_rows(q["vecs"])
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    wanted = sorted(set(int(x) for x in probes.ravel()))
+    sub = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(b["ivf_list"].to_numpy(zero_copy_only=False), wanted))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = []
+    for qi, qid in enumerate(q["ids"]):
+        lists = set(int(x) for x in probes[qi])
+        block = sub[sub["ivf_list"].isin(lists)]
+        if not len(block):
+            continue
+        M = ann.normalize_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in block["embedding"]])
+        )
+        sims = M @ Q[qi]
+        ids = block["vec_id"].to_numpy(dtype=np.int64)
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -sims[keep]))[:KNN_K]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(order), qid, dtype=np.int64),
+                    "neighbor_id": ids[keep][order],
+                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    )
+
+
+# ---------------------------------------------------------------------------
+# wide-op coverage: native hash join + distributed top-k
+# ---------------------------------------------------------------------------
+
+
+def q_big_spenders(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer with Ray Data's native hash join (both sides
+    treated as large; contrast with the broadcast join in queries.py),
+    then per-segment stats for customers with >= 12 orders."""
+    from dstream_ray.pipelines.queries import _tuned_read
+
+    orders = _tuned_read(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "cents": pa.array(
+                    np.round(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    customer = _tuned_read(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.map_batches(cents, batch_format="pyarrow").join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    ).to_pandas()
+    seg = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    m = per_cust.merge(seg, left_on="o_custkey", right_on="c_custkey")
+    m = m[m["n_orders"] >= 12]
+    return (
+        m.groupby("c_mktsegment", as_index=False)
+        .agg(n_customers=("o_custkey", "size"), total_cents=("total_cents", "sum"))
+    )
+
+
+def q_top_lineitems(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Distributed top-k (sort/limit coverage): per-batch partial top-k,
+    driver merge with a total tiebreak — deterministic unlike a bare
+    sort().limit() under ties."""
+    from dstream_ray.pipelines.queries import _tuned_read
+
+    ds = _tuned_read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ln, ok, -cents))[:k]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order]),
+                "l_linenumber": pa.array(ln[order]),
+                "price_cents": pa.array(cents[order]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["price_cents", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
+    ).head(k)
+    return parts.reset_index(drop=True)

@@ -249,3 +249,23 @@ GROUP BY 1
 # salted variants must equal their unsalted oracles exactly
 ORACLE_SQL["session_salted"] = ORACLE_SQL["session_window"]
 ORACLE_SQL["tumbling_salted"] = ORACLE_SQL["tumbling_window"]
+
+ORACLE_SQL["big_spenders"] = """
+WITH per_cust AS (
+  SELECT o.o_custkey, c.c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(total_cents) AS BIGINT) AS total_cents
+FROM per_cust WHERE n_orders >= 12 GROUP BY 1
+"""
+
+ORACLE_SQL["top_lineitems"] = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+FROM lineitem
+ORDER BY price_cents DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""

@@ -233,3 +233,16 @@ def test_hll_pipeline_per_event_type(ray_session):
     assert len(m) == len(exact)
     rel_err = (m["approx_distinct"] - m["n"]).abs() / m["n"]
     assert (rel_err < 0.05).all(), m
+
+
+def test_knn_ivf_recall(ray_session, sf_tiny):
+    """IVF with n_probe=4/16 lists should recover a solid fraction of the
+    brute-force top-10."""
+    from dstream_ray.pipelines.dataops import q_knn_bruteforce, q_knn_ivf
+
+    bf = q_knn_bruteforce(sf_tiny)
+    ivf = q_knn_ivf(sf_tiny)
+    assert (ivf.groupby("query_id").size() == 10).all()
+    merged = ivf.merge(bf, on=["query_id", "neighbor_id"], how="inner")
+    recall = len(merged) / len(bf)
+    assert recall >= 0.3, f"ivf recall too low: {recall}"
