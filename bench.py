@@ -121,8 +121,7 @@ def run_headline(feed_dir: str) -> tuple[float, int]:
         task_num_cpus=2 if NUM_CPUS > 16 else 1,
         operators={
             "tumbling": {"width_s": TUMBLING_S},
-            "session": {"gap_s": SESSION_GAP_S},
-            "session_join": {"gap_s": SESSION_GAP_S},
+            "session_with_join": {"gap_s": SESSION_GAP_S},
         },
     )
     job = StreamingJob(cfg)

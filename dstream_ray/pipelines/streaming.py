@@ -46,6 +46,7 @@ from dstream_ray.stages.capture import relay_kernel
 from dstream_ray.stages.windows import (
     session_join_kernel,
     session_kernel,
+    session_with_join_kernel,
     sliding_kernel,
     to_residual_rows,
     tumbling_kernel,
@@ -60,6 +61,9 @@ WINDOW_OPERATORS = {
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,
+    # fused variant: emits BOTH 'session' and 'session_join' outputs from
+    # one prep/sort and one shared residual (use instead of the two above)
+    "session_with_join": session_with_join_kernel,
 }
 
 
@@ -194,9 +198,12 @@ def process_partition(
         kernel = WINDOW_OPERATORS[op_name]
         out, op_state = kernel(residual_rows, state.get(op_name, {}), flush=flush, **params)
         state[op_name] = op_state
-        if out.num_rows:
-            files.append(sink.write_staged(out, op_name, partition, epoch, wm))
-        rows_out[op_name] = out.num_rows
+        # a kernel may emit one table or a dict of output-name -> table
+        outputs = out if isinstance(out, dict) else {op_name: out}
+        for out_name, tbl_out in outputs.items():
+            if tbl_out.num_rows:
+                files.append(sink.write_staged(tbl_out, out_name, partition, epoch, wm))
+            rows_out[out_name] = tbl_out.num_rows
 
     state_path = store.save_state(epoch, partition, state)
     return {

@@ -420,6 +420,25 @@ def session_kernel(
     return out, {"residual": residual, "closed_count": closed_count}
 
 
+def _last_user_turn(cols: Cols, sess: np.ndarray) -> np.ndarray:
+    """Most recent user turn_idx at each row within its (conv, session) run.
+
+    Pure numpy: positions are globally increasing, so a GLOBAL running max of
+    user-row positions is correct within a run once clamped to the run start
+    (a carried-over position from an earlier run is < run_start and rejected).
+    """
+    n = len(cols.codes)
+    pos = np.arange(n, dtype=np.int64)
+    run_change = np.r_[True, (cols.codes[1:] != cols.codes[:-1]) | (sess[1:] != sess[:-1])]
+    run_starts = np.flatnonzero(run_change)
+    run_start_per_row = np.repeat(run_starts, np.diff(np.r_[run_starts, n]))
+    user_pos = np.maximum.accumulate(np.where(cols.is_user, pos, -1))
+    ok = user_pos >= run_start_per_row
+    out = np.full(n, -1, dtype=np.int64)
+    out[ok] = cols.turn[user_pos[ok]]
+    return out
+
+
 _JOIN_EMPTY = pa.table(
     {
         "conv_id": pa.array([], type=pa.string()),
@@ -454,13 +473,7 @@ def session_join_kernel(
     if len(cols.codes) == 0:
         return _JOIN_EMPTY, state
     sess = _assign_sessions(cols, gap_us)
-    # running max of user turn_idx within (conv, session) — pandas cummax is
-    # a C kernel; key = composite run id
-    run_id = np.cumsum(
-        np.r_[True, (cols.codes[1:] != cols.codes[:-1]) | (sess[1:] != sess[:-1])]
-    )
-    user_turn = np.where(cols.is_user, cols.turn, -1).astype(np.float64)
-    last_user = pd.Series(user_turn).groupby(run_id).cummax().to_numpy()
+    last_user = _last_user_turn(cols, sess)
     last_sess_per_conv = np.repeat(_conv_last(sess, cols), cols.ends - cols.starts)
     is_pair = cols.is_tool & (last_user >= 0)
     names = cols.conv_names()
@@ -491,6 +504,91 @@ def session_join_kernel(
             "tool": emitted["tool"],
         }
     )
+    if flush:
+        return out, {"residual": None, "closed_count": {}}
+    return out, {"residual": residual, "closed_count": new_closed}
+
+
+# ---------------------------------------------------------------------------
+# Fused session + join (one prep, one session assignment, shared residual)
+# ---------------------------------------------------------------------------
+
+
+def session_with_join_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    gap_s: int,
+    flush: bool,
+) -> tuple[dict[str, pa.Table], dict]:
+    """Fused session window + session-scoped join: both operators share the
+    identical closure rule (the conv's LAST session stays open), so fusing
+    them halves the dictionary-encode/sort work and carries ONE residual.
+    Emits {"session": ..., "session_join": ...} with outputs byte-identical
+    to the standalone kernels."""
+    gap_us = gap_s * US
+    data = _concat_residual(state.get("residual"), new_rows)
+    cols = prep(data)
+    closed_count: dict = dict(state.get("closed_count", {}))
+    if len(cols.codes) == 0:
+        return {"session": _SESSION_EMPTY, "session_join": _JOIN_EMPTY}, state
+    sess = _assign_sessions(cols, gap_us)
+    names = cols.conv_names()
+    base_by_code = np.array([closed_count.get(nm, 0) for nm in names], dtype=np.int64)
+    last_sess_per_conv = np.repeat(_conv_last(sess, cols), cols.ends - cols.starts)
+
+    # --- session aggregate over contiguous (conv, session) runs
+    starts, agg = _group_agg([sess], cols)
+    run_codes = cols.codes[starts]
+    run_sess = sess[starts]
+    base = base_by_code[run_codes]
+
+    # --- join pairs
+    last_user = _last_user_turn(cols, sess)
+    is_pair = cols.is_tool & (last_user >= 0)
+
+    if flush:
+        emit_run = np.ones(len(starts), dtype=bool)
+        emit_pair = is_pair
+        residual = None
+        new_closed: dict = {}
+    else:
+        row_open = sess == last_sess_per_conv
+        emit_run = ~row_open[starts]
+        emit_pair = is_pair & ~row_open
+        residual = _take(cols, row_open)
+        new_closed = dict(closed_count)
+        conv_last_sess = _conv_last(sess, cols)
+        last_by_code = np.empty(len(names), dtype=np.int64)
+        last_by_code[cols.codes[cols.starts]] = conv_last_sess
+        for code, nm in enumerate(names):
+            if last_by_code[code] > 0:
+                new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code])
+
+    session_out = pa.table(
+        {
+            "conv_id": cols.conv_strings(starts[emit_run]),
+            "session_id": pa.array((base + run_sess)[emit_run]),
+            "n_turns": pa.array(agg["n_turns"][emit_run]),
+            "n_user_turns": pa.array(agg["n_user_turns"][emit_run]),
+            "n_tool_turns": pa.array(agg["n_tool_turns"][emit_run]),
+            "first_turn_idx": pa.array(agg["first_turn_idx"][emit_run].astype(np.int64)),
+            "last_turn_idx": pa.array(agg["last_turn_idx"][emit_run].astype(np.int64)),
+            "duration_us": pa.array((agg["max_ts"] - agg["min_ts"])[emit_run]),
+        }
+    )
+    pair_base = base_by_code[cols.codes[emit_pair]]
+    emitted = cols.origin.take(pa.array(cols.order[emit_pair]))
+    join_out = pa.table(
+        {
+            "conv_id": cols.conv_strings(emit_pair),
+            "session_id": pa.array(pair_base + sess[emit_pair]),
+            "user_turn_idx": pa.array(last_user[emit_pair]),
+            "tool_turn_idx": pa.array(cols.turn[emit_pair]),
+            "tool": emitted["tool"],
+        }
+    )
+    out = {"session": session_out, "session_join": join_out}
     if flush:
         return out, {"residual": None, "closed_count": {}}
     return out, {"residual": residual, "closed_count": new_closed}

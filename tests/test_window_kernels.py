@@ -160,3 +160,26 @@ def test_epoch_invariance_matches_single_pass(feed):
         single = run_epochs(kernel, feed, 1, **kw)
         multi = run_epochs(kernel, feed, 7, **kw)
         assert_same(multi, single, keys)
+
+
+@pytest.mark.parametrize("n_epochs", [1, 4])
+def test_fused_session_join_equals_standalone(feed, n_epochs):
+    """The fused kernel's two outputs must equal the standalone kernels for
+    any epoch split."""
+    from dstream_ray.stages.windows import session_with_join_kernel
+
+    rows = to_residual_rows(feed)
+    bounds = np.linspace(0, rows.num_rows, n_epochs + 1).astype(int)
+    state = {}
+    sess_out, join_out = [], []
+    for i in range(n_epochs):
+        chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+        out, state = session_with_join_kernel(
+            chunk, state, gap_s=GAP_S, flush=(i == n_epochs - 1)
+        )
+        sess_out.append(out["session"])
+        join_out.append(out["session_join"])
+    assert_same(pa.concat_tables(sess_out), oracle(feed, SESSION_SQL),
+                ["conv_id", "session_id"])
+    assert_same(pa.concat_tables(join_out), oracle(feed, JOIN_SQL),
+                ["conv_id", "session_id", "tool_turn_idx"])
