@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_lineitems": d.q_top_lineitems,
         # training-data ops: text analysis
         "doc_stats": d.q_doc_stats,
+        "bpe_token_counts": d.q_bpe_token_counts,
         "langid_markers": d.q_langid_markers,
         "lang_stats": d.q_lang_stats,
         "doc_fingerprint": d.q_doc_fingerprint,

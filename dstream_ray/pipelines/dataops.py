@@ -538,3 +538,10 @@ def q_top_lineitems(sf_dir: str, k: int = 20) -> pd.DataFrame:
         ["price_cents", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
     ).head(k)
     return parts.reset_index(drop=True)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (GPT-2-style regex, RE2-safe subset)."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        text.BpeTokenCounter, batch_format="pandas", batch_size=2048, concurrency=2
+    )

@@ -269,3 +269,14 @@ FROM lineitem
 ORDER BY price_cents DESC, l_orderkey, l_linenumber
 LIMIT 20
 """
+
+
+# BPE-ish token counts: the SQL pattern is built from the SAME constant the
+# Ray stage compiles (RE2-safe subset; single quotes doubled for SQL).
+from dstream_ray.stages.text import BPE_PATTERN as _BPE
+
+ORACLE_SQL["bpe_token_counts"] = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+    + _BPE.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)

@@ -253,9 +253,15 @@ def _split_task(path: str, num_partitions: int) -> tuple:
 
     Returned as P separate objects (num_returns=P) so each reduce task pulls
     only its slice — the object-store analog of a network exchange."""
-    import pyarrow.parquet as pq
+    if path.endswith((".ndjson", ".jsonl")):
+        # dstream wire format: JSON-line envelopes (readme.md:250-272)
+        from dstream_ray.sources.envelopes import read_envelope_file
 
-    t = pq.read_table(path)
+        t = read_envelope_file(path)
+    else:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
     pid = partition_ids(t["conv_id"], num_partitions)
     order = np.argsort(pid, kind="stable")
     t2 = t.take(pa.array(order))
@@ -333,7 +339,10 @@ class StreamingJob:
 
     # -- feed discovery ----------------------------------------------------
     def discover_files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.cfg.feed_dir, "*.parquet")))
+        out = []
+        for pat in ("*.parquet", "*.ndjson", "*.jsonl"):
+            out.extend(glob.glob(os.path.join(self.cfg.feed_dir, pat)))
+        return sorted(out)
 
     def _file_cursor(self) -> int:
         last = self.store.last_committed()

@@ -189,3 +189,26 @@ def rolling_fingerprint(batch: pa.Table, *, window: int = 16) -> pa.Table:
             "fingerprint64": pa.array(fps.astype(np.int64)),
         }
     )
+
+
+# GPT-2-style (simplified) BPE pre-tokenizer pattern — RE2-compatible subset
+# (no lookahead) so the DuckDB oracle (regexp_extract_all) counts identically.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: BPE-ish pre-token counts per doc (compiled once)."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": batch["text"]
+                .astype(str)
+                .str.count(self.pat)
+                .astype("int64"),
+            }
+        )

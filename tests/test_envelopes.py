@@ -1,0 +1,96 @@
+"""Golden end-to-end test with reference-shaped CDC envelopes: the
+FIXTURES.md §2 Persons/Cars fixture (3 golden rows each,
+/root/reference/test/e2e/e2e_test.go:55-68 expects >=3 messages per
+destination) driven through the full engine from dstream's own JSON-line
+wire format."""
+
+import json
+
+import pyarrow as pa
+
+from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+from dstream_ray.sources.envelopes import parse_envelope_lines
+
+PERSONS = [("John", "Doe"), ("Jane", "Smith"), ("Bob", "Johnson")]
+CARS = [("Toyota", "Red"), ("Honda", "Blue"), ("Ford", "Black")]
+
+
+def golden_envelope_lines() -> list[str]:
+    lines = []
+    lsn = 0x1000
+    for i, (fn, ln) in enumerate(PERSONS):
+        lines.append(json.dumps({
+            "data": {"ID": str(i + 1), "FirstName": fn, "LastName": ln},
+            "metadata": {"TableName": "Persons", "LSN": f"{lsn+i:08x}",
+                         "Seq": f"{i:04x}", "OperationID": 2,
+                         "OperationType": "Insert"},
+        }))
+    for i, (brand, color) in enumerate(CARS):
+        lines.append(json.dumps({
+            "data": {"CarID": str(i + 1), "BrandName": brand, "Color": color},
+            "metadata": {"TableName": "Cars", "LSN": f"{lsn+i:08x}",
+                         "Seq": f"{i:04x}", "OperationID": 2,
+                         "OperationType": "Insert"},
+        }))
+    lines.append("this is not json")  # the E2E harness drops non-JSON lines
+    return lines
+
+
+def test_parse_envelopes_order_and_fidelity():
+    t = parse_envelope_lines(golden_envelope_lines())
+    df = t.to_pandas()
+    ok = df[df["role"] == "change"]
+    assert len(ok) == 6
+    persons = ok[ok["conv_id"] == "Persons"].sort_values("turn_idx")
+    assert list(persons["turn_idx"]) == [0, 1, 2]
+    payload0 = json.loads(persons.iloc[0]["text"])
+    assert payload0 == {"ID": "1", "FirstName": "John", "LastName": "Doe"}
+    assert (ok["tool"] == "Insert").all()
+    bad = df[df["role"] == "invalid"]
+    assert len(bad) == 1 and bad.iloc[0]["conv_id"] is None
+
+
+def test_golden_envelope_pipeline(ray_session, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "cdc-000.ndjson").write_text("\n".join(golden_envelope_lines()) + "\n")
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        operators={"tumbling": {"width_s": 3600}},
+    )
+    job = StreamingJob(cfg)
+    st = job.run()
+    assert st["flushed"]
+    events = job.sink.read_op("events").to_pandas()
+    # golden count: >=3 delivered per destination (exactly 3 here)
+    assert (events.groupby("conv_id").size() == 3).all()
+    assert set(events["conv_id"]) == {"Persons", "Cars"}
+    # byte-stable payloads, ordered per table
+    persons = events[events["conv_id"] == "Persons"].sort_values("turn_idx")
+    assert [json.loads(x)["FirstName"] for x in persons["text"]] == [
+        "John", "Jane", "Bob",
+    ]
+    # the non-JSON line went to quarantine, not the data path
+    q = job.sink.read_op("quarantine")
+    assert q is not None and q.num_rows == 1
+    assert q.to_pandas().iloc[0]["text"] == "this is not json"
+
+
+def test_envelope_replay_is_deduped(ray_session, tmp_path):
+    """Replaying the same envelope file as a 'new' shard delivers nothing
+    (dual-cursor semantics over (LSN, Seq) -> turn_idx)."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "cdc-000.ndjson").write_text("\n".join(golden_envelope_lines()) + "\n")
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        operators={}, allowed_lateness_s=None,
+    )
+    job = StreamingJob(cfg)
+    job.run(flush_at_end=False)
+    # the same envelopes arrive again as a later shard (duplicate delivery)
+    (feed / "cdc-001.ndjson").write_text("\n".join(golden_envelope_lines()) + "\n")
+    job2 = StreamingJob(cfg)
+    job2.run(flush_at_end=False)
+    events = job2.sink.read_op("events").to_pandas()
+    assert len(events) == 6  # still exactly the 6 golden rows
