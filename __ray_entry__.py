@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_salted": q.q_session_salted,  # hot-key-salted two-phase variant
         "tumbling_salted": q.q_tumbling_salted,  # pre-aggregation (skew-proof) variant
         "stream_join": q.q_stream_join,
+        "cep_pattern": q.q_cep_pattern,  # CEP sequence-pattern operator
         "partition_watermarks": q.q_partition_watermarks,
         "role_stats": q.q_role_stats,
         "tool_usage": q.q_tool_usage,

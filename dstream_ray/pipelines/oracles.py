@@ -280,3 +280,12 @@ ORACLE_SQL["bpe_token_counts"] = (
     + _BPE.replace("'", "''")
     + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
 )
+
+ORACLE_SQL["cep_pattern"] = f"""
+WITH {TRANSCRIPTS_CTE}, seqs AS (
+  SELECT conv_id, string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS seq
+  FROM transcripts GROUP BY 1
+)
+SELECT conv_id, CAST(len(regexp_extract_all(seq, 'ua*t')) AS BIGINT) AS n_matches
+FROM seqs
+"""

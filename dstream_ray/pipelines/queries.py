@@ -351,3 +351,14 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
         .to_pandas()
     )
+
+
+def q_cep_pattern(sf_dir: str) -> rd.Dataset:
+    """CEP sequence-pattern counts per conversation (pattern 'ua*tt' over
+    role initials in turn order). Fused with the feed derivation — still one
+    shuffle."""
+    from dstream_ray.stages.cep import cep_pattern_kernel
+
+    # 'ua*t' (user, any assistants, tool) fires on the periodic testdata
+    # roles; the stricter default 'ua*tt' is exercised in the kernel tests
+    return _per_partition(sf_dir, lambda t: cep_pattern_kernel(t, pattern="ua*t"))

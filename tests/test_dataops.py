@@ -246,3 +246,20 @@ def test_knn_ivf_recall(ray_session, sf_tiny):
     merged = ivf.merge(bf, on=["query_id", "neighbor_id"], how="inner")
     recall = len(merged) / len(bf)
     assert recall >= 0.3, f"ivf recall too low: {recall}"
+
+
+def test_cep_pattern_kernel():
+    from dstream_ray.stages.cep import cep_pattern_kernel
+
+    t = pa.table({
+        "conv_id": pa.array(["c1"]*6 + ["c2"]*3),
+        "turn_idx": pa.array([0,1,2,3,4,5, 0,1,2], type=pa.int32()),
+        # c1: u a t t u t -> 'uattut' has one 'ua*tt' match; c2: u t t -> one
+        "role": pa.array(["user","assistant","tool","tool","user","tool",
+                          "user","tool","tool"]),
+        "text": pa.array(["x"]*9),
+        "tool": pa.array([""]*9),
+        "ts": pa.array(range(9), type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = cep_pattern_kernel(t).to_pandas().set_index("conv_id")["n_matches"]
+    assert out["c1"] == 1 and out["c2"] == 1
