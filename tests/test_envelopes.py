@@ -94,3 +94,50 @@ def test_envelope_replay_is_deduped(ray_session, tmp_path):
     job2.run(flush_at_end=False)
     events = job2.sink.read_op("events").to_pandas()
     assert len(events) == 6  # still exactly the 6 golden rows
+
+
+def test_payload_size_matrix_fidelity(ray_session, tmp_path):
+    """Relay fidelity across the reference's benchmark payload sizes
+    (~43 B, ~500 B typical CDC row, ~3.5 KB 50-column row,
+    /root/reference/pkg/executor/benchmark_test.go:154-196): every payload
+    byte-equal after the full pipeline, all messages delivered."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    lines = []
+    lsn = 0
+    def env_line(table, data):
+        nonlocal lsn
+        lsn += 1
+        return json.dumps({"data": data,
+                           "metadata": {"TableName": table, "LSN": f"{lsn:016x}",
+                                        "Seq": "0001", "OperationType": "Insert"}})
+    # small ~43B
+    for i in range(100):
+        lines.append(env_line("small", {"v": str(i)}))
+    # typical ~500B CDC row (11 fields incl. hex LSN)
+    for i in range(100):
+        lines.append(env_line("typical", {
+            "__$operation": "2", "__$start_lsn": "0x0000003A000001F80003",
+            "__$update_mask": "0xFFFF", "ID": str(i),
+            **{f"col{j}": f"value-{i}-{j}" * 3 for j in range(7)},
+        }))
+    # wide ~3.5KB row (50 columns)
+    for i in range(50):
+        lines.append(env_line("wide", {f"c{j:02d}": f"payload-{i}-{j}-" + "x" * 50
+                                       for j in range(50)}))
+    feed = tmp_path / "feed"; feed.mkdir()
+    (feed / "sizes.ndjson").write_text("\n".join(lines) + "\n")
+    cfg = StreamingConfig(feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+                          num_partitions=2, operators={})
+    job = StreamingJob(cfg)
+    job.run()
+    events = job.sink.read_op("events").to_pandas()
+    counts = events.groupby("conv_id").size()
+    assert counts["small"] == 100 and counts["typical"] == 100 and counts["wide"] == 50
+    # byte-equality: re-serialize source payloads identically and compare sets
+    expected = set()
+    for line in lines:
+        env = json.loads(line)
+        expected.add(json.dumps(env["data"], sort_keys=True, separators=(",", ":")))
+    assert set(events["text"]) == expected
