@@ -114,7 +114,7 @@ def run_headline(feed_dir: str) -> tuple[float, int]:
         feed_dir=feed_dir,
         out_dir=out_dir,
         num_partitions=PARTITIONS,
-        files_per_epoch=max(1, FEED_SHARDS // 4),  # 4 epochs
+        files_per_epoch=max(1, FEED_SHARDS // max(1, int(os.environ.get("RAY_GRAFT_BENCH_EPOCHS", "4")))),
         # wide nodes: 2 cpus per task halves concurrent memory streams —
         # the kernels saturate this VM's memory bandwidth near ~16 streams
         # and raylet/driver need headroom (measured 27s -> 8s at 32 cpus)
