@@ -114,6 +114,7 @@ def process_partition(
     exactly-once observable."""
     from dstream_ray.sinks.registry import create_sink
 
+    _t0 = time.time()
     store = CheckpointStore(cfg.checkpoint_dir)
     sink = create_sink(cfg.sink_kind, cfg.sink_dir)
     state = store.load_state(prev.get("state_path"))
@@ -207,6 +208,7 @@ def process_partition(
 
     state_path = store.save_state(epoch, partition, state)
     return {
+        "task_s": round(time.time() - _t0, 4),
         "partition": partition,
         "epoch": epoch,
         "rows_in": rows_in,
@@ -414,8 +416,11 @@ class StreamingJob:
                 "last_epoch": epoch,
                 "files": r["files"],  # lineage: this epoch's sink files
             }
+        task_times = [r.get("task_s", 0.0) for r in results]
         totals = {
             "rows_in": sum(r["rows_in"] for r in results),
+            "task_s_mean": round(sum(task_times) / max(1, len(task_times)), 4),
+            "task_s_max": round(max(task_times, default=0.0), 4),
             "rows_out": {
                 op: sum(r["rows_out"].get(op, 0) for r in results)
                 for op in set().union(*(r["rows_out"] for r in results))
