@@ -84,6 +84,16 @@ class StreamingConfig:
     allowed_lateness_s: int | None = None  # None = late routing off
     sink_kind: str = "parquet"  # see sinks.registry (parquet | ndjson | console)
     lease_ttl_s: float = 120.0  # multi-job exclusivity (≙ blob-lease lock)
+    # Keyed state store execution: True = long-lived partition-owner actor
+    # pool holding state in memory between epochs; False (default) =
+    # stateless reduce tasks reloading the snapshot each epoch. Output and
+    # resume semantics are identical (both snapshot every epoch). Actors are
+    # created with num_cpus=0 — a pool of P actors each reserving a core
+    # would starve the split tasks when P >= cluster cpus — so task-mode's
+    # task_num_cpus throttle does not apply to actor-mode reduces; prefer
+    # task mode on wide single nodes, actor mode when state reload dominates
+    # (large join buffers on a real cluster).
+    use_state_actors: bool = False
     # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
     # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
     # streams (and leaves headroom for raylet/driver) — size
@@ -107,7 +117,9 @@ def process_partition(
     cfg: StreamingConfig,
     *,
     flush: bool,
-) -> dict[str, Any]:
+    state_override: dict | None = None,
+    return_state: bool = False,
+):
     """Run one partition's epoch: relay + all window kernels + staged sink
     writes + state snapshot. Pure w.r.t. (input rows, prev state) — replaying
     it produces identical emissions, which is what makes the two-phase commit
@@ -117,7 +129,11 @@ def process_partition(
     _t0 = time.time()
     store = CheckpointStore(cfg.checkpoint_dir)
     sink = create_sink(cfg.sink_kind, cfg.sink_dir)
-    state = store.load_state(prev.get("state_path"))
+    state = (
+        state_override
+        if state_override is not None
+        else store.load_state(prev.get("state_path"))
+    )
     prev_wm = int(prev.get("watermark_us", -1))
     rows_in = table.num_rows if table is not None else 0
     if table is None:
@@ -207,7 +223,7 @@ def process_partition(
             rows_out[out_name] = tbl_out.num_rows
 
     state_path = store.save_state(epoch, partition, state)
-    return {
+    result = {
         "task_s": round(time.time() - _t0, 4),
         "partition": partition,
         "epoch": epoch,
@@ -217,6 +233,9 @@ def process_partition(
         "files": files,
         "rows_out": rows_out,
     }
+    if return_state:
+        return result, state
+    return result
 
 
 def _empty_feed_table() -> pa.Table:
@@ -289,6 +308,42 @@ def _reduce_task(partition, epoch, prev, cfg, flush, *parts):
     return process_partition(table, partition, epoch, prev, cfg, flush=flush)
 
 
+@ray.remote
+class PartitionStateActor:
+    """Partition-owner actor: the keyed state store of the north star.
+
+    Each actor owns one hash range of conv_ids and keeps its kernel state
+    (open windows, join buffers, delivery cursors) IN MEMORY between
+    micro-batch epochs — the RocksDB-style store — while still snapshotting
+    every epoch to the checkpoint dir so a fresh driver resumes exactly
+    (cache miss -> load from the committed state file). Actor method calls
+    execute serially per actor, which IS the per-partition epoch ordering;
+    different partitions run in parallel across the pool."""
+
+    def __init__(self, partition: int, cfg: StreamingConfig):
+        self.partition = partition
+        self.cfg = cfg
+        self.state: dict | None = None
+        self.state_epoch = -2  # cache validity marker
+
+    def process(self, epoch, prev, flush, *parts):
+        parts = [p for p in parts if p is not None and p.num_rows]
+        table = pa.concat_tables(parts) if parts else None
+        override = self.state if self.state_epoch == epoch - 1 else None
+        result, state = process_partition(
+            table,
+            self.partition,
+            epoch,
+            prev,
+            self.cfg,
+            flush=flush,
+            state_override=override,
+            return_state=True,
+        )
+        self.state, self.state_epoch = state, epoch
+        return result
+
+
 class StreamingJob:
     """Driver facade with dstream's lifecycle verbs
     (cmd/init.go, cmd/plan.go, cmd/status.go, cmd/destroy.go analogs)."""
@@ -355,7 +410,14 @@ class StreamingJob:
         return dict(last[1].get("partitions", {})) if last else {}
 
     # -- epoch execution ---------------------------------------------------
-    def _submit_epoch(self, epoch: int, files: list[str], prev_by_part: dict, flush: bool) -> list:
+    def _submit_epoch(
+        self,
+        epoch: int,
+        files: list[str],
+        prev_by_part: dict,
+        flush: bool,
+        actors: dict | None = None,
+    ) -> list:
         """Submit one epoch's map/reduce DAG; returns P reduce refs.
 
         ``prev_by_part[k]`` may be a plain dict (from a committed manifest)
@@ -365,7 +427,14 @@ class StreamingJob:
         cfg = self.cfg
         P = cfg.num_partitions
         ncpu = cfg.task_num_cpus
-        reduce = _reduce_task.options(num_cpus=ncpu)
+
+        def submit_reduce(k, epoch_, prev_, flush_, *parts):
+            if actors is not None:
+                return actors[k].process.remote(epoch_, prev_, flush_, *parts)
+            return _reduce_task.options(num_cpus=ncpu).remote(
+                k, epoch_, prev_, cfg, flush_, *parts
+            )
+
         if files:
             if P == 1:
                 read = _split_task.options(num_returns=1, num_cpus=ncpu)
@@ -374,11 +443,10 @@ class StreamingJob:
                 split = _split_task.options(num_returns=P, num_cpus=ncpu)
                 slices = [split.remote(f, P) for f in files]
             return [
-                reduce.remote(
+                submit_reduce(
                     k,
                     epoch,
                     prev_by_part.get(k, {}),
-                    cfg,
                     flush,
                     *[slices[b][k] for b in range(len(files))],
                 )
@@ -386,7 +454,7 @@ class StreamingJob:
             ]
         # flush-only epoch
         return [
-            reduce.remote(k, epoch, prev_by_part.get(k, {}), cfg, True)
+            submit_reduce(k, epoch, prev_by_part.get(k, {}), True)
             for k in range(P)
             if k in prev_by_part
         ]
@@ -553,18 +621,35 @@ class StreamingJob:
         else:
             plan = []
 
-        inflight: list[tuple[int, list[str], bool, float, list]] = []
-        for epoch, files, flush in plan:
-            refs = self._submit_epoch(epoch, files, prev_by_part, flush)
-            # chain: the next epoch's prev for partition k is this reduce ref
-            if files:
-                prev_by_part = dict(enumerate(refs))
-            inflight.append((epoch, files, flush, time.time(), refs))
-            while len(inflight) >= pipeline_depth:
-                e0, f0, fl0, t0, r0 = inflight.pop(0)
+        # keyed state store: one partition-owner actor per hash range, state
+        # held in memory across this run's epochs (snapshot per epoch keeps
+        # resume semantics identical to task mode)
+        actors = None
+        if self.cfg.use_state_actors and plan:
+            actors = {
+                k: PartitionStateActor.options(num_cpus=0).remote(k, self.cfg)
+                for k in range(self.cfg.num_partitions)
+            }
+
+        try:
+            inflight: list[tuple[int, list[str], bool, float, list]] = []
+            for epoch, files, flush in plan:
+                refs = self._submit_epoch(
+                    epoch, files, prev_by_part, flush, actors=actors
+                )
+                # chain: the next epoch's prev for partition k is this ref
+                if files:
+                    prev_by_part = dict(enumerate(refs))
+                inflight.append((epoch, files, flush, time.time(), refs))
+                while len(inflight) >= pipeline_depth:
+                    e0, f0, fl0, t0, r0 = inflight.pop(0)
+                    self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
+            for e0, f0, fl0, t0, r0 in inflight:
                 self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
-        for e0, f0, fl0, t0, r0 in inflight:
-            self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
+        finally:
+            if actors is not None:
+                for a in actors.values():
+                    ray.kill(a)
         return self.status()
 
 

@@ -182,3 +182,24 @@ def test_late_data_routing(ray_session, tmp_path):
     events = read_sink(job, "events")
     assert set(late["conv_id"]) == {"stale"} and len(late) == 6
     assert set(events["conv_id"]) == {"fresh"}
+
+
+def test_actor_state_store_equivalent(ray_session, tmp_path, feed_dir):
+    """Actor-mode keyed state store (partition-owner actors holding state in
+    memory between epochs) must produce identical sink output to task mode,
+    including after a mid-stream stop + resume with a fresh actor pool."""
+    cfg_t = make_cfg(tmp_path / "tasks", feed_dir)
+    StreamingJob(cfg_t).run()
+
+    cfg_a = make_cfg(tmp_path / "actors", feed_dir, use_state_actors=True)
+    StreamingJob(cfg_a).run(max_epochs=1, flush_at_end=False)  # stop early
+    job_a = StreamingJob(cfg_a)  # fresh driver -> fresh actors -> disk resume
+    job_a.run()
+
+    for op, keys in [
+        ("events", ["conv_id", "turn_idx"]),
+        ("tumbling", ["conv_id", "window_id"]),
+        ("session", ["conv_id", "session_id"]),
+        ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
+    ]:
+        sorted_eq(read_sink(job_a, op), read_sink(StreamingJob(cfg_t), op), keys)
