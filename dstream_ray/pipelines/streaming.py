@@ -6,11 +6,11 @@ micro-batched Ray Data job:
 
 driver epoch loop (≙ the CDC poll loop, docs/plugins/mssql-ingester.md:23-73):
   1. discover feed parquet shards beyond the committed file cursor
-  2. ``read_parquet`` → ``map_batches`` partitioner (FNV-1a on conv_id) —
-     zero-copy Arrow, stateless tasks
-  3. ONE hash shuffle: ``groupby("partition_id").map_groups`` runs
-     :func:`process_partition` per partition — relay dedup + every enabled
-     window/join kernel, with carried state loaded from the checkpoint store
+  2. shard readers hash rows by FNV-1a(conv_id) — zero-copy Arrow
+  3. ONE hash exchange: split tasks (``num_returns=P``) route each shard's
+     rows to per-partition reduce tasks (or partition-owner state actors)
+     running :func:`process_partition` — relay dedup + every enabled
+     window/join kernel, with carried state from the checkpoint store
   4. tasks stage sink files (.tmp); the driver promotes (atomic renames) and
      THEN commits the epoch manifest — publish-then-advance-checkpoint,
      crash anywhere ⇒ replay is idempotent
@@ -249,11 +249,6 @@ def _empty_feed_table() -> pa.Table:
             "ts": pa.array([], type=pa.timestamp("us")),
         }
     )
-
-
-@ray.remote
-def _flush_partition_task(partition, epoch, prev, cfg):
-    return process_partition(None, partition, epoch, prev, cfg, flush=True)
 
 
 # --- explicit hash exchange (the epoch's single shuffle) -------------------
