@@ -231,15 +231,21 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
-    """LSH-bucketed ANN: hyperplane signatures block the corpus; queries only
-    search colliding buckets. Rows-only; recall vs brute force in pytest."""
+    """LSH-bucketed ANN with MULTI-PROBE: each query searches its own bucket
+    plus every bucket at Hamming distance 1 (flip one hyperplane sign) —
+    the standard recall boost without extra tables. Rows-only; recall vs
+    brute force in pytest."""
     q = _load_queries(sf_dir)
     lsh = ann.HyperplaneLSH(dim=q["vecs"].shape[1])
+    n_planes = lsh.planes.shape[0]
     qsigns = (ann.normalize_rows(q["vecs"]) @ lsh.planes.T) > 0
     qbucket = np.zeros(len(qsigns), dtype=np.int64)
     for i in range(qsigns.shape[1]):
         qbucket |= qsigns[:, i].astype(np.int64) << i
-    wanted = set(int(b) for b in qbucket)
+    probes_by_query = [
+        {int(b)} | {int(b) ^ (1 << j) for j in range(n_planes)} for b in qbucket
+    ]
+    wanted = set().union(*probes_by_query)
     ds = _read_embeddings(sf_dir).map_batches(
         ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
         fn_constructor_kwargs={"dim": q["vecs"].shape[1]},
@@ -250,10 +256,10 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     ).to_pandas()
-    # per-query brute force within its bucket only
+    # per-query brute force within its probed buckets only
     out = []
-    for qid, qb in zip(q["ids"], qbucket):
-        block = sub[sub["bucket"] == int(qb)]
+    for (qid, qb), probes in zip(zip(q["ids"], qbucket), probes_by_query):
+        block = sub[sub["bucket"].isin(probes)]
         if not len(block):
             continue
         M = ann.normalize_rows(

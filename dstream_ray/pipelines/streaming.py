@@ -493,6 +493,13 @@ class StreamingJob:
         }
         manifest = {
             "epoch": epoch,
+            # config fingerprint: resuming with a different partition count
+            # or operator set against existing keyed state is undefined —
+            # validated on resume (see _run_locked)
+            "config": {
+                "num_partitions": self.cfg.num_partitions,
+                "operators": self.cfg.operators,
+            },
             "file_cursor": self._file_cursor() + n_files,
             "flushed": flush,
             "wall_s": round(time.time() - t0, 3),
@@ -593,6 +600,22 @@ class StreamingJob:
         pipeline_depth: int,
     ) -> dict:
         self.store.gc_uncommitted()
+        last_commit = self.store.last_committed()
+        if last_commit is not None:
+            prev_cfg = last_commit[1].get("config")
+            if prev_cfg is not None:
+                if prev_cfg["num_partitions"] != self.cfg.num_partitions:
+                    raise ValueError(
+                        "resume with a different num_partitions "
+                        f"({prev_cfg['num_partitions']} -> {self.cfg.num_partitions}) "
+                        "would orphan keyed state; destroy() the job or keep P fixed"
+                    )
+                if prev_cfg["operators"] != self.cfg.operators:
+                    raise ValueError(
+                        "resume with a different operator set/params "
+                        f"({prev_cfg['operators']} -> {self.cfg.operators}) "
+                        "is undefined mid-stream; destroy() the job first"
+                    )
         pending = self.discover_files()[self._file_cursor() :]
         fpe = self.cfg.files_per_epoch
         batches = [pending[i : i + fpe] for i in range(0, len(pending), fpe)]

@@ -77,3 +77,29 @@ def test_clean_stop_then_resume_continues(ray_session, tmp_path, feed):
     assert st1["file_cursor"] == 2 and not st1["flushed"]
     st2 = StreamingJob(cfg).run()
     assert st2["file_cursor"] == 3 and st2["flushed"]
+
+
+def test_resume_with_changed_config_rejected(ray_session, tmp_path, feed):
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        files_per_epoch=1, operators={"tumbling": {"width_s": 300}},
+    )
+    StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
+
+    bad_p = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=4,
+        files_per_epoch=1, operators={"tumbling": {"width_s": 300}},
+    )
+    with pytest.raises(ValueError, match="num_partitions"):
+        StreamingJob(bad_p).run()
+
+    bad_ops = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        files_per_epoch=1, operators={"tumbling": {"width_s": 600}},
+    )
+    with pytest.raises(ValueError, match="operator"):
+        StreamingJob(bad_ops).run()
+
+    # unchanged config resumes fine
+    st = StreamingJob(cfg).run()
+    assert st["flushed"]

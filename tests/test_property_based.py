@@ -159,3 +159,21 @@ def test_counter_demo_source(ray_session):
     out, _ = tumbling_kernel(to_residual_rows(feed), {}, width_s=10, flush=True)
     assert out.num_rows > 0
     assert out.to_pandas()["n_turns"].sum() == 30
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds(), st.integers(2, 64))
+def test_salted_sessionization_matches_plain(data, chunk_turns):
+    """For ANY feed and ANY chunk size, the two-phase salted sessionization
+    equals the plain session kernel (chunk-boundary merge correctness)."""
+    from dstream_ray.stages.salted import (
+        phase1_sessionize_chunks,
+        phase2_merge_islands,
+    )
+    from dstream_ray.stages.windows import session_kernel
+
+    tbl, _bounds = data
+    islands = phase1_sessionize_chunks(tbl, gap_s=GAP_S, chunk_turns=chunk_turns)
+    merged = phase2_merge_islands(islands, gap_s=GAP_S).to_pandas()
+    plain, _ = session_kernel(to_residual_rows(tbl), {}, gap_s=GAP_S, flush=True)
+    pd.testing.assert_frame_equal(canon(merged), canon(plain.to_pandas()), check_dtype=False)
