@@ -135,3 +135,39 @@ def resize_stub(batch: pa.Table, *, target: int = 64) -> pa.Table:
             pa.array(np.full(n, target, dtype=np.int32)),
         )
     )
+
+
+def frame_sample(batch: pa.Table, *, every: int = 8) -> pa.Table:
+    """Frame-sampling stage for video rows: expand each video into one row
+    per sampled frame (every ``every``-th frame), non-video rows pass through
+    with frame_idx 0. The DECODE of actual frame bytes is the stubbed step
+    (a real deployment slices the container with ffmpeg); the expansion
+    plumbing — flat-map shape, per-frame metadata, deterministic payload
+    slices — is real.
+    """
+    kinds = np.asarray(batch["kind"].to_pylist(), dtype=object)
+    n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
+    ids = batch["media_id"].to_numpy(zero_copy_only=False)
+    payloads = batch["payload"].to_pylist()
+    out_id, out_frame, out_payload, out_kind = [], [], [], []
+    for i in range(len(ids)):
+        if kinds[i] == "video" and n_frames[i] > 1:
+            frames = range(0, int(n_frames[i]), every)
+        else:
+            frames = [0]
+        p = payloads[i]
+        for f in frames:
+            out_id.append(int(ids[i]))
+            out_frame.append(int(f))
+            # STUB decode: deterministic byte slice per frame index
+            start = (f * 97) % max(1, len(p) - 16) if len(p) > 16 else 0
+            out_payload.append(p[start : start + 16])
+            out_kind.append(str(kinds[i]))
+    return pa.table(
+        {
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_frame, type=pa.int32()),
+            "kind": pa.array(out_kind, type=pa.string()),
+            "frame_payload": pa.array(out_payload, type=pa.binary()),
+        }
+    )

@@ -263,3 +263,35 @@ def test_cep_pattern_kernel():
     })
     out = cep_pattern_kernel(t).to_pandas().set_index("conv_id")["n_matches"]
     assert out["c1"] == 1 and out["c2"] == 1
+
+
+def test_frame_sample_expansion(ray_session):
+    import ray.data as rd
+
+    media = multimodal.generate_media_table(n=40, seed=5)
+    out = (
+        rd.from_arrow(media)
+        .map_batches(lambda b: multimodal.frame_sample(b, every=8),
+                     batch_format="pyarrow", batch_size=16)
+        .to_pandas()
+    )
+    src = media.to_pandas().set_index("media_id")
+    for mid, g in out.groupby("media_id"):
+        row = src.loc[mid]
+        if row["kind"] == "video" and row["n_frames"] > 1:
+            expected = list(range(0, int(row["n_frames"]), 8))
+        else:
+            expected = [0]
+        assert sorted(g["frame_idx"]) == expected, mid
+    assert (out["frame_payload"].map(len) <= 16).all()
+    # deterministic
+    out2 = (
+        rd.from_arrow(media)
+        .map_batches(lambda b: multimodal.frame_sample(b, every=8),
+                     batch_format="pyarrow", batch_size=16)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
+        out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
+    )
