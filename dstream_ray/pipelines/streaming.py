@@ -507,6 +507,9 @@ class StreamingJob:
             "totals": totals,
         }
         self.store.commit(epoch, manifest)
+        # bound checkpoint disk: only the latest committed snapshot is ever
+        # read on resume (older epochs' state is pure growth in follow mode)
+        self.store.prune_state(keep_last=2)
         return manifest
 
     def run_epoch(self, files: list[str], *, flush: bool = False) -> dict:

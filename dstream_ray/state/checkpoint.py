@@ -96,6 +96,24 @@ class CheckpointStore:
         with open(path, "rb") as fh:
             return pickle.load(fh)
 
+    def prune_state(self, keep_last: int = 2) -> int:
+        """Drop state snapshots older than the last ``keep_last`` committed
+        epochs (resume only ever reads the latest committed snapshot; older
+        ones are pure disk growth in long-running/follow jobs). Returns the
+        number of epoch dirs removed."""
+        last = self.last_committed()
+        if last is None or not os.path.isdir(self.state_dir):
+            return 0
+        cutoff = last[0] - keep_last + 1
+        import shutil
+
+        removed = 0
+        for d in os.listdir(self.state_dir):
+            if d.startswith("epoch-") and int(d[len("epoch-") :]) < cutoff:
+                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+                removed += 1
+        return removed
+
     def gc_uncommitted(self) -> None:
         """Drop state dirs for epochs newer than the last commit (crash
         leftovers), so a resumed run starts from a clean prefix."""

@@ -133,3 +133,25 @@ def test_protocols_runtime_checks():
 
     assert isinstance(ExactlyOnceParquetSink("/tmp/x"), Sink)
     assert isinstance(tumbling_kernel, WindowKernel)
+
+
+def test_state_pruning_bounds_disk(ray_session, tmp_path):
+    from dstream_ray.sources.transcripts import generate_transcripts
+
+    feed = tmp_path / "feed"
+    generate_transcripts(n_convs=15, mean_turns=8, seed=8, out_path=str(feed), n_shards=6)
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        files_per_epoch=1, operators={"session": {"gap_s": 120}},
+    )
+    job = StreamingJob(cfg)
+    job.run()
+    state_dirs = sorted(os.listdir(job.store.state_dir))
+    assert len(state_dirs) <= 2, state_dirs  # pruned to the last 2 epochs
+    # resume still possible from the retained snapshot after more data lands
+    import pyarrow.parquet as pq
+    tbl = generate_transcripts(n_convs=5, mean_turns=4, seed=9)
+    conv = pa.array([c + "_new" for c in tbl["conv_id"].to_pylist()])
+    pq.write_table(tbl.set_column(0, "conv_id", conv), str(feed / "feed-9998.parquet"))
+    st = StreamingJob(cfg).run()
+    assert st["flushed"] and st["file_cursor"] == 7
