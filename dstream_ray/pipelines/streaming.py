@@ -43,6 +43,7 @@ import ray.data as rd
 from dstream_ray.common import partition_ids
 from dstream_ray.sinks.parquet_sink import ExactlyOnceParquetSink
 from dstream_ray.stages.capture import relay_kernel
+from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.windows import (
     session_join_kernel,
     session_kernel,
@@ -64,6 +65,8 @@ WINDOW_OPERATORS = {
     # fused variant: emits BOTH 'session' and 'session_join' outputs from
     # one prep/sort and one shared residual (use instead of the two above)
     "session_with_join": session_with_join_kernel,
+    # streaming CEP: pattern-match counts per conv, state = unmatched suffix
+    "cep": cep_kernel,
 }
 
 
@@ -94,6 +97,10 @@ class StreamingConfig:
     # task mode on wide single nodes, actor mode when state reload dominates
     # (large join buffers on a real cluster).
     use_state_actors: bool = False
+    # two-level exchange: when > 0 and an epoch has more than this many
+    # shard files, groups of `combine_every` slices are pre-merged per
+    # partition before the reduce (bounds reduce fan-in; see SCALE.md §2).
+    combine_every: int = 0
     # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
     # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
     # streams (and leaves headroom for raylet/driver) — size
@@ -304,6 +311,18 @@ def _reduce_task(partition, epoch, prev, cfg, flush, *parts):
 
 
 @ray.remote
+def _combine_task(*parts):
+    """Two-level exchange middle stage (SCALE.md §2): merge several split
+    slices of ONE partition into a single table, so reduce fan-in (and, on a
+    real cluster, cross-node object transfers) stays bounded as shards/epoch
+    grows."""
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
+
+@ray.remote
 class PartitionStateActor:
     """Partition-owner actor: the keyed state store of the north star.
 
@@ -437,6 +456,19 @@ class StreamingJob:
             else:
                 split = _split_task.options(num_returns=P, num_cpus=ncpu)
                 slices = [split.remote(f, P) for f in files]
+            n_b = len(files)
+            c = cfg.combine_every
+            if c and n_b > c:
+                combine = _combine_task.options(num_cpus=ncpu)
+                groups = [list(range(g, min(g + c, n_b))) for g in range(0, n_b, c)]
+                slices = [
+                    [combine.remote(*[slices[b][k] for b in grp]) for grp in groups]
+                    for k in range(P)
+                ]
+                return [
+                    submit_reduce(k, epoch, prev_by_part.get(k, {}), flush, *slices[k])
+                    for k in range(P)
+                ]
             return [
                 submit_reduce(
                     k,

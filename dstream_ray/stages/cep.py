@@ -62,3 +62,78 @@ def cep_pattern_kernel(
             "n_matches": pa.array(counts),
         }
     )
+
+
+def cep_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    pattern: str = DEFAULT_PATTERN,
+    flush: bool = False,
+    max_suffix: int = 4096,
+) -> tuple[pa.Table, dict]:
+    """STREAMING CEP: count non-overlapping pattern matches per conv across
+    micro-batch epochs. Carried state per conv = (match count so far, the
+    unmatched symbol suffix after the last completed match) — leftmost
+    non-overlapping regex matching is prefix-composable when the full
+    unmatched suffix is retained. The suffix is capped at ``max_suffix``
+    symbols (a conv whose gap between matches exceeds it would undercount;
+    documented bound, analogous to a CEP engine's buffer limit).
+
+    Exactness caveat: streamed counts equal batch counts when a completed
+    match cannot be EXTENDED by later symbols into a longer single match
+    that changes the match count (true for terminal-symbol patterns like
+    'ua*t' / 'ua*tt'; a pattern like 'ut+' may split one batch match into
+    two streamed matches at an epoch boundary). Epoch-split invariance for
+    the supported patterns is pinned by tests.
+
+    Emits (conv_id, n_matches) for every conv seen, at flush only.
+    """
+    counts: dict = dict(state.get("counts", {}))
+    suffix: dict = dict(state.get("suffix", {}))
+    rx = re.compile(pattern)
+
+    if new_rows.num_rows:
+        cols = prep(to_residual_rows(new_rows) if "ts" in new_rows.column_names else new_rows)
+        import pyarrow.compute as pc
+
+        role_col = cols.origin["role"]
+        if isinstance(role_col, pa.ChunkedArray):
+            role_col = role_col.combine_chunks()
+        sym_sorted = np.asarray(
+            pc.utf8_slice_codeunits(role_col, 0, 1)
+            .take(pa.array(cols.order))
+            .to_pylist(),
+            dtype=object,
+        )
+        names = cols.conv_names()
+        for code, (s, e) in zip(
+            cols.codes[cols.starts], zip(cols.starts, cols.ends)
+        ):
+            nm = names[code]
+            seq = suffix.get(nm, "") + "".join(sym_sorted[s:e])
+            last_end = 0
+            n = 0
+            for m in rx.finditer(seq):
+                n += 1
+                last_end = m.end()
+            counts[nm] = counts.get(nm, 0) + n
+            suffix[nm] = seq[last_end:][-max_suffix:]
+
+    if not flush:
+        return (
+            pa.table(
+                {
+                    "conv_id": pa.array([], type=pa.string()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            ),
+            {"counts": counts, "suffix": suffix},
+        )
+    out = pa.table(
+        {
+            "conv_id": pa.array(list(counts.keys()), type=pa.string()),
+            "n_matches": pa.array(list(counts.values()), type=pa.int64()),
+        }
+    )
+    return out, {"counts": {}, "suffix": {}}

@@ -295,3 +295,49 @@ def test_frame_sample_expansion(ray_session):
         out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
         out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
     )
+
+
+def test_streaming_cep_kernel_epoch_invariance():
+    from dstream_ray.stages.cep import cep_kernel, cep_pattern_kernel
+    from dstream_ray.sources.transcripts import generate_transcripts
+    from dstream_ray.stages.windows import to_residual_rows
+
+    feed = generate_transcripts(n_convs=30, mean_turns=12, seed=19)
+    batch = cep_pattern_kernel(feed, pattern="ua*t").to_pandas()
+    rows = to_residual_rows(feed)
+    for n_epochs in (1, 5):
+        bounds = np.linspace(0, rows.num_rows, n_epochs + 1).astype(int)
+        state = {}
+        outs = []
+        for i in range(n_epochs):
+            chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+            out, state = cep_kernel(chunk, state, pattern="ua*t",
+                                    flush=(i == n_epochs - 1))
+            outs.append(out)
+        got = pa.concat_tables(outs).to_pandas()
+        m = got.merge(batch, on="conv_id", suffixes=("_s", "_b"))
+        assert len(m) == len(batch)
+        assert (m["n_matches_s"] == m["n_matches_b"]).all(), n_epochs
+
+
+def test_streaming_cep_in_engine(ray_session, tmp_path):
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+    from dstream_ray.sources.transcripts import generate_transcripts
+    from dstream_ray.stages.cep import cep_pattern_kernel
+
+    feed_dir = tmp_path / "feed"
+    generate_transcripts(n_convs=25, mean_turns=10, seed=23, out_path=str(feed_dir), n_shards=4)
+    cfg = StreamingConfig(
+        feed_dir=str(feed_dir), out_dir=str(tmp_path / "out"), num_partitions=4,
+        files_per_epoch=1, operators={"cep": {"pattern": "ua*t"}},
+    )
+    job = StreamingJob(cfg)
+    job.run()
+    got = job.sink.read_op("cep").to_pandas()
+    import pyarrow.parquet as pq
+    import glob as g
+
+    full = pa.concat_tables([pq.read_table(f) for f in sorted(g.glob(str(feed_dir / "*.parquet")))])
+    exp = cep_pattern_kernel(full, pattern="ua*t").to_pandas()
+    m = got.merge(exp, on="conv_id", suffixes=("_s", "_b"))
+    assert len(m) == len(exp) and (m["n_matches_s"] == m["n_matches_b"]).all()

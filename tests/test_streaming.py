@@ -20,7 +20,7 @@ WIDTH_S = 300
 
 
 def make_cfg(tmp_path, feed_dir, **kw):
-    return StreamingConfig(
+    defaults = dict(
         feed_dir=str(feed_dir),
         out_dir=str(tmp_path / "out"),
         num_partitions=4,
@@ -30,8 +30,9 @@ def make_cfg(tmp_path, feed_dir, **kw):
             "session": {"gap_s": GAP_S},
             "session_join": {"gap_s": GAP_S},
         },
-        **kw,
     )
+    defaults.update(kw)
+    return StreamingConfig(**defaults)
 
 
 @pytest.fixture(scope="module")
@@ -203,3 +204,18 @@ def test_actor_state_store_equivalent(ray_session, tmp_path, feed_dir):
         ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
     ]:
         sorted_eq(read_sink(job_a, op), read_sink(StreamingJob(cfg_t), op), keys)
+
+
+def test_two_level_combiner_equivalent(ray_session, tmp_path, feed_dir):
+    """The two-level exchange (pre-merge slices per partition before the
+    reduce) must produce identical output to the direct exchange."""
+    cfg_direct = make_cfg(tmp_path / "direct", feed_dir, files_per_epoch=6)
+    StreamingJob(cfg_direct).run()
+    cfg_comb = make_cfg(tmp_path / "comb", feed_dir, files_per_epoch=6, combine_every=2)
+    job_c = StreamingJob(cfg_comb)
+    job_c.run()
+    for op, keys in [
+        ("events", ["conv_id", "turn_idx"]),
+        ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
+    ]:
+        sorted_eq(read_sink(job_c, op), read_sink(StreamingJob(cfg_direct), op), keys)
