@@ -49,6 +49,7 @@ def entry() -> Any:
                 "tumbling": {"width_s": q.TUMBLING_S},
                 "session": {"gap_s": q.SESSION_GAP_S},
                 "session_join": {"gap_s": q.SESSION_GAP_S},
+                "cep": {"pattern": "ua*t"},
             },
         )
     )
