@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q.q_orders_by_segment,
         "big_spenders": d.q_big_spenders,  # native hash join path
         "top_lineitems": d.q_top_lineitems,
+        "asof_join": q.q_asof_join,
+        "semi_anti_orders": q.q_semi_anti_orders,
         # training-data ops: text analysis
         "doc_stats": d.q_doc_stats,
         "bpe_token_counts": d.q_bpe_token_counts,

@@ -289,3 +289,24 @@ WITH {TRANSCRIPTS_CTE}, seqs AS (
 SELECT conv_id, CAST(len(regexp_extract_all(seq, 'ua*t')) AS BIGINT) AS n_matches
 FROM seqs
 """
+
+ORACLE_SQL["asof_join"] = """
+WITH ordered AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         max(CASE WHEN event_type='signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(coalesce(prior_signup, -1) AS BIGINT) AS last_signup_us
+FROM ordered
+"""
+
+ORACLE_SQL["semi_anti_orders"] = """
+WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM b)) AS BIGINT) AS n_semi,
+       CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM b)) AS BIGINT) AS n_anti
+FROM orders GROUP BY 1
+"""

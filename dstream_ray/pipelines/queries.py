@@ -362,3 +362,98 @@ def q_cep_pattern(sf_dir: str) -> rd.Dataset:
     # 'ua*t' (user, any assistants, tool) fires on the periodic testdata
     # roles; the stricter default 'ua*tt' is exercised in the kernel tests
     return _per_partition(sf_dir, lambda t: cep_pattern_kernel(t, pattern="ua*t"))
+
+
+def q_asof_join(sf_dir: str) -> rd.Dataset:
+    """AS-OF JOIN (custom operator the Dataset API lacks): for every event,
+    attach the timestamp of the most recent STRICTLY PRIOR 'signup' event of
+    the same user. Composition: hash-shuffle on the key, then a vectorized
+    sorted-scan per partition (the merge_asof pattern without pandas).
+    Output ts encoded as epoch µs ints for exact oracle comparison."""
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "partition_id", pa.array((uid % ORACLE_PARTITIONS).astype(np.int32))
+        )
+
+    def asof(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s, et_s = uid[order], ts[order], eid[order], et[order]
+        n = len(uid_s)
+        # running last-signup position per user segment (positions are
+        # globally increasing -> clamp to segment start, as in the CEP join)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.repeat(
+            np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]]),
+            np.diff(np.r_[np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]]), n]),
+        )
+        is_signup = et_s == "signup"
+        sign_pos = np.maximum.accumulate(np.where(is_signup, pos, -1))
+        # strictly prior: shift by one row within the segment
+        prior = np.full(n, -1, dtype=np.int64)
+        prior[1:] = sign_pos[:-1]
+        ok = (prior >= seg_start) & (prior >= 0)
+        last_signup_us = np.where(ok, ts_s[np.maximum(prior, 0)], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s),
+                "user_id": pa.array(uid_s),
+                "ts_us": pa.array(ts_s),
+                "last_signup_us": pa.array(last_signup_us),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partition_id")
+        .map_groups(asof, batch_format="pyarrow")
+    )
+
+
+def q_semi_anti_orders(sf_dir: str) -> pd.DataFrame:
+    """Semi/anti join via BROADCAST key set (guide pattern: broadcast the
+    small side's keys — or a Bloom filter of them — and filter in
+    map_batches; no shuffle): orders split into those whose customer is in
+    the BUILDING segment (semi) vs not (anti), aggregated per order
+    priority."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)[seg == "BUILDING"]
+    key_ref = ray.put(np.sort(keys))
+    ds = _tuned_read(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kset = ray.get(key_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        hit = kset[np.clip(np.searchsorted(kset, ck), 0, len(kset) - 1)] == ck if len(kset) else np.zeros(len(ck), bool)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "semi": hit.astype(np.int64),
+                "anti": (~hit).astype(np.int64),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_semi=("semi", "sum"), n_anti=("anti", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_semi", alias_name="n_semi"), Sum("n_anti", alias_name="n_anti"))
+        .to_pandas()
+    )
