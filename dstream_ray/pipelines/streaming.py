@@ -220,7 +220,12 @@ def process_partition(
     residual_rows = to_residual_rows(relay_out)
     for op_name, params in cfg.operators.items():
         kernel = WINDOW_OPERATORS[op_name]
-        out, op_state = kernel(residual_rows, state.get(op_name, {}), flush=flush, **params)
+        call_params = dict(params)
+        if call_params.get("closure") == "watermark":
+            # the engine supplies the partition watermark for textbook
+            # event-time closure (idle convs' windows emit too)
+            call_params["watermark_us"] = wm
+        out, op_state = kernel(residual_rows, state.get(op_name, {}), flush=flush, **call_params)
         state[op_name] = op_state
         # a kernel may emit one table or a dict of output-name -> table
         outputs = out if isinstance(out, dict) else {op_name: out}

@@ -198,8 +198,20 @@ def tumbling_kernel(
     *,
     width_s: int,
     flush: bool,
+    closure: str = "conv",
+    watermark_us: int | None = None,
 ) -> tuple[pa.Table, dict]:
     """Fixed ``width_s`` buckets per conv. window_id = floor(ts_sec/width).
+
+    Closure policies:
+    - ``"conv"`` (default): a conv's bucket closes when that conv produces a
+      later row — exact under the per-conv-monotonic-ts feed contract, never
+      drops data, but idle convs' windows wait for the flush.
+    - ``"watermark"``: buckets whose end ≤ the partition watermark close for
+      ALL convs (textbook event-time semantics; the engine injects
+      ``watermark_us``). Requires the late policy: rows arriving behind the
+      emitted cursor are counted in ``late_drops`` and excluded — exact on
+      feeds that are globally ts-ordered across conversations.
 
     Oracle SQL shape:
     ``GROUP BY conv_id, CAST(floor(epoch(ts)/width) AS BIGINT)``.
@@ -211,18 +223,58 @@ def tumbling_kernel(
     if n == 0:
         return _TUMBLING_EMPTY, state
     bucket = cols.ts // w_us
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below = state.get("emitted_below")
+    if closure == "watermark" and emitted_below is not None:
+        # drop rows behind the emission cursor (replay/late protection)
+        keep = bucket >= emitted_below
+        if not keep.all():
+            late_drops += int((~keep).sum())
+            cols = prep(_take(cols, keep))
+            n = len(cols.codes)
+            if n == 0:
+                return _TUMBLING_EMPTY, {
+                    "residual": None,
+                    "emitted_below": emitted_below,
+                    "late_drops": late_drops,
+                }
+            bucket = cols.ts // w_us
     starts, agg = _group_agg([bucket], cols)
     # open bucket per conv = bucket of the conv's last row
     open_bucket = np.repeat(_conv_last(bucket, cols), cols.ends - cols.starts)
     if flush:
         emit_run = np.ones(len(starts), dtype=bool)
         residual = None
+    elif closure == "watermark":
+        wm_bucket = (watermark_us if watermark_us is not None else -1) // w_us
+        row_open = bucket >= wm_bucket  # bucket closes when its end <= wm
+        emit_run = ~row_open[starts]
+        residual = _take(cols, row_open)
+        return (
+            _tumbling_emit(cols, bucket, starts, agg, emit_run),
+            {
+                "residual": residual,
+                "emitted_below": int(wm_bucket),
+                "late_drops": late_drops,
+            },
+        )
     else:
         row_open = bucket == open_bucket
         emit_run = ~row_open[starts]
         residual = _take(cols, row_open)
+    out = _tumbling_emit(cols, bucket, starts, agg, emit_run)
+    if closure == "watermark":
+        return out, {
+            "residual": residual,
+            "emitted_below": emitted_below,
+            "late_drops": late_drops,
+        }
+    return out, {"residual": residual}
+
+
+def _tumbling_emit(cols, bucket, starts, agg, emit_run) -> pa.Table:
     em = starts[emit_run]
-    out = pa.table(
+    return pa.table(
         {
             "conv_id": cols.conv_strings(em),
             "window_id": pa.array(bucket[em]),
@@ -232,7 +284,6 @@ def tumbling_kernel(
             "n_chars": pa.array(agg["n_chars"][emit_run]),
         }
     )
-    return out, {"residual": residual}
 
 
 # ---------------------------------------------------------------------------

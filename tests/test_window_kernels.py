@@ -183,3 +183,61 @@ def test_fused_session_join_equals_standalone(feed, n_epochs):
                 ["conv_id", "session_id"])
     assert_same(pa.concat_tables(join_out), oracle(feed, JOIN_SQL),
                 ["conv_id", "session_id", "tool_turn_idx"])
+
+
+def test_tumbling_watermark_closure():
+    """Watermark closure: on a GLOBALLY ts-ordered feed, multi-epoch output
+    equals the oracle AND windows of idle convs emit before the flush."""
+    from dstream_ray.stages.windows import tumbling_kernel
+
+    feed = generate_transcripts(n_convs=40, mean_turns=10, seed=29)
+    rows = to_residual_rows(feed)
+    order = np.argsort(rows["ts_us"].to_numpy(zero_copy_only=False), kind="stable")
+    rows = rows.take(pa.array(order))  # globally time-ordered arrival
+
+    bounds = np.linspace(0, rows.num_rows, 5).astype(int)
+    state: dict = {}
+    outs = []
+    emitted_before_flush = 0
+    for i in range(4):
+        chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+        wm = int(chunk["ts_us"].to_numpy(zero_copy_only=False).max()) if chunk.num_rows else -1
+        prev_wm = state.get("_wm", -1)
+        wm = max(wm, prev_wm)
+        out, state = tumbling_kernel(
+            chunk, state, width_s=WIDTH_S, flush=(i == 3),
+            closure="watermark", watermark_us=wm,
+        )
+        state["_wm"] = wm
+        if i < 3:
+            emitted_before_flush += out.num_rows
+        outs.append(out)
+    got = pa.concat_tables(outs)
+    assert state.get("late_drops", 0) == 0  # ordered feed: nothing dropped
+    assert emitted_before_flush > 0  # watermark closed windows early
+    exp = oracle(feed, TUMBLING_SQL)
+    assert_same(got, exp, ["conv_id", "window_id"])
+
+
+def test_tumbling_watermark_closure_drops_late_rows():
+    from dstream_ray.stages.windows import tumbling_kernel
+
+    t0 = 1_700_000_000_000_000
+    def rows_at(conv, turns, base):
+        return pa.table({
+            "conv_id": pa.array([conv]*turns), "turn_idx": pa.array(range(turns), type=pa.int32()),
+            "role": pa.array(["user"]*turns), "tool": pa.array([""]*turns),
+            "ts_us": pa.array([base + i*1_000_000 for i in range(turns)]),
+            "n_chars": pa.array([1]*turns),
+        })
+    state: dict = {}
+    out1, state = tumbling_kernel(rows_at("a", 3, t0 + 10_000_000_000), state,
+                                  width_s=60, flush=False, closure="watermark",
+                                  watermark_us=t0 + 10_002_000_000)
+    # a conv arriving far behind the emitted cursor gets dropped, not re-emitted
+    out2, state = tumbling_kernel(rows_at("late", 3, t0), state,
+                                  width_s=60, flush=True, closure="watermark",
+                                  watermark_us=t0 + 10_002_000_000)
+    assert state["late_drops"] == 3
+    all_convs = set(pa.concat_tables([out1, out2])["conv_id"].to_pylist())
+    assert "late" not in all_convs
