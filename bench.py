@@ -197,10 +197,11 @@ def scaling_run() -> dict:
             RAY_GRAFT_BENCH_HEADLINE_ONLY="1",
             PYTHONPATH="/root/repo",
         )
-        # best of 2: this VM's run-to-run noise is +-30% (BASELINE.md);
-        # the min is the cleanest estimate of the job's actual cost
+        # best of N (default 3): this VM's run-to-run noise is +-30%
+        # (BASELINE.md); the min is the cleanest estimate of the job's
+        # actual cost at each level
         attempts = []
-        for _ in range(2):
+        for _ in range(int(os.environ.get("RAY_GRAFT_SCALING_RUNS", "3"))):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
