@@ -219,7 +219,10 @@ def process_partition(
     # 2. window/join kernels over the residual row layout
     residual_rows = to_residual_rows(relay_out)
     for op_name, params in cfg.operators.items():
-        kernel = WINDOW_OPERATORS[op_name]
+        # "kernel" or "kernel@variant": the part before '@' picks the kernel,
+        # the full key names the sink output + state slot — so several
+        # instances of one kernel (e.g. hourly AND daily tumbling) coexist
+        kernel = WINDOW_OPERATORS[op_name.split("@")[0]]
         call_params = dict(params)
         if call_params.get("closure") == "watermark":
             # the engine supplies the partition watermark for textbook

@@ -219,3 +219,27 @@ def test_two_level_combiner_equivalent(ray_session, tmp_path, feed_dir):
         ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
     ]:
         sorted_eq(read_sink(job_c, op), read_sink(StreamingJob(cfg_direct), op), keys)
+
+
+def test_multiple_instances_of_one_kernel(ray_session, tmp_path, feed_dir):
+    """'kernel@variant' keys run several instances of the same kernel with
+    different params, each with its own sink output and state slot."""
+    cfg = make_cfg(
+        tmp_path, feed_dir,
+        operators={
+            "tumbling@5m": {"width_s": 300},
+            "tumbling@1h": {"width_s": 3600},
+        },
+    )
+    job = StreamingJob(cfg)
+    job.run()
+    w5 = read_sink(job, "tumbling@5m")
+    w1h = read_sink(job, "tumbling@1h")
+    assert len(w5) > len(w1h) > 0  # finer windows -> more rows
+    exp5 = oracle_on_feed(feed_dir, """
+      SELECT conv_id, CAST(floor(epoch(ts)/300) AS BIGINT) AS window_id,
+             count(*) AS n_turns, count(*) FILTER (WHERE role='user') AS n_user_turns,
+             count(*) FILTER (WHERE role='tool') AS n_tool_turns,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM transcripts GROUP BY 1,2""")
+    sorted_eq(w5, exp5, ["conv_id", "window_id"])
