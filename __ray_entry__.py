@@ -78,6 +78,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_watermarks": q.q_partition_watermarks,
         "role_stats": q.q_role_stats,
         "tool_usage": q.q_tool_usage,
+        # the STREAMING ENGINE under the oracle gate: real multi-epoch
+        # exactly-once runs; committed sinks compared against SQL
+        "streaming_events": q.q_streaming_events,
+        "streaming_tumbling": q.q_streaming_tumbling,
+        "streaming_session": q.q_streaming_session,
+        "streaming_join": q.q_streaming_join,
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,

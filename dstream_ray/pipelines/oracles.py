@@ -310,3 +310,12 @@ SELECT o_orderpriority,
        CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM b)) AS BIGINT) AS n_anti
 FROM orders GROUP BY 1
 """
+
+# the streaming engine's committed sinks must equal the batch oracles exactly
+ORACLE_SQL["streaming_events"] = ORACLE_SQL["transcripts_feed"].replace(
+    "SELECT * FROM transcripts",
+    "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+)
+ORACLE_SQL["streaming_tumbling"] = ORACLE_SQL["tumbling_window"]
+ORACLE_SQL["streaming_session"] = ORACLE_SQL["session_window"]
+ORACLE_SQL["streaming_join"] = ORACLE_SQL["stream_join"]
