@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_tumbling": q.q_streaming_tumbling,
         "streaming_session": q.q_streaming_session,
         "streaming_join": q.q_streaming_join,
+        "streaming_sliding": q.q_streaming_sliding,
+        "streaming_cep": q.q_streaming_cep,
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,

@@ -319,3 +319,5 @@ ORACLE_SQL["streaming_events"] = ORACLE_SQL["transcripts_feed"].replace(
 ORACLE_SQL["streaming_tumbling"] = ORACLE_SQL["tumbling_window"]
 ORACLE_SQL["streaming_session"] = ORACLE_SQL["session_window"]
 ORACLE_SQL["streaming_join"] = ORACLE_SQL["stream_join"]
+ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["sliding_window"]
+ORACLE_SQL["streaming_cep"] = ORACLE_SQL["cep_pattern"]

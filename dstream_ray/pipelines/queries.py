@@ -502,7 +502,9 @@ def _run_streaming(sf_dir: str):
             files_per_epoch=1,  # 3 micro-batch epochs + flush
             operators={
                 "tumbling": {"width_s": TUMBLING_S},
+                "sliding": {"width_s": SLIDING_W_S, "slide_s": SLIDING_S_S},
                 "session_with_join": {"gap_s": SESSION_GAP_S},
+                "cep": {"pattern": "ua*t"},
             },
         )
     )
@@ -527,3 +529,11 @@ def q_streaming_session(sf_dir: str) -> pa.Table:
 
 def q_streaming_join(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("session_join")
+
+
+def q_streaming_sliding(sf_dir: str) -> pa.Table:
+    return _run_streaming(sf_dir).sink.read_op("sliding")
+
+
+def q_streaming_cep(sf_dir: str) -> pa.Table:
+    return _run_streaming(sf_dir).sink.read_op("cep")
