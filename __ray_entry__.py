@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_spenders": d.q_big_spenders,  # native hash join path
         "top_lineitems": d.q_top_lineitems,
         "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
         "semi_anti_orders": q.q_semi_anti_orders,
         # training-data ops: text analysis
         "doc_stats": d.q_doc_stats,

@@ -321,3 +321,13 @@ ORACLE_SQL["streaming_session"] = ORACLE_SQL["session_window"]
 ORACLE_SQL["streaming_join"] = ORACLE_SQL["stream_join"]
 ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["sliding_window"]
 ORACLE_SQL["streaming_cep"] = ORACLE_SQL["cep_pattern"]
+
+ORACLE_SQL["range_join"] = """
+SELECT s.event_id, s.user_id,
+       CAST(count(p.event_id) AS BIGINT) AS n_purchases_7d
+FROM events s LEFT JOIN events p
+  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+WHERE s.event_type = 'signup'
+GROUP BY 1, 2
+"""

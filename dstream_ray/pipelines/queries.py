@@ -537,3 +537,63 @@ def q_streaming_sliding(sf_dir: str) -> pa.Table:
 
 def q_streaming_cep(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("cep")
+
+
+def q_range_join(sf_dir: str) -> rd.Dataset:
+    """RANGE JOIN (custom operator): for each signup event, count the same
+    user's purchases within the following 7 days. Hash exchange on the key,
+    then vectorized interval counting via binary search over each user's
+    sorted purchase times — no pairwise expansion."""
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"))
+    WINDOW_US = 7 * 86_400 * 1_000_000
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "partition_id", pa.array((uid % ORACLE_PARTITIONS).astype(np.int32))
+        )
+
+    def ranged(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s, eid_s, et_s = uid[order], ts[order], eid[order], et[order]
+        out_eid, out_uid, out_n = [], [], []
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        ends = np.r_[starts[1:], len(uid_s)]
+        for s, e in zip(starts, ends):
+            seg_et = et_s[s:e]
+            seg_ts = ts_s[s:e]
+            p_ts = seg_ts[seg_et == "purchase"]  # sorted
+            sign = seg_et == "signup"
+            if not sign.any():
+                continue
+            s_ts = seg_ts[sign]
+            lo = np.searchsorted(p_ts, s_ts, side="right")  # purchases > signup ts
+            hi = np.searchsorted(p_ts, s_ts + WINDOW_US, side="right")  # <= +7d
+            out_eid.append(eid_s[s:e][sign])
+            out_uid.append(np.full(int(sign.sum()), uid_s[s]))
+            out_n.append(hi - lo)
+        if not out_eid:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_purchases_7d": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_eid)),
+                "user_id": pa.array(np.concatenate(out_uid)),
+                "n_purchases_7d": pa.array(np.concatenate(out_n).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partition_id")
+        .map_groups(ranged, batch_format="pyarrow")
+    )
