@@ -59,29 +59,32 @@ def prepare_feed() -> str:
 
     from dstream_ray.pipelines.queries import q_transcripts_feed
 
-    base = q_transcripts_feed(SF_DIR).to_pandas()
+    base = q_transcripts_feed(SF_DIR).to_pandas()  # small sf base, driver-side OK
     base = base.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     base = base.drop(columns=["partition_id"])
     tbl = pa.Table.from_pandas(base, preserve_index=False)
+    base_conv = np.asarray(base["conv_id"], dtype=str)
     n = tbl.num_rows
-    # replicate with conv suffix; write shard files interleaving replicas so
-    # every epoch touches every replica (uniform load)
-    per_shard = []
-    for r in range(REPL):
-        conv = pa.array(
-            np.char.add(
-                np.asarray(base["conv_id"], dtype=str), f"_r{r:03d}"
-            ),
-            type=pa.string(),
-        )
-        per_shard.append(tbl.set_column(0, "conv_id", conv))
-    big = pa.concat_tables(per_shard)
-    total = big.num_rows
+    # stream the replicated feed shard-by-shard: never hold more than one
+    # shard (not REPL copies) in driver memory — the layout (replica r's
+    # rows at global offset r*n, shards = contiguous global ranges) is
+    # identical to a full concat+slice
+    total = n * REPL
     bounds = np.linspace(0, total, FEED_SHARDS + 1).astype(int)
     for i in range(FEED_SHARDS):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        pieces = []
+        for r in range(max(0, lo // n), min(REPL, -(-hi // n))):
+            s_, e_ = max(lo, r * n) - r * n, min(hi, (r + 1) * n) - r * n
+            if s_ >= e_:
+                continue
+            piece = tbl.slice(s_, e_ - s_)
+            conv = pa.array(
+                np.char.add(base_conv[s_:e_], f"_r{r:03d}"), type=pa.string()
+            )
+            pieces.append(piece.set_column(0, "conv_id", conv))
         pq.write_table(
-            big.slice(bounds[i], bounds[i + 1] - bounds[i]),
-            os.path.join(out, f"feed-{i:04d}.parquet"),
+            pa.concat_tables(pieces), os.path.join(out, f"feed-{i:04d}.parquet")
         )
     with open(marker, "w") as fh:
         fh.write(str(total))
