@@ -26,7 +26,9 @@ def entry() -> Any:
 
     workdir = tempfile.mkdtemp(prefix="dstream_entry_")
     feed_dir = f"{workdir}/feed"
-    # materialise the derived feed as the append-only log (3 shards -> epochs)
+    # materialise the derived feed as the append-only log (3 shards ->
+    # epochs); driver-side only at this smoke scale (1k rows) — production
+    # feeds arrive as shard files and never pass through the driver
     feed = q.q_transcripts_feed("/root/testdata/sf0.001").to_pandas()
     feed = feed.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     import os

@@ -483,6 +483,9 @@ def _run_streaming(sf_dir: str):
     workdir = tempfile.mkdtemp(prefix="dstream_q_stream_")
     feed_dir = os.path.join(workdir, "feed")
     os.makedirs(feed_dir, exist_ok=True)
+    # golden-feed construction at oracle scale (sf<=0.1, <=100k rows):
+    # driver-side materialization is deliberate here — production feeds
+    # arrive as parquet/NDJSON shards and never pass through the driver
     feed = q_transcripts_feed(sf_dir).to_pandas()
     feed = feed.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     tbl = pa.Table.from_pandas(feed.drop(columns=["partition_id"]), preserve_index=False)
