@@ -54,6 +54,112 @@ def fnv1a_u64(strings: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     return out
 
 
+def utf8_view(strings: pa.Array | pa.ChunkedArray | list[str]):
+    """Zero-copy view of a string array's UTF-8 bytes.
+
+    Returns ``(data, starts, ends)`` where ``data`` is the uint8 byte buffer
+    sliced to cover exactly the array's strings, and ``starts``/``ends`` are
+    int64 per-string ranges into it (contiguous: ``ends[i] == starts[i+1]``).
+    The building block for every byte-level vectorized kernel (tokenization,
+    rolling hashes) — no per-doc ``encode()`` calls.
+    """
+    if isinstance(strings, list):
+        strings = pa.array(strings, type=pa.string())
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if pa.types.is_large_string(strings.type):
+        strings = strings.cast(pa.string())
+    n = len(strings)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.uint8),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    bufs = strings.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int32, count=n + 1, offset=strings.offset * 4
+    ).astype(np.int64)
+    base = offsets[0]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[base : offsets[-1]]
+    return data, offsets[:-1] - base, offsets[1:] - base
+
+
+def hash_spans(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over arbitrary byte spans of one buffer.
+
+    One numpy pass per character position (bounded by the longest span), the
+    same technique as :func:`fnv1a_u64` but span-addressed — used to hash
+    every token of every doc in a batch in a handful of passes instead of a
+    per-byte Python loop.
+    """
+    n = len(starts)
+    out = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    maxlen = int(lengths.max())
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            mask = lengths > i
+            if not mask.any():
+                break
+            ch = data[starts[mask] + i].astype(np.uint64)
+            out[mask] = (out[mask] ^ ch) * FNV_PRIME
+    return out
+
+
+# ASCII whitespace lookup for byte-level tokenization. Matches Python's
+# ``str.split()`` for ASCII text (the oracle's regex ``\s`` is narrower
+# still); documents in non-ASCII scripts would need a codepoint-level path.
+WS_LUT = np.zeros(256, dtype=bool)
+WS_LUT[[9, 10, 11, 12, 13, 32]] = True
+
+
+def token_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Whitespace-token boundaries for a batch of docs sharing one buffer.
+
+    Returns ``(tok_starts, tok_lengths, doc_offsets)``: span positions into
+    ``data`` (ordered by doc) and an int64 ``doc_offsets`` of length n+1
+    delimiting each doc's tokens. Fully vectorized; tokens never span docs.
+    """
+    n = len(starts)
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.zeros(n + 1, dtype=np.int64),
+    )
+    if n == 0 or len(data) == 0:
+        return empty
+    nonws = ~WS_LUT[data]
+    prev = np.empty(len(data), dtype=bool)
+    prev[0] = False
+    prev[1:] = nonws[:-1]
+    prev[starts] = False  # a token never continues across a doc boundary
+    nxt = np.empty(len(data), dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = nonws[1:]
+    last_byte = ends[ends > starts] - 1
+    nxt[last_byte] = False
+    tok_starts = np.flatnonzero(nonws & ~prev)
+    tok_ends = np.flatnonzero(nonws & ~nxt) + 1
+    if len(tok_starts) == 0:
+        return empty
+    doc_of = np.searchsorted(starts, tok_starts, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n)
+    doc_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_offsets[1:])
+    return tok_starts, tok_ends - tok_starts, doc_offsets
+
+
+def token_hash_arrays(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Batch variant of per-doc token hashing: FNV-1a 64 of every whitespace
+    token of every doc, flat + doc offsets. Bit-identical to hashing each
+    ``doc.split()`` token separately, at ~vector speed."""
+    data, starts, ends = utf8_view(strings)
+    tok_starts, tok_lengths, doc_offsets = token_spans(data, starts, ends)
+    return hash_spans(data, tok_starts, tok_lengths), doc_offsets
+
+
 def fnv1a_u64_py(s: str) -> int:
     """Scalar reference implementation (for tests)."""
     h = 14695981039346656037

@@ -42,6 +42,8 @@ import ray.data as rd
 
 from dstream_ray.common import partition_ids
 from dstream_ray.sinks.parquet_sink import ExactlyOnceParquetSink
+from dstream_ray.sinks.registry import create_sink
+from dstream_ray.sources.envelopes import read_envelope_file
 from dstream_ray.stages.capture import relay_kernel
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.windows import (
@@ -131,8 +133,6 @@ def process_partition(
     writes + state snapshot. Pure w.r.t. (input rows, prev state) — replaying
     it produces identical emissions, which is what makes the two-phase commit
     exactly-once observable."""
-    from dstream_ray.sinks.registry import create_sink
-
     _t0 = time.time()
     store = CheckpointStore(cfg.checkpoint_dir)
     sink = create_sink(cfg.sink_kind, cfg.sink_dir)
@@ -286,8 +286,6 @@ def _split_task(path: str, num_partitions: int) -> tuple:
     only its slice — the object-store analog of a network exchange."""
     if path.endswith((".ndjson", ".jsonl")):
         # dstream wire format: JSON-line envelopes (readme.md:250-272)
-        from dstream_ray.sources.envelopes import read_envelope_file
-
         t = read_envelope_file(path)
     else:
         import pyarrow.parquet as pq

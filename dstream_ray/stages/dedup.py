@@ -19,7 +19,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from dstream_ray.common import token_hash_arrays
+
 MERSENNE = np.uint64((1 << 61) - 1)
+SHINGLE_MIX = np.uint64(1000003)
 
 
 def _token_hashes(text: str) -> np.ndarray:
@@ -51,10 +54,88 @@ def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def _segments_to_unique(doc_idx: np.ndarray, values: np.ndarray, n_docs: int):
+    """Per-doc sorted-unique values -> (flat_values, doc_offsets[n+1]).
+
+    One lexsort over the whole batch instead of one ``np.unique`` per doc."""
+    if len(values) == 0:
+        return values, np.zeros(n_docs + 1, dtype=np.int64)
+    order = np.lexsort((values, doc_idx))
+    di, v = doc_idx[order], values[order]
+    keep = np.empty(len(v), dtype=bool)
+    keep[0] = True
+    keep[1:] = (di[1:] != di[:-1]) | (v[1:] != v[:-1])
+    di, v = di[keep], v[keep]
+    counts = np.bincount(di, minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return v, offsets
+
+
+def _flat_window_starts(first: np.ndarray, win_counts: np.ndarray):
+    """Start indices of every length-w window of every doc, flattened.
+
+    ``first[i]`` is doc i's first flat index, ``win_counts[i]`` its number of
+    windows. Also returns the per-doc segment offsets of the output."""
+    total = int(win_counts.sum())
+    offsets = np.zeros(len(win_counts) + 1, dtype=np.int64)
+    np.cumsum(win_counts, out=offsets[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], win_counts)
+    return np.repeat(first, win_counts) + intra, offsets
+
+
+def shingle_sets_batch(strings, w: int = 3):
+    """Batch variant of :func:`shingle_hashes`: per-doc UNIQUE word-w-shingle
+    hashes as ``(flat_values, doc_offsets[n+1])``. Bit-identical semantics to
+    the scalar path (degenerate <w-token docs collapse to the token-hash sum),
+    computed in O(w + log) vectorized passes over the whole batch."""
+    flat, offsets = token_hash_arrays(strings)
+    counts = np.diff(offsets)
+    n = len(counts)
+    first = offsets[:-1]
+    win_counts = np.where(counts >= w, counts - w + 1, 0)
+    wstart, _ = _flat_window_starts(first, win_counts)
+    with np.errstate(over="ignore"):
+        acc = flat[wstart].copy() if len(wstart) else np.empty(0, dtype=np.uint64)
+        for j in range(1, w):
+            acc = acc * SHINGLE_MIX + flat[wstart + j]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), win_counts)
+    deg = (counts > 0) & (counts < w)
+    if deg.any():
+        ne = counts > 0
+        with np.errstate(over="ignore"):
+            sums_ne = np.add.reduceat(flat, first[ne])
+        deg_vals = sums_ne[deg[ne]]
+        doc_idx = np.r_[doc_idx, np.flatnonzero(deg)]
+        acc = np.r_[acc, deg_vals]
+    return _segments_to_unique(doc_idx, acc, n)
+
+
+def minhash_signatures_batch(
+    values: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, k) MinHash signatures from per-doc shingle sets — one
+    ``minimum.reduceat`` per batch instead of a per-doc loop. Docs with no
+    shingles get the all-zeros signature (scalar-path parity)."""
+    k = len(a)
+    counts = np.diff(offsets)
+    n = len(counts)
+    sigs = np.zeros((n, k), dtype=np.uint64)
+    ne = counts > 0
+    if not ne.any():
+        return sigs
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * values[None, :] + b[:, None]) % MERSENNE
+        sigs[ne] = np.minimum.reduceat(vals, offsets[:-1][ne], axis=1).T
+    return sigs
+
+
 class MinHasher:
     """Actor-pool stage: per-doc MinHash signature (k permutations) +
     banded LSH keys. Permutation parameters are seeded in __init__ (once per
-    actor, identical across actors)."""
+    actor, identical across actors). The batch path is fully vectorized
+    (token/shingle hashing via Arrow-buffer numpy passes); ``signature()``
+    is the scalar reference the property tests compare against."""
 
     def __init__(self, k: int = 64, bands: int = 16, shingle_w: int = 3, seed: int = 97):
         assert k % bands == 0
@@ -73,14 +154,15 @@ class MinHasher:
             vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
+    def signatures_batch(self, strings) -> np.ndarray:
+        values, offsets = shingle_sets_batch(strings, self.w)
+        return minhash_signatures_batch(values, offsets, self.a, self.b)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """doc batch -> exploded (doc_id, band_id, band_hash) rows."""
-        texts = batch["text"].to_pylist()
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(texts)
-        sigs = np.empty((n, self.k), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t)
+        n = len(doc_ids)
+        sigs = self.signatures_batch(batch["text"])
         band_sigs = sigs.reshape(n, self.bands, self.rows)
         with np.errstate(over="ignore"):
             band_hash = band_sigs[:, :, 0].copy()
@@ -160,9 +242,30 @@ def simhash64(text: str) -> np.uint64:
     return out
 
 
+def simhash_batch_array(strings) -> np.ndarray:
+    """Vectorized SimHash for a whole batch: 64 reduceat passes over the flat
+    token-hash array (one per bit) instead of a per-doc × per-bit loop.
+    Bit-identical to :func:`simhash64` per doc."""
+    flat, offsets = token_hash_arrays(strings)
+    counts = np.diff(offsets)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    ne = counts > 0
+    if not ne.any():
+        return out
+    starts_ne = offsets[:-1][ne]
+    counts_ne = counts[ne].astype(np.uint64)
+    bits_ne = np.zeros(int(ne.sum()), dtype=np.uint64)
+    for i in range(64):
+        ones = np.add.reduceat((flat >> np.uint64(i)) & np.uint64(1), starts_ne)
+        # v_i = (#ones) - (#zeros) > 0  <=>  2*ones > count
+        bits_ne |= (2 * ones > counts_ne).astype(np.uint64) << np.uint64(i)
+    out[ne] = bits_ne
+    return out
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    hs = simhash_batch_array(batch["text"])
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -179,33 +282,100 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def token_sets_batch(strings):
+    """Per-doc sorted-unique token-hash sets as (flat, offsets[n+1])."""
+    flat, offsets = token_hash_arrays(strings)
+    n = len(offsets) - 1
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    return _segments_to_unique(doc_idx, flat, n)
+
+
 def ngram_jaccard_pairs_group(group: pd.DataFrame, *, tau_x1000: int = 200) -> pd.DataFrame:
     """Exact pairwise token-set Jaccard within one blocking group.
 
     Output jaccard scaled to integer x1000 (floor) so the DuckDB oracle can
-    match exactly. Token sets = distinct \\s+ tokens (unigrams, n=1)."""
+    match exactly. Token sets = distinct \\s+ tokens (unigrams, n=1), hashed
+    to 64 bits; intersections come from a dense doc×vocab incidence matmul
+    (chunked over vocab) — no per-pair Python loop. Blocks are assumed
+    bounded by the blocking key (≤ ~10k docs); the quadratic term is the
+    operator's definition, not an implementation accident."""
     ids = group["doc_id"].to_numpy()
-    sets = [np.unique(np.array(t.split(), dtype=object)) for t in group["text"]]
-    rows_a, rows_b, rows_j = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
-            uni = len(sets[i]) + len(sets[j]) - inter
-            jx = (1000 * inter) // uni if uni else 1000
-            if jx >= tau_x1000:
-                a, b = int(ids[i]), int(ids[j])
-                if a > b:
-                    a, b = b, a
-                rows_a.append(a)
-                rows_b.append(b)
-                rows_j.append(jx)
-    return pd.DataFrame(
+    D = len(ids)
+    empty = pd.DataFrame(
         {
-            "doc_a": pd.Series(rows_a, dtype="int64"),
-            "doc_b": pd.Series(rows_b, dtype="int64"),
-            "jaccard_x1000": pd.Series(rows_j, dtype="int64"),
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard_x1000": pd.Series(dtype="int64"),
         }
     )
+    if D < 2:
+        return empty
+    flat, offsets = token_sets_batch(pa.array(group["text"].tolist(), type=pa.string()))
+    sizes = np.diff(offsets).astype(np.int64)
+    codes = np.unique(flat, return_inverse=True)[1]
+    doc_idx = np.repeat(np.arange(D, dtype=np.int64), sizes)
+    # tokens appearing in exactly one doc cannot intersect — drop them (set
+    # sizes keep the full count; only the matmul shrinks)
+    code_df = np.bincount(codes) if len(codes) else np.empty(0, dtype=np.int64)
+    shared = code_df[codes] >= 2
+    if not shared.all():
+        codes = codes[shared]
+        doc_idx = doc_idx[shared]
+        if len(codes):
+            codes = np.unique(codes, return_inverse=True)[1]
+    V = int(codes.max()) + 1 if len(codes) else 0
+    inter = np.zeros((D, D), dtype=np.int64)
+    # accumulate A @ A.T over vocab chunks to bound the dense temporary
+    chunk = max(1, min(V, (1 << 24) // max(D, 1)))
+    for lo in range(0, V, chunk):
+        sel = (codes >= lo) & (codes < lo + chunk)
+        if not sel.any():
+            continue
+        A = np.zeros((D, min(chunk, V - lo)), dtype=np.float32)
+        A[doc_idx[sel], codes[sel] - lo] = 1.0
+        inter += (A @ A.T).astype(np.int64)
+    ia, ib = np.triu_indices(D, k=1)
+    inter_p = inter[ia, ib]
+    uni = sizes[ia] + sizes[ib] - inter_p
+    jx = np.where(uni > 0, (1000 * inter_p) // np.maximum(uni, 1), 1000)
+    hit = jx >= tau_x1000
+    a = np.minimum(ids[ia[hit]], ids[ib[hit]]).astype(np.int64)
+    b = np.maximum(ids[ia[hit]], ids[ib[hit]]).astype(np.int64)
+    return pd.DataFrame(
+        {"doc_a": a, "doc_b": b, "jaccard_x1000": jx[hit].astype(np.int64)}
+    )
+
+
+def pair_jaccard_batch(texts_a, texts_b, w: int = 3) -> np.ndarray:
+    """Exact shingle-Jaccard for N (text_a, text_b) pairs, vectorized.
+
+    Both columns are shingled batch-wise; per-pair intersection counts come
+    from one lexsort over (pair_id, value) — a value occurring twice within a
+    pair is a common shingle (sets are unique). The MinHash verify stage runs
+    this inside ``map_batches`` after joining candidate pairs to texts, so no
+    corpus-sized structure ever reaches the driver."""
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    va, offa = shingle_sets_batch(texts_a, w)
+    vb, offb = shingle_sets_batch(texts_b, w)
+    ca, cb = np.diff(offa), np.diff(offb)
+    pid = np.r_[
+        np.repeat(np.arange(n, dtype=np.int64), ca),
+        np.repeat(np.arange(n, dtype=np.int64), cb),
+    ]
+    val = np.r_[va, vb]
+    order = np.lexsort((val, pid))
+    pid_s, val_s = pid[order], val[order]
+    dup = np.zeros(len(val_s), dtype=bool)
+    if len(val_s) > 1:
+        dup[1:] = (pid_s[1:] == pid_s[:-1]) & (val_s[1:] == val_s[:-1])
+    inter = np.bincount(pid_s[dup], minlength=n)
+    union = ca + cb - inter
+    both_empty = (ca == 0) & (cb == 0)
+    out = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    out[both_empty] = 1.0
+    return out
 
 
 def connected_components_min_label(edges: pd.DataFrame, ids: np.ndarray) -> pd.DataFrame:

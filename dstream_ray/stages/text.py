@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from dstream_ray.common import utf8_view
+
 STOPWORDS = ("the", "a", "and", "of", "to")
 
 LANG_MARKERS = {
@@ -157,32 +159,44 @@ def fingerprint_md5(batch: pa.Table) -> pa.Table:
 
 def rolling_fingerprint(batch: pa.Table, *, window: int = 16) -> pa.Table:
     """Winnowing-style document fingerprint: min of rolling polynomial hashes
-    over byte windows — robust to small appends. Vectorized numpy; not
-    SQL-expressible (rows-only check + pytest)."""
-    texts = batch["text"].to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
+    over byte windows — robust to small appends.
+
+    Fully vectorized over the batch: ``window`` Horner passes over the shared
+    Arrow byte buffer compute every window hash of every doc at once (the
+    polynomial sum mod 2^64 is identical to the per-doc rolling recurrence),
+    then one ``minimum.reduceat`` takes the per-doc min. Docs shorter than
+    the window hash all their bytes. Not SQL-expressible as one query; the
+    oracle checks the short-doc Horner path + min-over-windows via DuckDB
+    list kernels where possible, and pytest pins scalar parity."""
+    data, starts, ends = utf8_view(batch["text"])
+    lengths = ends - starts
+    n = len(lengths)
+    fps = np.zeros(n, dtype=np.uint64)
     B = np.uint64(1000003)
     with np.errstate(over="ignore"):
-        powB = B ** np.uint64(window - 1)
-        for i, t in enumerate(texts):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
-                h = np.uint64(0)
-                for x in b:
-                    h = h * B + x
-                fps[i] = h
-                continue
-            # rolling hash over all windows
-            h = np.uint64(0)
-            first = b[:window]
-            for x in first:
-                h = h * B + x
-            hashes = np.empty(len(b) - window + 1, dtype=np.uint64)
-            hashes[0] = h
-            for j in range(1, len(hashes)):
-                h = (h - b[j - 1] * powB) * B + b[j + window - 1]
-                hashes[j] = h
-            fps[i] = hashes.min()
+        long = lengths >= window
+        if long.any():
+            win_counts = (lengths[long] - window + 1).astype(np.int64)
+            seg_offsets = np.zeros(len(win_counts) + 1, dtype=np.int64)
+            np.cumsum(win_counts, out=seg_offsets[1:])
+            intra = (
+                np.arange(seg_offsets[-1], dtype=np.int64)
+                - np.repeat(seg_offsets[:-1], win_counts)
+            )
+            pos = np.repeat(starts[long], win_counts) + intra
+            h = np.zeros(len(pos), dtype=np.uint64)
+            for t in range(window):
+                h = h * B + data[pos + t].astype(np.uint64)
+            fps[long] = np.minimum.reduceat(h, seg_offsets[:-1])
+        short = (~long) & (lengths > 0)
+        if short.any():
+            s_starts = starts[short]
+            s_lens = lengths[short]
+            h = np.zeros(len(s_starts), dtype=np.uint64)
+            for t in range(int(s_lens.max())):
+                m = s_lens > t
+                h[m] = h[m] * B + data[s_starts[m] + t].astype(np.uint64)
+            fps[short] = h
     return pa.table(
         {
             "doc_id": batch["doc_id"],

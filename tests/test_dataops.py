@@ -92,6 +92,105 @@ def test_simhash_near_dups_have_small_hamming():
     assert ham_dup.mean() < ham_rand.mean() - 5
 
 
+EDGE_TEXTS = [
+    "hello world foo bar baz",
+    "",
+    "   ",
+    "one",
+    "a b",
+    "tab\tsep\nnewline  multi   space",
+    "x " * 200,
+    "short doc here ok",
+]
+
+
+def test_vectorized_batch_kernels_match_scalar_references():
+    """The batch paths (Arrow-buffer vectorized) must be bit-identical to the
+    scalar reference implementations, including empty/short/multi-ws docs."""
+    import pyarrow as pa
+
+    from dstream_ray.common import token_hash_arrays
+
+    table, _ = make_docs_with_dups()
+    texts = EDGE_TEXTS + table["text"].to_pylist()
+    arr = pa.array(texts, type=pa.string())
+    flat, off = token_hash_arrays(arr)
+    mh = dedup.MinHasher()
+    sigs = mh.signatures_batch(arr)
+    sims = dedup.simhash_batch_array(arr)
+    for i, t in enumerate(texts):
+        assert np.array_equal(flat[off[i] : off[i + 1]], dedup._token_hashes(t)), i
+        assert np.array_equal(sigs[i], mh.signature(t)), i
+        assert sims[i] == dedup.simhash64(t), i
+    # pairwise exact-jaccard kernel vs scalar jaccard
+    a_txt, b_txt = texts, list(reversed(texts))
+    pj = dedup.pair_jaccard_batch(pa.array(a_txt), pa.array(b_txt))
+    for i, (ta, tb) in enumerate(zip(a_txt, b_txt)):
+        ref = dedup.jaccard(dedup.shingle_hashes(ta), dedup.shingle_hashes(tb))
+        assert abs(pj[i] - ref) < 1e-12, i
+
+
+def test_rolling_fingerprint_matches_scalar_recurrence():
+    """Batch winnowing fingerprint == the per-doc rolling-hash recurrence."""
+    import pyarrow as pa
+
+    def scalar_rfp(t, window=16):
+        B = np.uint64(1000003)
+        with np.errstate(over="ignore"):
+            powB = B ** np.uint64(window - 1)
+            b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                return h
+            h = np.uint64(0)
+            for x in b[:window]:
+                h = h * B + x
+            best = h
+            for j in range(1, len(b) - window + 1):
+                h = (h - b[j - 1] * powB) * B + b[j + window - 1]
+                best = min(best, h)
+            return best
+
+    table, _ = make_docs_with_dups(n=20)
+    texts = EDGE_TEXTS + table["text"].to_pylist()
+    tb = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    out = text.rolling_fingerprint(tb)["fingerprint64"].to_numpy().astype(np.uint64)
+    for i, t in enumerate(texts):
+        assert out[i] == scalar_rfp(t), (i, repr(t[:40]))
+
+
+def test_ngram_jaccard_vectorized_matches_bruteforce():
+    """Dense-matmul pairwise Jaccard == the per-pair string-set reference."""
+    import pandas as pd
+
+    table, _ = make_docs_with_dups(n=40)
+    texts = table["text"].to_pylist() + ["", "", "solo token"]
+    g = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        dedup.ngram_jaccard_pairs_group(g, tau_x1000=1)
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    sets = [np.unique(np.array(t.split(), dtype=object)) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+            uni = len(sets[i]) + len(sets[j]) - inter
+            jx = (1000 * inter) // uni if uni else 1000
+            if jx >= 1:
+                rows.append((i, j, jx))
+    ref = (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_x1000"])
+        .astype("int64")
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_langid_ngram_on_synthetic_multilingual():
     clf = text.LangIdNgram()
     samples = {
