@@ -118,18 +118,17 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup clusters: shingle→minhash→band buckets (one
-    groupby)→candidate pairs→exact-Jaccard verify (broadcast texts)→
-    min-label components. Rows-only for the driver; pytest checks against
-    brute-force Jaccard on the tiny sf."""
-    docs = _read_documents(sf_dir, ["doc_id", "text"])
+def minhash_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
+    """documents -> deduplicated LSH candidate pairs, fully distributed.
+
+    Band rows are coarse-partitioned (``band_hash % 32``) so pair extraction
+    is one vectorized call per partition, then pairs are deduplicated across
+    bands the same way (coarse key over the pair id — never one Python call
+    per bucket, never a driver-side set)."""
     bands = docs.map_batches(
         dedup.MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=2
     )
 
-    # coarse-partition the bucket space, then extract pairs VECTORIZED per
-    # partition (one python call per partition, not per bucket)
     def add_bucket_part(b: pa.Table) -> pa.Table:
         h = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return b.append_column(
@@ -140,35 +139,101 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         bands.map_batches(add_bucket_part, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(dedup.candidate_pairs_from_band_partition, batch_format="pandas")
-        .to_pandas()
     )
-    cands = cands.drop_duplicates(["doc_a", "doc_b"]) if len(cands) else cands
-    # verify candidates with exact shingle Jaccard; candidate texts broadcast
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+
+    def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["doc_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b[
+            "doc_b"
+        ].to_numpy(np.uint64)
+        b = b.assign(pair_part=(key % np.uint64(32)).astype(np.int32))
+        return b
+
+    def dedupe_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (
+        cands.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(dedupe_part, batch_format="pandas")
     )
-    text_by_id = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    ids = np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64)
-    if len(cands):
-        ref = ray.put(text_by_id)
 
-        @ray.remote
-        def verify(pairs: pd.DataFrame) -> pd.DataFrame:
-            texts = ray.get(ref)
-            keep = []
-            for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-                ja = dedup.jaccard(
-                    dedup.shingle_hashes(texts[int(a)]),
-                    dedup.shingle_hashes(texts[int(b)]),
-                )
-                keep.append(ja >= 0.8)
-            return pairs[np.asarray(keep, dtype=bool)]
 
-        chunks = np.array_split(cands, max(1, len(cands) // 5000))
-        verified = pd.concat(ray.get([verify.remote(c) for c in chunks]), ignore_index=True)
-    else:
-        verified = pd.DataFrame({"doc_a": [], "doc_b": []})
-    return dedup.connected_components_min_label(verified, ids)
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clusters: shingle→minhash→band buckets (one
+    groupby)→candidate pairs→exact-Jaccard verify→min-label components.
+
+    Scale shape: the verify stage JOINS candidate pairs back to doc texts
+    (two hash joins on doc_id) and scores each pair with the vectorized
+    shingle-Jaccard kernel inside ``map_batches`` — the corpus is never
+    broadcast and never materialized on the driver. Components run only over
+    edge-touched ids (verified near-dup pairs ≪ corpus); every untouched doc
+    is its own cluster, assigned distributedly. Rows-only for the driver;
+    pytest checks against brute-force Jaccard on the tiny sf."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs)
+    # join width: each hash-join spawns num_partitions aggregator actors —
+    # size to the session so two chained joins can't starve a small pool
+    n_join = int(max(2, min(8, ray.cluster_resources().get("CPU", 8) // 4)))
+
+    def keep_a(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "text_a": b["text"]}
+        )
+
+    def keep_b(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": b["doc_a"],
+                "doc_b": b["doc_b"],
+                "text_a": b["text_a"],
+                "text_b": b["text"],
+            }
+        )
+
+    withtext = (
+        pairs.join(docs, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",))
+        .map_batches(keep_a, batch_format="pyarrow")
+        .join(docs, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",))
+        .map_batches(keep_b, batch_format="pyarrow")
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        ja = dedup.pair_jaccard_batch(b["text_a"], b["text_b"])
+        keep = ja >= 0.8
+        return pa.table(
+            {
+                "doc_a": b["doc_a"].filter(pa.array(keep)),
+                "doc_b": b["doc_b"].filter(pa.array(keep)),
+            }
+        )
+
+    edges = withtext.map_batches(verify, batch_format="pyarrow").to_pandas()
+    # Union-find over EDGE-TOUCHED ids only (near-dup pairs ≪ corpus); the
+    # resulting mapping is tiny and broadcast once.
+    touched = (
+        np.unique(np.r_[edges["doc_a"].to_numpy(np.int64), edges["doc_b"].to_numpy(np.int64)])
+        if len(edges)
+        else np.empty(0, dtype=np.int64)
+    )
+    mapping = dedup.connected_components_min_label(edges, touched)
+    keys = mapping["doc_id"].to_numpy(np.int64)  # sorted (touched is sorted)
+    vals = mapping["cluster_id"].to_numpy(np.int64)
+    remap_ref = ray.put((keys, vals))
+
+    def assign(b: pa.Table) -> pa.Table:
+        k, v = ray.get(remap_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = ids.copy()
+        if len(k):
+            idx = np.searchsorted(k, ids)
+            idx[idx >= len(k)] = len(k) - 1
+            hit = k[idx] == ids
+            out[hit] = v[idx[hit]]
+        return pa.table({"doc_id": b["doc_id"], "cluster_id": pa.array(out)})
+
+    return _read_documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
 
 
 def q_simhash(sf_dir: str):

@@ -191,6 +191,35 @@ def test_ngram_jaccard_vectorized_matches_bruteforce():
     pd.testing.assert_frame_equal(got, ref)
 
 
+def test_minhash_dedup_pipeline_distributed(ray_session, tmp_path):
+    """q_minhash_dedup end-to-end on a corpus WITH near-dups: clusters must
+    equal brute-force-Jaccard union-find. The pipeline verifies pairs via
+    hash joins + vectorized map_batches (no corpus broadcast, no O(corpus)
+    driver structure)."""
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines.dataops import q_minhash_dedup
+
+    table, _ = make_docs_with_dups(n=80, seed=21)
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    got = (
+        q_minhash_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    truth_pairs = brute_force_dup_pairs(table, tau=0.8)
+    edges = pd.DataFrame(truth_pairs, columns=["doc_a", "doc_b"])
+    ids = table["doc_id"].to_numpy()
+    exp = (
+        dedup.connected_components_min_label(edges, ids)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["cluster_id"].tolist() == exp["cluster_id"].tolist()
+
+
 def test_langid_ngram_on_synthetic_multilingual():
     clf = text.LangIdNgram()
     samples = {
