@@ -273,12 +273,15 @@ KNN_K = 10
 
 
 def _load_queries(sf_dir: str) -> dict:
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mask = np.asarray(tbl["vec_id"].to_pylist()) < KNN_QUERIES
-    ids = np.asarray(tbl["vec_id"].to_pylist())[mask]
-    vecs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v, m in zip(tbl["embedding"].to_pylist(), mask) if m]
+    """Query vectors = vec_id < KNN_QUERIES, read with a parquet row filter
+    (row-group pushdown) — never a full-table driver read."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KNN_QUERIES)],
     )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = ann._stack(tbl["embedding"])
     return {"ids": ids, "vecs": vecs}
 
 
@@ -298,8 +301,13 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed ANN with MULTI-PROBE: each query searches its own bucket
     plus every bucket at Hamming distance 1 (flip one hyperplane sign) —
-    the standard recall boost without extra tables. Rows-only; recall vs
-    brute force in pytest."""
+    the standard recall boost without extra tables.
+
+    Scale shape: probe sets + query matrix are broadcast; the bucketized
+    corpus streams through a ``ProbedTopK`` map_batches stage emitting
+    per-batch partial top-k, and only nq×k×batches partial rows reach the
+    driver merge — no corpus-proportional ``.to_pandas()``. Rows-only;
+    recall vs brute force in pytest."""
     q = _load_queries(sf_dir)
     lsh = ann.HyperplaneLSH(dim=q["vecs"].shape[1])
     n_planes = lsh.planes.shape[0]
@@ -307,49 +315,30 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     qbucket = np.zeros(len(qsigns), dtype=np.int64)
     for i in range(qsigns.shape[1]):
         qbucket |= qsigns[:, i].astype(np.int64) << i
-    probes_by_query = [
-        {int(b)} | {int(b) ^ (1 << j) for j in range(n_planes)} for b in qbucket
-    ]
-    wanted = set().union(*probes_by_query)
-    ds = _read_embeddings(sf_dir).map_batches(
-        ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
-        fn_constructor_kwargs={"dim": q["vecs"].shape[1]},
-    )
-    sub = ds.map_batches(
-        lambda b: b.filter(
-            pa.array(np.isin(b["bucket"].to_numpy(zero_copy_only=False), list(wanted)))
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    # per-query brute force within its probed buckets only
-    out = []
-    for (qid, qb), probes in zip(zip(q["ids"], qbucket), probes_by_query):
-        block = sub[sub["bucket"].isin(probes)]
-        if not len(block):
-            continue
-        M = ann.normalize_rows(
-            np.stack([np.asarray(v, dtype=np.float64) for v in block["embedding"]])
+    probes = {
+        int(qid): {int(b)} | {int(b) ^ (1 << j) for j in range(n_planes)}
+        for qid, b in zip(q["ids"], qbucket)
+    }
+    wanted = np.asarray(sorted(set().union(*probes.values())), dtype=np.int64)
+    # the search state is tiny (nq x dim floats + probe lists): ship it in
+    # the task closure — a second actor pool here would starve small sessions
+    topk = ann.ProbedTopK(q, probes, bucket_col="bucket", k=KNN_K)
+    partials = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
+            fn_constructor_kwargs={"dim": q["vecs"].shape[1]},
         )
-        qv = ann.normalize_rows(q["vecs"][q["ids"] == qid])[0]
-        sims = M @ qv
-        ids = block["vec_id"].to_numpy(dtype=np.int64)
-        keep = ids != qid
-        order = np.lexsort((ids[keep], -sims[keep]))[:KNN_K]
-        sel_ids = ids[keep][order]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": np.full(len(order), qid, dtype=np.int64),
-                    "neighbor_id": sel_ids,
-                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                }
-            )
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(np.isin(b["bucket"].to_numpy(zero_copy_only=False), wanted))
+            ),
+            batch_format="pyarrow",
         )
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+        .map_batches(topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
     )
+    return ann.merge_topk(partials, k=KNN_K)
 
 
 def q_embedding_norms(sf_dir: str):
@@ -465,15 +454,16 @@ def _kmeans_lite(M: np.ndarray, k: int, iters: int = 8, seed: int = 77) -> np.nd
 
 
 def q_knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF ANN: train a coarse quantizer on a driver-side sample (seeded),
-    broadcast the centroids, bucket the corpus by nearest centroid inside
-    map_batches, and search only the n_probe closest lists per query.
-    Rows-only; pytest bounds recall vs brute force."""
+    """IVF ANN: train a coarse quantizer on a bounded head sample (first
+    parquet batches only — never a full-table driver read), broadcast the
+    centroids, bucket the corpus by nearest centroid inside map_batches, and
+    search only the n_probe closest lists per query via the same broadcast
+    ``ProbedTopK`` stage as LSH (per-batch partial top-k; only nq×k×batches
+    rows reach the driver). Rows-only; pytest bounds recall vs brute force."""
     q = _load_queries(sf_dir)
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    sample = ann.normalize_rows(
-        np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()[:2000]])
-    )
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    head = next(pf.iter_batches(batch_size=2000, columns=["embedding"]))
+    sample = ann.normalize_rows(ann._stack(pa.Table.from_batches([head])["embedding"]))
     C = _kmeans_lite(sample, n_lists)
     c_ref = ray.put(C)
 
@@ -484,47 +474,30 @@ def q_knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
             {
                 "vec_id": b["vec_id"],
                 "embedding": b["embedding"],
-                "ivf_list": pa.array(np.argmax(M @ cents.T, axis=1).astype(np.int32)),
+                "ivf_list": pa.array(np.argmax(M @ cents.T, axis=1).astype(np.int64)),
             }
         )
 
-    ds = _read_embeddings(sf_dir).map_batches(bucketize, batch_format="pyarrow")
     Q = ann.normalize_rows(q["vecs"])
-    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
-    wanted = sorted(set(int(x) for x in probes.ravel()))
-    sub = ds.map_batches(
-        lambda b: b.filter(
-            pa.array(np.isin(b["ivf_list"].to_numpy(zero_copy_only=False), wanted))
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    out = []
-    for qi, qid in enumerate(q["ids"]):
-        lists = set(int(x) for x in probes[qi])
-        block = sub[sub["ivf_list"].isin(lists)]
-        if not len(block):
-            continue
-        M = ann.normalize_rows(
-            np.stack([np.asarray(v, dtype=np.float64) for v in block["embedding"]])
+    probe_mat = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    probes = {
+        int(qid): {int(x) for x in probe_mat[qi]} for qi, qid in enumerate(q["ids"])
+    }
+    wanted = np.asarray(sorted(set().union(*probes.values())), dtype=np.int64)
+    topk = ann.ProbedTopK(q, probes, bucket_col="ivf_list", k=KNN_K)
+    partials = (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(np.isin(b["ivf_list"].to_numpy(zero_copy_only=False), wanted))
+            ),
+            batch_format="pyarrow",
         )
-        sims = M @ Q[qi]
-        ids = block["vec_id"].to_numpy(dtype=np.int64)
-        keep = ids != qid
-        order = np.lexsort((ids[keep], -sims[keep]))[:KNN_K]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": np.full(len(order), qid, dtype=np.int64),
-                    "neighbor_id": ids[keep][order],
-                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                }
-            )
-        )
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+        .map_batches(topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
     )
+    return ann.merge_topk(partials, k=KNN_K)
 
 
 # ---------------------------------------------------------------------------
@@ -555,26 +528,38 @@ def q_big_spenders(sf_dir: str) -> pd.DataFrame:
     customer = _tuned_read(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
+    n_join = int(max(2, min(8, ray.cluster_resources().get("CPU", 8) // 2)))
     joined = orders.map_batches(cents, batch_format="pyarrow").join(
         customer,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=n_join,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
     from ray.data.aggregate import Count, Sum
 
-    per_cust = joined.groupby("o_custkey").aggregate(
+    # the join already carries c_mktsegment: grouping by (custkey, segment)
+    # has per-customer cardinality, so the segment rides along for free and
+    # the >=12 filter + per-segment partial stay INSIDE Ray Data — no
+    # O(customers) driver-side merge.
+    per_cust = joined.groupby(["o_custkey", "c_mktsegment"]).aggregate(
         Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
-    ).to_pandas()
-    seg = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    m = per_cust.merge(seg, left_on="o_custkey", right_on="c_custkey")
-    m = m[m["n_orders"] >= 12]
+    )
+
+    def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_orders"] >= 12]
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("o_custkey", "size"), total_cents=("total_cents", "sum")
+        )
+
     return (
-        m.groupby("c_mktsegment", as_index=False)
-        .agg(n_customers=("o_custkey", "size"), total_cents=("total_cents", "sum"))
+        per_cust.map_batches(seg_partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()[["c_mktsegment", "n_customers", "total_cents"]]
     )
 
 

@@ -111,6 +111,64 @@ class HyperplaneLSH:
         )
 
 
+class ProbedTopK:
+    """map_batches stage: per-batch cosine top-k where each query only sees
+    corpus rows whose bucket is in that query's probe set.
+
+    The broadcast is tiny (query matrix + per-query probe lists via
+    ``ray.put``); each batch does ONE matmul against all queries and masks
+    sims per query by bucket membership — the cluster-side replacement for
+    the former driver-side ``.to_pandas()`` + per-query loop. Emits partial
+    (query_id, neighbor_id, cos) rows; merge with :func:`merge_topk`."""
+
+    def __init__(self, queries_ref, probes_ref, *, bucket_col: str, k: int = 10):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        probes = ray.get(probes_ref) if not isinstance(probes_ref, dict) else probes_ref
+        self.query_ids = np.asarray(q["ids"])
+        self.Q = normalize_rows(np.asarray(q["vecs"], dtype=np.float64))
+        # per-query probe arrays (sorted, for np.isin fast path)
+        self.probes = [
+            np.asarray(sorted(probes[int(qid)]), dtype=np.int64)
+            for qid in self.query_ids
+        ]
+        self.bucket_col = bucket_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        buckets = batch[self.bucket_col].to_numpy(zero_copy_only=False)
+        M = normalize_rows(_stack(batch["embedding"]))
+        sims = self.Q @ M.T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            allowed = np.isin(buckets, self.probes[qi])
+            if not allowed.any():
+                continue
+            row = sims[qi][allowed]
+            ids = vec_ids[allowed]
+            k = min(self.k + 1, len(row))  # +1 survives self-exclusion
+            top = np.argpartition(-row, k - 1)[:k]
+            top = top[np.lexsort((ids[top], -row[top]))]
+            out_q.append(np.full(len(top), self.query_ids[qi]))
+            out_n.append(ids[top])
+            out_s.append(row[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+                "cos": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
 def cosine_neardup_group(group: pd.DataFrame, *, tau: float = 0.95) -> pd.DataFrame:
     """Pairs with cosine >= tau inside one LSH bucket (or label block)."""
     ids = group["vec_id"].to_numpy(dtype=np.int64)
