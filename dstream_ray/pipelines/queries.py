@@ -148,19 +148,27 @@ def q_tumbling_salted(sf_dir: str) -> pd.DataFrame:
             n_tool_turns=("t", "sum"),
             n_chars=("c", "sum"),
         )
+        # coarse int partition key for the final exchange: shuffling on a
+        # string conv_id via groupby().aggregate() cost ~15x the kernel route
+        # (BENCH_r01); one int-keyed shuffle + a vectorized combine per
+        # partition keeps the skew-proof shape at ~groupby(int) cost
+        from dstream_ray.common import fnv1a_u64
+
+        g["gpart"] = (fnv1a_u64(g["conv_id"].tolist()) % np.uint64(64)).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["conv_id", "window_id"], as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_user_turns=("n_user_turns", "sum"),
+            n_tool_turns=("n_tool_turns", "sum"),
+            n_chars=("n_chars", "sum"),
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["conv_id", "window_id"])
-        .aggregate(
-            Sum("n_turns", alias_name="n_turns"),
-            Sum("n_user_turns", alias_name="n_user_turns"),
-            Sum("n_tool_turns", alias_name="n_tool_turns"),
-            Sum("n_chars", alias_name="n_chars"),
-        )
+        .groupby("gpart")
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
     )
 
