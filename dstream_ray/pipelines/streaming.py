@@ -103,6 +103,10 @@ class StreamingConfig:
     # shard files, groups of `combine_every` slices are pre-merged per
     # partition before the reduce (bounds reduce fan-in; see SCALE.md §2).
     combine_every: int = 0
+    # Watermark-based relay-cursor eviction (None = keep every conv's
+    # delivery cursor forever): bounds state on unbounded streams; must
+    # exceed the upstream's max replay lag (see relay_kernel docstring).
+    relay_evict_idle_s: int | None = None
     # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
     # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
     # streams (and leaves headroom for raylet/driver) — size
@@ -186,7 +190,16 @@ def process_partition(
             table = table.filter(pa.array(~late_mask))
 
     # 1. relay/capture: dedup vs positional cursor, stable order, byte-equal text
-    relay_out, relay_state = relay_kernel(table, state.get("relay", {}), flush=flush)
+    relay_out, relay_state = relay_kernel(
+        table,
+        state.get("relay", {}),
+        flush=flush,
+        evict_idle_us=(
+            cfg.relay_evict_idle_s * 1_000_000
+            if cfg.relay_evict_idle_s is not None
+            else None
+        ),
+    )
     state["relay"] = relay_state
     wm = prev_wm
     if relay_out.num_rows:
@@ -227,6 +240,11 @@ def process_partition(
         if call_params.get("closure") == "watermark":
             # the engine supplies the partition watermark for textbook
             # event-time closure (idle convs' windows emit too)
+            call_params["watermark_us"] = wm
+        if "evict_idle_s" in call_params:
+            # idle-key eviction (e.g. CEP early emission): the kernel needs
+            # the partition watermark to judge idleness
+            call_params["evict_idle_us"] = int(call_params.pop("evict_idle_s")) * 1_000_000
             call_params["watermark_us"] = wm
         out, op_state = kernel(residual_rows, state.get(op_name, {}), flush=flush, **call_params)
         state[op_name] = op_state
@@ -380,9 +398,8 @@ class StreamingJob:
         return {"status": "ready", "out_dir": self.cfg.out_dir}
 
     def plan(self) -> dict:
-        cursor = self._file_cursor()
-        pending = self.discover_files()[cursor:]
-        return {"pending_files": pending, "file_cursor": cursor}
+        pending = self._pending_files()
+        return {"pending_files": pending, "file_cursor": self._file_cursor()}
 
     def status(self) -> dict:
         last = self.store.last_committed()
@@ -424,6 +441,31 @@ class StreamingJob:
     def _file_cursor(self) -> int:
         last = self.store.last_committed()
         return int(last[1]["file_cursor"]) if last else 0
+
+    def _pending_files(self) -> list[str]:
+        """Files not yet consumed, tracked BY NAME, not by position.
+
+        The manifest records both the consumed count and the last consumed
+        filename. A shard appearing later with a name that sorts BEFORE the
+        committed high-water name (out-of-order producer, retry, backfill)
+        would silently shift a positional slice — here it makes the
+        consumed-count check fail loudly instead of dropping data."""
+        all_files = self.discover_files()
+        cursor = self._file_cursor()
+        last = self.store.last_committed()
+        last_file = last[1].get("last_file") if last else None
+        if cursor == 0 or last_file is None:
+            return all_files[cursor:]
+        consumed = [f for f in all_files if os.path.basename(f) <= last_file]
+        if len(consumed) != cursor:
+            raise RuntimeError(
+                f"feed shard ordering violation: {len(consumed)} files sort at or "
+                f"before committed high-water shard {last_file!r} but {cursor} were "
+                "consumed — a shard was added out of lexicographic order (backfill "
+                "or non-monotonic producer); re-shard it after the high-water name "
+                "or destroy() and re-run"
+            )
+        return all_files[cursor:]
 
     def _prev_partitions(self) -> dict[str, dict]:
         last = self.store.last_committed()
@@ -493,10 +535,16 @@ class StreamingJob:
         ]
 
     def _commit_epoch(
-        self, epoch: int, n_files: int, results: list[dict], flush: bool, t0: float
+        self, epoch: int, files: list[str], results: list[dict], flush: bool, t0: float
     ) -> dict:
         """Phase 2: promote staged sink files, then atomically commit the
         manifest (publish-then-advance)."""
+        n_files = len(files)
+        last = self.store.last_committed()
+        prev_last_file = last[1].get("last_file") if last else None
+        last_file = max(
+            [os.path.basename(f) for f in files] + ([prev_last_file] if prev_last_file else [])
+        ) if (files or prev_last_file) else None
         prev_parts = self._prev_partitions()
         all_files = [f for r in results for f in r["files"] if f]
         ExactlyOnceParquetSink.promote(all_files)
@@ -539,6 +587,7 @@ class StreamingJob:
                 "operators": self.cfg.operators,
             },
             "file_cursor": self._file_cursor() + n_files,
+            "last_file": last_file,
             "flushed": flush,
             "wall_s": round(time.time() - t0, 3),
             "partitions": partitions,
@@ -557,7 +606,7 @@ class StreamingJob:
         prev = {int(k): v for k, v in self._prev_partitions().items()}
         t0 = time.time()
         results = ray.get(self._submit_epoch(epoch, files, prev, flush))
-        return self._commit_epoch(epoch, len(files), results, flush, t0)
+        return self._commit_epoch(epoch, files, results, flush, t0)
 
     def follow(
         self,
@@ -577,7 +626,7 @@ class StreamingJob:
         interval = poll_interval_s
         idle_since = None
         while True:
-            pending = self.discover_files()[self._file_cursor() :]
+            pending = self._pending_files()
             if pending:
                 self.run(flush_at_end=False)
                 interval = poll_interval_s  # reset backoff on data
@@ -592,7 +641,9 @@ class StreamingJob:
         if flush_at_end:
             last = self.store.last_committed()
             if last and not last[1].get("flushed", False):
-                self.run_epoch([], flush=True)
+                # route through run() so the trailing flush also commits
+                # under the job lease (ADVICE: it used to commit lock-free)
+                self.run(flush_at_end=True)
         return self.status()
 
     def run(
@@ -629,6 +680,7 @@ class StreamingJob:
                 max_epochs=max_epochs,
                 flush_at_end=flush_at_end,
                 pipeline_depth=pipeline_depth,
+                lease=lease,
             )
         finally:
             lease.release()
@@ -639,6 +691,7 @@ class StreamingJob:
         max_epochs: int | None,
         flush_at_end: bool,
         pipeline_depth: int,
+        lease=None,
     ) -> dict:
         self.store.gc_uncommitted()
         last_commit = self.store.last_committed()
@@ -657,7 +710,7 @@ class StreamingJob:
                         f"({prev_cfg['operators']} -> {self.cfg.operators}) "
                         "is undefined mid-stream; destroy() the job first"
                     )
-        pending = self.discover_files()[self._file_cursor() :]
+        pending = self._pending_files()
         fpe = self.cfg.files_per_epoch
         batches = [pending[i : i + fpe] for i in range(0, len(pending), fpe)]
         consumed_all = True
@@ -702,9 +755,16 @@ class StreamingJob:
                 inflight.append((epoch, files, flush, time.time(), refs))
                 while len(inflight) >= pipeline_depth:
                     e0, f0, fl0, t0, r0 = inflight.pop(0)
-                    self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
+                    self._commit_epoch(e0, f0, ray.get(r0), fl0, t0)
+                    # keep the lease fresh across long runs: without renewal
+                    # any run > ttl looked stale and a second driver could
+                    # break the lock mid-commit-sequence
+                    if lease is not None:
+                        lease.renew()
             for e0, f0, fl0, t0, r0 in inflight:
-                self._commit_epoch(e0, len(f0), ray.get(r0), fl0, t0)
+                self._commit_epoch(e0, f0, ray.get(r0), fl0, t0)
+                if lease is not None:
+                    lease.renew()
         finally:
             if actors is not None:
                 for a in actors.values():

@@ -53,17 +53,29 @@ class ExactlyOnceParquetSink:
         occupy after :meth:`promote`. Safe to re-run (overwrites the stage)."""
         final = self.file_path(op, partition, epoch, watermark_us)
         os.makedirs(os.path.dirname(final), exist_ok=True)
-        pq.write_table(table, final + ".tmp")
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp)
+        # fsync the staged bytes: the manifest commit is fsynced, so a
+        # power loss must not leave a committed manifest referencing a
+        # truncated sink file (durability parity with the checkpoint store)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         return final
 
     @staticmethod
     def promote(final_paths: list[str]) -> None:
         """Second phase: atomic renames. Idempotent — a missing .tmp with the
         final file present means a previous attempt already promoted it."""
+        from dstream_ray.state.checkpoint import fsync_dir
+
         for final in final_paths:
             tmp = final + ".tmp"
             if os.path.exists(tmp):
                 os.replace(tmp, final)
+                fsync_dir(os.path.dirname(final))
             elif not os.path.exists(final):
                 raise FileNotFoundError(f"neither staged nor final file exists: {final}")
 

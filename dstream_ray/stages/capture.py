@@ -21,6 +21,7 @@ def relay_kernel(
     state: dict,
     *,
     flush: bool = False,
+    evict_idle_us: int | None = None,
 ) -> tuple[pa.Table, dict]:
     """Accept-and-order raw transcript rows for one partition-epoch.
 
@@ -29,10 +30,29 @@ def relay_kernel(
     and are dropped; the cursor advances to ``last accepted + 1`` only here —
     and is persisted only after the sink publish succeeds (the caller's
     two-phase commit), matching publish-then-advance.
+
+    ``evict_idle_us``: optional watermark-based cursor eviction — a conv
+    whose last accepted event time is more than this far behind the
+    partition's event-time watermark drops its cursor, bounding state on
+    unbounded streams (otherwise the snapshot re-pickles O(all convs ever)
+    each epoch). Tradeoff, as in any CDC retention window: rows for an
+    evicted conv replayed AFTER eviction would be re-accepted, so the
+    eviction TTL must exceed the upstream's maximum replay lag.
     """
     next_turn: dict = dict(state.get("next_turn", {}))
+    track_ts = evict_idle_us is not None
+    last_ts: dict = dict(state.get("last_ts", {})) if track_ts else {}
+    wm_us = int(state.get("wm_us", -1))
+
+    def _state() -> dict:
+        out = {"next_turn": next_turn}
+        if track_ts:
+            out["last_ts"] = last_ts
+            out["wm_us"] = wm_us
+        return out
+
     if new_rows.num_rows == 0:
-        return new_rows, {"next_turn": next_turn}
+        return new_rows, _state()
     conv = new_rows["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
@@ -54,6 +74,23 @@ def relay_kernel(
     if len(codes_a):
         a_starts = np.flatnonzero(np.r_[True, codes_a[1:] != codes_a[:-1]])
         a_ends = np.r_[a_starts[1:], len(codes_a)]
-        for s, e in zip(a_starts, a_ends):
-            next_turn[names[codes_a[s]]] = int(turn_a[e - 1]) + 1
-    return out, {"next_turn": next_turn}
+        if track_ts:
+            ts_a = (
+                out["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+                if isinstance(out["ts"], pa.ChunkedArray)
+                else out["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            seg_max = np.maximum.reduceat(ts_a, a_starts)
+        for i, (s, e) in enumerate(zip(a_starts, a_ends)):
+            nm = names[codes_a[s]]
+            next_turn[nm] = int(turn_a[e - 1]) + 1
+            if track_ts:
+                last_ts[nm] = max(int(seg_max[i]), last_ts.get(nm, -1))
+        if track_ts and len(ts_a):
+            wm_us = max(wm_us, int(seg_max.max()))
+    if track_ts and last_ts:
+        cutoff = wm_us - evict_idle_us
+        for nm in [n for n, t in last_ts.items() if t < cutoff]:
+            del last_ts[nm]
+            next_turn.pop(nm, None)
+    return out, _state()

@@ -71,6 +71,8 @@ def cep_kernel(
     pattern: str = DEFAULT_PATTERN,
     flush: bool = False,
     max_suffix: int = 4096,
+    evict_idle_us: int | None = None,
+    watermark_us: int | None = None,
 ) -> tuple[pa.Table, dict]:
     """STREAMING CEP: count non-overlapping pattern matches per conv across
     micro-batch epochs. Carried state per conv = (match count so far, the
@@ -87,14 +89,26 @@ def cep_kernel(
     two streamed matches at an epoch boundary). Epoch-split invariance for
     the supported patterns is pinned by tests.
 
-    Emits (conv_id, n_matches) for every conv seen, at flush only.
+    Emits (conv_id, n_matches) for every conv seen, at flush — plus, when
+    ``evict_idle_us`` is set, EARLY for convs whose last event time falls
+    more than that far behind ``watermark_us`` (the engine supplies the
+    partition watermark): their count is published now and their state
+    dropped, so a forever-running follow job both bounds its state and
+    keeps publishing results instead of staying silent until idle. A conv
+    that reappears after eviction emits an additional row; counts are
+    additive per segment (sum per conv on read), modulo matches that would
+    have spanned the eviction boundary — the standard CEP buffer-timeout
+    tradeoff.
     """
     counts: dict = dict(state.get("counts", {}))
     suffix: dict = dict(state.get("suffix", {}))
+    track_ts = evict_idle_us is not None
+    last_ts: dict = dict(state.get("last_ts", {})) if track_ts else {}
     rx = re.compile(pattern)
 
     if new_rows.num_rows:
-        cols = prep(to_residual_rows(new_rows) if "ts" in new_rows.column_names else new_rows)
+        rows = to_residual_rows(new_rows) if "ts" in new_rows.column_names else new_rows
+        cols = prep(rows)
         import pyarrow.compute as pc
 
         role_col = cols.origin["role"]
@@ -106,6 +120,8 @@ def cep_kernel(
             .to_pylist(),
             dtype=object,
         )
+        if track_ts:
+            ts_sorted = cols.ts  # residual-layout µs, already sort-permuted
         names = cols.conv_names()
         for code, (s, e) in zip(
             cols.codes[cols.starts], zip(cols.starts, cols.ends)
@@ -119,21 +135,30 @@ def cep_kernel(
                 last_end = m.end()
             counts[nm] = counts.get(nm, 0) + n
             suffix[nm] = seq[last_end:][-max_suffix:]
+            if track_ts:
+                last_ts[nm] = max(int(ts_sorted[s:e].max()), last_ts.get(nm, -1))
 
-    if not flush:
-        return (
-            pa.table(
-                {
-                    "conv_id": pa.array([], type=pa.string()),
-                    "n_matches": pa.array([], type=pa.int64()),
-                }
-            ),
-            {"counts": counts, "suffix": suffix},
-        )
+    emit_names: list[str] = []
+    emit_counts: list[int] = []
+    if track_ts and watermark_us is not None and not flush:
+        cutoff = watermark_us - evict_idle_us
+        for nm in [n for n, t in last_ts.items() if t < cutoff]:
+            emit_names.append(nm)
+            emit_counts.append(counts.pop(nm, 0))
+            suffix.pop(nm, None)
+            del last_ts[nm]
+
+    if flush:
+        emit_names.extend(counts.keys())
+        emit_counts.extend(counts.values())
+        counts, suffix, last_ts = {}, {}, {}
     out = pa.table(
         {
-            "conv_id": pa.array(list(counts.keys()), type=pa.string()),
-            "n_matches": pa.array(list(counts.values()), type=pa.int64()),
+            "conv_id": pa.array(emit_names, type=pa.string()),
+            "n_matches": pa.array(emit_counts, type=pa.int64()),
         }
     )
-    return out, {"counts": {}, "suffix": {}}
+    new_state = {"counts": counts, "suffix": suffix}
+    if track_ts:
+        new_state["last_ts"] = last_ts
+    return out, new_state

@@ -225,6 +225,29 @@ def tumbling_kernel(
     bucket = cols.ts // w_us
     late_drops = int(state.get("late_drops", 0))
     emitted_below = state.get("emitted_below")
+    # Per-conv flush cursors (conv closure): a flush force-closes every open
+    # bucket, so post-flush rows landing in an already-published bucket are
+    # LATE relative to that forced closure — dropped and counted, exactly
+    # like watermark mode — which is what makes flush NON-terminal (a later
+    # run can keep consuming without re-emitting committed window ids).
+    emitted_below_conv: dict = dict(state.get("emitted_below_conv", {}))
+    if closure == "conv" and emitted_below_conv:
+        names = cols.conv_names()
+        lo_by_code = np.array(
+            [emitted_below_conv.get(nm, _I64MIN) for nm in names], dtype=np.int64
+        )
+        keep = bucket >= lo_by_code[cols.codes]
+        if not keep.all():
+            late_drops += int((~keep).sum())
+            cols = prep(_take(cols, keep))
+            n = len(cols.codes)
+            if n == 0:
+                return _TUMBLING_EMPTY, {
+                    "residual": None,
+                    "emitted_below_conv": emitted_below_conv,
+                    "late_drops": late_drops,
+                }
+            bucket = cols.ts // w_us
     if closure == "watermark" and emitted_below is not None:
         # drop rows behind the emission cursor (replay/late protection)
         keep = bucket >= emitted_below
@@ -241,10 +264,33 @@ def tumbling_kernel(
             bucket = cols.ts // w_us
     starts, agg = _group_agg([bucket], cols)
     # open bucket per conv = bucket of the conv's last row
-    open_bucket = np.repeat(_conv_last(bucket, cols), cols.ends - cols.starts)
+    conv_last_bucket = _conv_last(bucket, cols)
+    open_bucket = np.repeat(conv_last_bucket, cols.ends - cols.starts)
     if flush:
         emit_run = np.ones(len(starts), dtype=bool)
         residual = None
+        if closure == "watermark":
+            return (
+                _tumbling_emit(cols, bucket, starts, agg, emit_run),
+                {
+                    "residual": None,
+                    # everything emitted: the cursor moves past the highest
+                    # bucket (the old code carried the stale pre-flush value)
+                    "emitted_below": int(bucket.max()) + 1,
+                    "late_drops": late_drops,
+                },
+            )
+        names = cols.conv_names()
+        for s, b_last in zip(cols.starts, conv_last_bucket):
+            emitted_below_conv[names[cols.codes[s]]] = int(b_last) + 1
+        return (
+            _tumbling_emit(cols, bucket, starts, agg, emit_run),
+            {
+                "residual": None,
+                "emitted_below_conv": emitted_below_conv,
+                "late_drops": late_drops,
+            },
+        )
     elif closure == "watermark":
         wm_bucket = (watermark_us if watermark_us is not None else -1) // w_us
         row_open = bucket >= wm_bucket  # bucket closes when its end <= wm
@@ -263,13 +309,11 @@ def tumbling_kernel(
         emit_run = ~row_open[starts]
         residual = _take(cols, row_open)
     out = _tumbling_emit(cols, bucket, starts, agg, emit_run)
-    if closure == "watermark":
-        return out, {
-            "residual": residual,
-            "emitted_below": emitted_below,
-            "late_drops": late_drops,
-        }
-    return out, {"residual": residual}
+    return out, {
+        "residual": residual,
+        "emitted_below_conv": emitted_below_conv,
+        "late_drops": late_drops,
+    }
 
 
 def _tumbling_emit(cols, bucket, starts, agg, emit_run) -> pa.Table:
@@ -349,6 +393,11 @@ def sliding_kernel(
     lo_by_code = np.array([emitted_below.get(nm, _I64MIN) for nm in names])
     if flush:
         hi_by_code = np.full(len(names), np.iinfo(np.int64).max)
+        # flush force-closes every window: persist the cursor past each
+        # conv's top bucket so a post-flush continuation can't re-emit a
+        # published window id (flush is non-terminal)
+        for i, nm in enumerate(names):
+            emitted_below[nm] = int(max(lo_by_code[i], maxb_per_conv[i] + 1))
     else:
         hi_by_code = maxb_per_conv - k + 1
         for i, nm in enumerate(names):
@@ -369,7 +418,7 @@ def sliding_kernel(
         }
     )
     if flush:
-        return out, {"residual": None, "emitted_below": {}}
+        return out, {"residual": None, "emitted_below": emitted_below}
     # residual: rows whose top bucket still touches an open window
     keep_thresh = np.repeat(maxb_per_conv - k + 1, cols.ends - cols.starts)
     residual = _take(cols, b >= keep_thresh)
@@ -439,19 +488,23 @@ def session_kernel(
     run_codes = cols.codes[starts]
     run_sess = sess[starts]
     base = base_by_code[run_codes]
+    conv_last_sess = _conv_last(sess, cols)
+    last_by_code = np.empty(len(names), dtype=np.int64)
+    last_by_code[cols.codes[cols.starts]] = conv_last_sess
     if flush:
         emit_run = np.ones(len(starts), dtype=bool)
         residual = None
-        closed_count = {}
+        # flush emits the open session too: advance past it so a post-flush
+        # continuation numbers NEW sessions after the published ones
+        # (flush is non-terminal; absent convs keep their counts)
+        for code, nm in enumerate(names):
+            closed_count[nm] = closed_count.get(nm, 0) + int(last_by_code[code]) + 1
     else:
         row_open = sess == last_sess_per_conv
         emit_run = ~row_open[starts]
         residual = _take(cols, row_open)
         # advance closed_count: sessions 0..last-1 closed this epoch
         # (conv segments are contiguous; map code -> its last session index)
-        conv_last_sess = _conv_last(sess, cols)
-        last_by_code = np.empty(len(names), dtype=np.int64)
-        last_by_code[cols.codes[cols.starts]] = conv_last_sess
         for code, nm in enumerate(names):
             if last_by_code[code] > 0:
                 closed_count[nm] = closed_count.get(nm, 0) + int(last_by_code[code])
@@ -528,18 +581,22 @@ def session_join_kernel(
     is_pair = cols.is_tool & (last_user >= 0)
     names = cols.conv_names()
     base_by_code = np.array([closed_count.get(nm, 0) for nm in names], dtype=np.int64)
+    conv_last_sess = _conv_last(sess, cols)
+    last_by_code = np.empty(len(names), dtype=np.int64)
+    last_by_code[cols.codes[cols.starts]] = conv_last_sess
     if flush:
         emit = is_pair
         residual = None
-        new_closed = {}
+        # non-terminal flush: advance past the published open session so a
+        # continuation numbers new sessions after it (see session_kernel)
+        new_closed = dict(closed_count)
+        for code, nm in enumerate(names):
+            new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code]) + 1
     else:
         closed_row = sess != last_sess_per_conv
         emit = is_pair & closed_row
         residual = _take(cols, ~closed_row)
         new_closed = dict(closed_count)
-        conv_last_sess = _conv_last(sess, cols)
-        last_by_code = np.empty(len(names), dtype=np.int64)
-        last_by_code[cols.codes[cols.starts]] = conv_last_sess
         for code, nm in enumerate(names):
             if last_by_code[code] > 0:
                 new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code])
@@ -554,8 +611,6 @@ def session_join_kernel(
             "tool": emitted["tool"],
         }
     )
-    if flush:
-        return out, {"residual": None, "closed_count": {}}
     return out, {"residual": residual, "closed_count": new_closed}
 
 
@@ -597,20 +652,23 @@ def session_with_join_kernel(
     last_user = _last_user_turn(cols, sess)
     is_pair = cols.is_tool & (last_user >= 0)
 
+    conv_last_sess = _conv_last(sess, cols)
+    last_by_code = np.empty(len(names), dtype=np.int64)
+    last_by_code[cols.codes[cols.starts]] = conv_last_sess
     if flush:
         emit_run = np.ones(len(starts), dtype=bool)
         emit_pair = is_pair
         residual = None
-        new_closed: dict = {}
+        # non-terminal flush: advance past the published open session
+        new_closed = dict(closed_count)
+        for code, nm in enumerate(names):
+            new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code]) + 1
     else:
         row_open = sess == last_sess_per_conv
         emit_run = ~row_open[starts]
         emit_pair = is_pair & ~row_open
         residual = _take(cols, row_open)
         new_closed = dict(closed_count)
-        conv_last_sess = _conv_last(sess, cols)
-        last_by_code = np.empty(len(names), dtype=np.int64)
-        last_by_code[cols.codes[cols.starts]] = conv_last_sess
         for code, nm in enumerate(names):
             if last_by_code[code] > 0:
                 new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code])
@@ -639,6 +697,4 @@ def session_with_join_kernel(
         }
     )
     out = {"session": session_out, "session_join": join_out}
-    if flush:
-        return out, {"residual": None, "closed_count": {}}
     return out, {"residual": residual, "closed_count": new_closed}

@@ -26,6 +26,18 @@ import pickle
 from typing import Any
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a directory so a preceding rename survives power loss."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class CheckpointStore:
     def __init__(self, root: str):
         self.root = root
@@ -71,6 +83,7 @@ class CheckpointStore:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        fsync_dir(os.path.dirname(path))
 
     def manifest(self, epoch: int) -> dict[str, Any]:
         with open(self._commit_path(epoch)) as fh:
@@ -87,7 +100,14 @@ class CheckpointStore:
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             pickle.dump(state, fh, protocol=pickle.HIGHEST_PROTOCOL)
+            # fsync BEFORE rename: the manifest commit is fsynced, so without
+            # this a power loss could leave a durably-committed manifest
+            # pointing at a truncated state pickle (publish-then-advance must
+            # hold for system crashes, not just process crashes)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
+        fsync_dir(os.path.dirname(path))
         return path
 
     def load_state(self, path: str | None) -> dict:

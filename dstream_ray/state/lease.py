@@ -27,24 +27,65 @@ class Lease:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
-    def acquire(self) -> bool:
-        """True if acquired (fresh, renewed, or broken-stale); False if held
-        by a live owner — the caller skips this cycle, like the reference
-        skips a locked table."""
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        now = time.time()
-        cur = self._read()
-        if cur is not None and cur["owner"] != self.owner:
-            if now - cur["ts"] < self.ttl_s:
-                return False  # held and fresh
-            # stale: break it (reference: 2-min stale TTL break)
+    def _write(self, now: float) -> None:
         tmp = f"{self.path}.{self.owner}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"owner": self.owner, "ts": now}, fh)
         os.replace(tmp, self.path)
-        # confirm we won (last-writer-wins on a local fs is atomic)
+
+    def acquire(self) -> bool:
+        """True if acquired (fresh, renewed, or broken-stale); False if held
+        by a live owner — the caller skips this cycle, like the reference
+        skips a locked table.
+
+        The stale-break is ATOMIC: breakers race on an O_CREAT|O_EXCL
+        sentinel keyed by the stale lease's timestamp, so exactly one breaker
+        wins even when several observe the same stale lease (write-then-
+        read-confirm was last-writer-wins — both could believe they held it).
+        """
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        now = time.time()
         cur = self._read()
-        return cur is not None and cur["owner"] == self.owner
+        if cur is None:
+            # free: exclusive create so two fresh acquirers can't both win
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    json.dump({"owner": self.owner, "ts": now}, fh)
+                return True
+            except FileExistsError:
+                cur = self._read()
+                if cur is None:
+                    return False  # creator mid-write; let the caller retry
+        if cur["owner"] == self.owner:
+            self._write(now)  # renewal: we own it, no competing writer
+            return True
+        if now - cur["ts"] < self.ttl_s:
+            return False  # held and fresh
+        # stale: exactly one breaker may win this generation
+        sentinel = f"{self.path}.break-{int(cur['ts'] * 1e6)}"
+        try:
+            fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # another breaker won this generation — unless IT crashed
+            # mid-break and its sentinel is itself stale
+            try:
+                if time.time() - os.path.getmtime(sentinel) < self.ttl_s:
+                    return False
+                os.remove(sentinel)
+            except FileNotFoundError:
+                pass
+            return self.acquire()
+        try:
+            self._write(now)
+            cur = self._read()
+            return cur is not None and cur["owner"] == self.owner
+        finally:
+            try:
+                os.remove(sentinel)
+            except FileNotFoundError:
+                pass
 
     def renew(self) -> bool:
         cur = self._read()

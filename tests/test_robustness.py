@@ -1,0 +1,228 @@
+"""Round-2 robustness semantics: non-terminal flush (no duplicate window /
+session ids on continuation), bounded streaming state (relay + CEP
+eviction), atomic lease stale-break, and loud out-of-order shard detection.
+"""
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+from dstream_ray.sources.transcripts import generate_transcripts
+from dstream_ray.stages.capture import relay_kernel
+from dstream_ray.stages.cep import cep_kernel, cep_pattern_kernel
+from dstream_ray.stages.windows import to_residual_rows
+from dstream_ray.state.lease import Lease
+
+
+def _shift_feed(tbl: pa.Table, turn_offset: int, ts_offset_us: int) -> pa.Table:
+    """Same convs, later turns/timestamps — a continuation batch."""
+    turn = pa.array(
+        tbl["turn_idx"].to_numpy(zero_copy_only=False) + turn_offset, type=pa.int32()
+    )
+    ts = pa.array(
+        tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) + ts_offset_us
+    ).cast(pa.timestamp("us"))
+    out = tbl.set_column(tbl.column_names.index("turn_idx"), "turn_idx", turn)
+    return out.set_column(out.column_names.index("ts"), "ts", ts)
+
+
+def test_flush_then_continue_no_duplicate_window_ids(ray_session, tmp_path):
+    """Flush is non-terminal: a continued stream (same convs, later data)
+    must not re-emit committed (conv, session/window) ids, and session
+    numbering must continue after the published sessions."""
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    base = generate_transcripts(n_convs=12, mean_turns=8, seed=31, session_gap_s=120)
+    pq.write_table(base, str(feed / "feed-0001.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed),
+        out_dir=str(tmp_path / "out"),
+        num_partitions=2,
+        files_per_epoch=1,
+        operators={"session": {"gap_s": 120}, "tumbling": {"width_s": 3600}},
+    )
+    StreamingJob(cfg).run()  # flushes at end
+    # continuation: same convs, turns continue, timestamps far beyond every
+    # open window/session
+    cont = _shift_feed(base, turn_offset=1000, ts_offset_us=30 * 24 * 3600 * 1_000_000)
+    pq.write_table(cont, str(feed / "feed-0002.parquet"))
+    job = StreamingJob(cfg)
+    job.run()
+
+    sess = job.sink.read_op("session").to_pandas()
+    dup_sess = sess.groupby(["conv_id", "session_id"]).size()
+    assert (dup_sess == 1).all(), dup_sess[dup_sess > 1]
+    # numbering continued: second batch produced ids above the first flush's
+    per_conv = sess.groupby("conv_id")["session_id"].agg(["count", "max"])
+    assert (per_conv["max"] == per_conv["count"] - 1).all()
+
+    tumb = job.sink.read_op("tumbling").to_pandas()
+    dup_tumb = tumb.groupby(["conv_id", "window_id"]).size()
+    assert (dup_tumb == 1).all(), dup_tumb[dup_tumb > 1]
+
+
+def test_flush_then_same_bucket_rows_are_late_dropped(ray_session, tmp_path):
+    """Continuation rows landing in an already-published tumbling bucket are
+    dropped (counted), not re-emitted as a duplicate window id."""
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    base = generate_transcripts(n_convs=6, mean_turns=5, seed=33)
+    pq.write_table(base, str(feed / "feed-0001.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed),
+        out_dir=str(tmp_path / "out"),
+        num_partitions=2,
+        files_per_epoch=1,
+        operators={"tumbling": {"width_s": 24 * 3600}},
+    )
+    StreamingJob(cfg).run()
+    # same convs, SAME day-bucket (tiny ts advance), later turn ids
+    cont = _shift_feed(base, turn_offset=1000, ts_offset_us=1_000_000)
+    pq.write_table(cont, str(feed / "feed-0002.parquet"))
+    job = StreamingJob(cfg)
+    job.run()
+    tumb = job.sink.read_op("tumbling").to_pandas()
+    dup = tumb.groupby(["conv_id", "window_id"]).size()
+    assert (dup == 1).all(), dup[dup > 1]
+
+
+def test_relay_eviction_bounds_state():
+    """K epochs of disjoint convs: with eviction the cursor dict plateaus;
+    without it, it grows with every conv ever seen."""
+    evicted_state: dict = {}
+    unbounded_state: dict = {}
+    sizes = []
+    for ep in range(8):
+        tbl = generate_transcripts(
+            n_convs=20, mean_turns=4, seed=100 + ep,
+            start_us=1_700_000_000_000_000 + ep * 10**12,  # ~11.6 days apart
+        )
+        conv = pa.array([f"ep{ep}-{c}" for c in tbl["conv_id"].to_pylist()])
+        tbl = tbl.set_column(0, "conv_id", conv)
+        _, evicted_state = relay_kernel(
+            tbl, evicted_state, evict_idle_us=10**11  # ~1.16 days idle TTL
+        )
+        _, unbounded_state = relay_kernel(tbl, unbounded_state)
+        sizes.append(len(evicted_state["next_turn"]))
+    assert len(unbounded_state["next_turn"]) == 8 * 20
+    assert max(sizes) <= 2 * 20, sizes  # plateaus at ~one epoch's convs
+    # eviction never broke dedup for LIVE convs: replay the last epoch
+    out, evicted_state = relay_kernel(tbl, evicted_state, evict_idle_us=10**11)
+    assert out.num_rows == 0  # fully deduped
+
+
+def test_cep_eviction_emits_early_and_totals_match():
+    """CEP with idle eviction publishes idle convs' counts BEFORE flush, and
+    per-conv totals still equal the batch kernel's counts."""
+    epochs = []
+    for ep in range(4):
+        tbl = generate_transcripts(
+            n_convs=10, mean_turns=6, seed=200 + ep,
+            start_us=1_700_000_000_000_000 + ep * 10**12,
+        )
+        conv = pa.array([f"ep{ep}-{c}" for c in tbl["conv_id"].to_pylist()])
+        epochs.append(tbl.set_column(0, "conv_id", conv))
+    state: dict = {}
+    early_rows = 0
+    outs = []
+    wm = -1
+    for i, tbl in enumerate(epochs):
+        wm = max(wm, int(tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).max()))
+        out, state = cep_kernel(
+            to_residual_rows(tbl), state, pattern="ua*t",
+            flush=(i == len(epochs) - 1),
+            evict_idle_us=10**11, watermark_us=wm,
+        )
+        if i < len(epochs) - 1:
+            early_rows += out.num_rows
+        outs.append(out)
+    assert early_rows > 0  # published before the flush
+    got = pa.concat_tables(outs).to_pandas().groupby("conv_id")["n_matches"].sum()
+    full = pa.concat_tables(epochs)
+    exp = cep_pattern_kernel(full, pattern="ua*t").to_pandas().set_index("conv_id")["n_matches"]
+    assert got.sort_index().equals(exp.sort_index())
+    assert len(state["counts"]) == 0  # flush drained everything
+
+
+def test_lease_stale_break_is_atomic(tmp_path):
+    path = str(tmp_path / "job.lock")
+    a = Lease(path, owner="A", ttl_s=0.2)
+    assert a.acquire()
+    time.sleep(0.3)  # A's lease goes stale
+    b = Lease(path, owner="B", ttl_s=0.2)
+    assert b.acquire()  # breaks the stale lease via the sentinel
+    # A no longer holds it
+    assert not Lease(path, owner="A", ttl_s=0.2).renew()
+    # a rival breaker blocked by a FRESH sentinel cannot also win
+    time.sleep(0.3)  # B stale now
+    cur_ts = __import__("json").load(open(path))["ts"]
+    sentinel = f"{path}.break-{int(cur_ts * 1e6)}"
+    open(sentinel, "w").close()  # simulate a concurrent breaker mid-break
+    assert not Lease(path, owner="C", ttl_s=60).acquire()
+    os.remove(sentinel)
+
+
+def test_out_of_order_shard_fails_loudly(ray_session, tmp_path):
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    t = generate_transcripts(n_convs=5, mean_turns=3, seed=41)
+    pq.write_table(t, str(feed / "feed-0005.parquet"))
+    pq.write_table(t, str(feed / "feed-0006.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=2,
+        operators={"session": {"gap_s": 120}},
+    )
+    StreamingJob(cfg).run()
+    # a shard lands with a name BEFORE the committed high-water shard
+    pq.write_table(t, str(feed / "feed-0001.parquet"))
+    with pytest.raises(RuntimeError, match="ordering violation"):
+        StreamingJob(cfg).plan()
+
+
+def test_engine_cep_eviction_publishes_before_flush(ray_session, tmp_path):
+    """Engine-level: cep with evict_idle_s publishes idle convs' counts in
+    data epochs (not only at flush), and totals match the batch kernel."""
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    tables = []
+    for ep in range(3):
+        tbl = generate_transcripts(
+            n_convs=8, mean_turns=6, seed=300 + ep,
+            start_us=1_700_000_000_000_000 + ep * 10**12,
+        )
+        conv = pa.array([f"ep{ep}-{c}" for c in tbl["conv_id"].to_pylist()])
+        tbl = tbl.set_column(0, "conv_id", conv)
+        tables.append(tbl)
+        pq.write_table(tbl, str(feed / f"feed-{ep:04d}.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=1,
+        operators={"cep": {"pattern": "ua*t", "evict_idle_s": 100_000}},
+        relay_evict_idle_s=100_000,
+    )
+    job = StreamingJob(cfg)
+    job.run(flush_at_end=False, pipeline_depth=1)  # data epochs only
+    partial = job.sink.read_op("cep")
+    assert partial is not None and partial.num_rows > 0  # published pre-flush
+    job2 = StreamingJob(cfg)
+    job2.run()  # trailing flush epoch drains the rest
+    got = (
+        job2.sink.read_op("cep")
+        .to_pandas()
+        .groupby("conv_id")["n_matches"]
+        .sum()
+        .sort_index()
+    )
+    exp = (
+        cep_pattern_kernel(pa.concat_tables(tables), pattern="ua*t")
+        .to_pandas()
+        .set_index("conv_id")["n_matches"]
+        .sort_index()
+    )
+    assert got.equals(exp)
