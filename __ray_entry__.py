@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_features": d.q_multimodal_features,
         "hll_distinct_users": d.q_hll_distinct_users,  # rows-only (approx; pytest bounds error)
+        "hll_registers": d.q_hll_registers,  # the sketch itself, oracle-gated vs SQL-computed HLL
     }
 
 

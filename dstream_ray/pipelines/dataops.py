@@ -432,6 +432,35 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     return hll_merge_partials(parts)
 
 
+def q_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """The HLL sketch itself, oracle-gated: merged (key, bucket, rank)
+    registers per event_type. DuckDB recomputes fmix64(fnv1a(user_id)) with
+    exact 64-bit wraparound arithmetic, so the sketch — not just its
+    estimate — is value-hash-checked against SQL. Same mergeable-partial
+    pipeline as :func:`q_hll_distinct_users`."""
+    from dstream_ray.pipelines.queries import _tuned_read
+    from dstream_ray.stages.sketches import HLL, hll_partial_batch
+
+    ds = _tuned_read(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    parts = ds.map_batches(
+        lambda b: hll_partial_batch(b, key_col="event_type", value_col="user_id"),
+        batch_format="pyarrow",
+    ).to_pandas()
+    rows = []
+    for k, g in parts.groupby("key"):
+        h = HLL()
+        for blob in g["sketch"]:
+            h = h.merge(HLL.from_bytes(bytes(blob)))
+        nz = np.flatnonzero(h.registers)
+        for b in nz:
+            rows.append((k, int(b), int(h.registers[b])))
+    return pd.DataFrame(rows, columns=["key", "bucket", "rank"]).astype(
+        {"bucket": "int64", "rank": "int64"}
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (the coarse-quantizer scale path)
 # ---------------------------------------------------------------------------

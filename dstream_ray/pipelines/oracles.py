@@ -331,3 +331,76 @@ FROM events s LEFT JOIN events p
 WHERE s.event_type = 'signup'
 GROUP BY 1, 2
 """
+
+
+# Winnowing rolling fingerprint: min over byte windows of the polynomial
+# hash sum(b[j+t] * B^(15-t)) mod 2^64 (B=1000003, window=16), short docs =
+# Horner over all bytes. Documents are ASCII so ord(char) == utf-8 byte.
+# Exactly mirrors stages/text.rolling_fingerprint (pinned in round 2).
+ORACLE_SQL["doc_fingerprint_rolling"] = """
+WITH chars AS (
+  SELECT doc_id, list_transform(split(text, ''), c -> ord(c)::HUGEINT) AS cs,
+         length(text) AS n
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    CASE
+      WHEN n = 0 THEN 0::HUGEINT
+      WHEN n < 16 THEN list_reduce(cs, (a, b) -> (a * 1000003 + b) % (1::HUGEINT << 64))
+      ELSE list_min(list_transform(generate_series(1, n - 15),
+        j -> list_sum(list_transform(generate_series(1, 16),
+               t -> cs[j + t - 1] * ([6397295411589846571::HUGEINT,5600660903763878393::HUGEINT,14911146631531166995::HUGEINT,15642640937032856817::HUGEINT,2455841760392682171::HUGEINT,5231796974404119081::HUGEINT,3634980586811902243::HUGEINT,1460077494926286753::HUGEINT,12924618581234127435::HUGEINT,10923514805226455897::HUGEINT,14453212906556403763::HUGEINT,14003818205314896721::HUGEINT,1000009000027000027::HUGEINT,1000006000009::HUGEINT,1000003::HUGEINT,1::HUGEINT])[t])) % (1::HUGEINT << 64)))
+    END AS h
+  FROM chars
+)
+SELECT doc_id,
+       CASE WHEN h >= (1::HUGEINT << 63) THEN (h - (1::HUGEINT << 64))::BIGINT
+            ELSE h::BIGINT END AS fingerprint64
+FROM hashed
+"""
+
+# HLL registers, computed EXACTLY in SQL: per distinct (event_type, user),
+# h = fmix64(fnv1a(str(user_id))) with 64-bit wraparound arithmetic emulated
+# in HUGEINT (the fmix multiplications are split at 32 bits to stay inside
+# HUGEINT range); bucket = top 12 bits, rank = leading zeros of the rest +1
+# via an exact threshold scan (no float log2). Register table == the merged
+# HLL sketch of stages/sketches.HLL — the sketch op's oracle gate.
+ORACLE_SQL["hll_registers"] = """
+WITH duv AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+), fnv AS (
+  SELECT event_type,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(uid, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % (1::HUGEINT << 64)
+    ) AS h0
+  FROM duv
+), mix1 AS (
+  SELECT event_type, xor(h0, h0 >> 33) AS h1 FROM fnv
+), mul1 AS (
+  SELECT event_type,
+    ( ((h1 >> 32) * 18397679294719823053::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h1 % (1::HUGEINT << 32)) * 18397679294719823053::HUGEINT ) % (1::HUGEINT << 64) AS h2
+  FROM mix1
+), mix2 AS (
+  SELECT event_type, xor(h2, h2 >> 33) AS h3 FROM mul1
+), mul2 AS (
+  SELECT event_type,
+    ( ((h3 >> 32) * 14181476777654086739::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h3 % (1::HUGEINT << 32)) * 14181476777654086739::HUGEINT ) % (1::HUGEINT << 64) AS h4
+  FROM mix2
+), mixed AS (
+  SELECT event_type, xor(h4, h4 >> 33) AS h FROM mul2
+), br AS (
+  SELECT event_type,
+    (h >> 52)::BIGINT AS bucket,
+    CASE WHEN (h << 12) % (1::HUGEINT << 64) = 0 THEN 53
+         ELSE list_filter(generate_series(1, 53),
+                r -> (h << 12) % (1::HUGEINT << 64) >= (1::HUGEINT << (64 - r)))[1]
+    END AS rank
+  FROM mixed
+)
+SELECT event_type AS key, bucket, CAST(MAX(rank) AS BIGINT) AS rank
+FROM br GROUP BY 1, 2
+"""

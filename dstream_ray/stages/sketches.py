@@ -36,13 +36,19 @@ class HLL:
             h ^= h >> np.uint64(33)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
-        # rank = leading zeros of `rest` + 1 (capped at 64-p+1)
+        # rank = leading zeros of `rest` + 1 (capped at 64-p+1), EXACT via a
+        # vectorized binary search (the uint64->float log2 trick rounds near
+        # powers of two, which would break the SQL-oracle register parity)
         rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
         nz = rest != 0
-        # count leading zeros via float trick is lossy; do it with log2
-        bits = np.zeros(len(h), dtype=np.uint64)
-        bits[nz] = np.uint64(63) - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.uint64)
-        rank[nz] = (bits[nz] + 1).astype(np.uint8)
+        if nz.any():
+            x = rest[nz].copy()
+            lz = np.zeros(len(x), dtype=np.uint8)
+            for s in (32, 16, 8, 4, 2, 1):
+                m = x < (np.uint64(1) << np.uint64(64 - s))
+                lz[m] += s
+                x[m] <<= np.uint64(s)
+            rank[nz] = np.minimum(lz + 1, 64 - self.p + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     def add_strings(self, values) -> None:
