@@ -103,11 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_markers": d.q_langid_markers,
         "lang_stats": d.q_lang_stats,
         "doc_fingerprint": d.q_doc_fingerprint,
-        "doc_fingerprint_rolling": d.q_doc_fingerprint_rolling,  # rows-only
+        "doc_fingerprint_rolling": d.q_doc_fingerprint_rolling,  # SQL-gated (HUGEINT rolling hash)
         # training-data ops: dedup family
         "dedup_exact": d.q_dedup_exact,
-        "minhash_dedup": d.q_minhash_dedup,  # rows-only (+ pytest vs brute force)
-        "simhash": d.q_simhash,  # rows-only
+        "minhash_dedup": d.q_minhash_dedup,  # full pipeline SQL-gated (recursive-CTE components)
+        "simhash": d.q_simhash,  # SQL-gated (exact FNV+majority-bit recomputation)
         "ngram_jaccard": d.q_ngram_jaccard,
         "embedding_neardup": d.q_embedding_neardup,
         # training-data ops: similarity search

@@ -198,8 +198,8 @@ def q_minhash_dedup(sf_dir: str):
     )
 
     def verify(b: pa.Table) -> pa.Table:
-        ja = dedup.pair_jaccard_batch(b["text_a"], b["text_b"])
-        keep = ja >= 0.8
+        inter, union = dedup.pair_jaccard_counts_batch(b["text_a"], b["text_b"])
+        keep = 5 * inter >= 4 * union  # j >= 0.8 in exact integers
         return pa.table(
             {
                 "doc_a": b["doc_a"].filter(pa.array(keep)),

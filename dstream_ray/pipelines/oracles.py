@@ -404,3 +404,110 @@ WITH duv AS (
 SELECT event_type AS key, bucket, CAST(MAX(rank) AS BIGINT) AS rank
 FROM br GROUP BY 1, 2
 """
+
+
+# --- SimHash + MinHash dedup: exact SQL recomputation ----------------------
+# Both recompute the engine's FNV-1a token hashing with 64-bit wraparound in
+# HUGEINT. The MinHash permutation constants come from the SAME MinHasher
+# the pipeline uses, so the two sides cannot drift.
+
+_FNV_TOKEN = """list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(t, ''), c -> ord(c)::HUGEINT)),
+      (h, x) -> (xor(h, x) * 1099511628211) % (1::HUGEINT << 64))"""
+
+_TOKS_TH = f"""toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(ts, t -> {_FNV_TOKEN}) AS hs FROM toks
+)"""
+
+ORACLE_SQL["simhash"] = f"""
+WITH {_TOKS_TH}, sh AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN 0::HUGEINT
+         ELSE list_sum(list_transform(generate_series(0, 63), i ->
+            CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> i) % 2)::BIGINT))
+                      > len(hs)
+                 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END))
+    END AS h
+  FROM th
+)
+SELECT doc_id,
+  CASE WHEN h >= (1::HUGEINT << 63) THEN (h - (1::HUGEINT << 64))::BIGINT ELSE h::BIGINT END AS simhash,
+  (h % 65536)::BIGINT AS band0
+FROM sh
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    from dstream_ray.stages.dedup import MinHasher
+
+    mh = MinHasher()
+    A = "[" + ",".join(f"{x}::HUGEINT" for x in mh.a) + "]"
+    B = "[" + ",".join(f"{x}::HUGEINT" for x in mh.b) + "]"
+    M64 = "(1::HUGEINT << 64)"
+    MERS = (1 << 61) - 1
+    return f"""
+WITH {_TOKS_TH}, shing AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []
+      WHEN len(hs) < 3 THEN [list_sum(hs) % {M64}]
+      ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2),
+        j -> ((hs[j] * 1000003 % {M64} + hs[j+1]) % {M64} * 1000003 % {M64} + hs[j+2]) % {M64}))
+    END AS sh
+  FROM th
+), shrows AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+), perms(k) AS (
+  SELECT unnest(generate_series(1, 64))
+), sigrows AS (
+  SELECT doc_id, perms.k,
+    MIN( (({A}[perms.k] * s) % {M64} + {B}[perms.k]) % {M64} % {MERS} ) AS sig
+  FROM shrows CROSS JOIN perms
+  GROUP BY doc_id, perms.k
+), dk AS (
+  SELECT d.doc_id, perms.k FROM documents d CROSS JOIN perms
+), allsig AS (
+  SELECT dk.doc_id, dk.k, coalesce(sr.sig, 0::HUGEINT) AS sig
+  FROM dk LEFT JOIN sigrows sr ON sr.doc_id = dk.doc_id AND sr.k = dk.k
+), bands AS (
+  SELECT doc_id, (k - 1) // 4 AS band_id,
+    list_reduce(list(sig ORDER BY k),
+                (acc, v) -> (acc * 1099511628211 % {M64} + v) % {M64}) AS band_hash
+  FROM allsig GROUP BY doc_id, (k - 1) // 4
+), cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN shing sa ON sa.doc_id = c.doc_a
+  JOIN shing sb ON sb.doc_id = c.doc_b
+  WHERE 5 * len(list_intersect(sa.sh, sb.sh))
+        >= 4 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
+), walk AS (
+  WITH RECURSIVE w(doc_id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.v, w.lbl FROM w JOIN sym s ON s.u = w.doc_id
+  )
+  SELECT doc_id, MIN(lbl) AS cluster_id FROM w GROUP BY doc_id
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM walk
+"""
+
+
+# The FULL MinHash+LSH dedup pipeline under the value-hash gate: DuckDB
+# recomputes shingles, 64 MinHash permutations (numpy wraparound semantics),
+# banded buckets, candidate self-join, exact-Jaccard verification (integer
+# 5*inter >= 4*union), and min-label components via a recursive CTE.
+ORACLE_SQL["minhash_dedup"] = _minhash_oracle_sql()

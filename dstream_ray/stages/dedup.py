@@ -346,6 +346,32 @@ def ngram_jaccard_pairs_group(group: pd.DataFrame, *, tau_x1000: int = 200) -> p
     )
 
 
+def pair_jaccard_counts_batch(texts_a, texts_b, w: int = 3):
+    """(intersection, union) set-counts for N (text_a, text_b) shingle-set
+    pairs — the exact-integer form of :func:`pair_jaccard_batch`, so a
+    threshold like j >= 4/5 can be evaluated as ``5*inter >= 4*union``
+    identically in numpy and SQL (no float division at the boundary)."""
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    va, offa = shingle_sets_batch(texts_a, w)
+    vb, offb = shingle_sets_batch(texts_b, w)
+    ca, cb = np.diff(offa), np.diff(offb)
+    pid = np.r_[
+        np.repeat(np.arange(n, dtype=np.int64), ca),
+        np.repeat(np.arange(n, dtype=np.int64), cb),
+    ]
+    val = np.r_[va, vb]
+    order = np.lexsort((val, pid))
+    pid_s, val_s = pid[order], val[order]
+    dup = np.zeros(len(val_s), dtype=bool)
+    if len(val_s) > 1:
+        dup[1:] = (pid_s[1:] == pid_s[:-1]) & (val_s[1:] == val_s[:-1])
+    inter = np.bincount(pid_s[dup], minlength=n).astype(np.int64)
+    union = (ca + cb - inter).astype(np.int64)
+    return inter, union
+
+
 def pair_jaccard_batch(texts_a, texts_b, w: int = 3) -> np.ndarray:
     """Exact shingle-Jaccard for N (text_a, text_b) pairs, vectorized.
 
