@@ -77,7 +77,8 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_doc_fingerprint_rolling(sf_dir: str):
-    """Winnowing rolling-hash fingerprint (rows-only: not SQL-expressible)."""
+    """Winnowing rolling-hash fingerprint, oracle-gated: DuckDB recomputes
+    the min-of-windows polynomial hash mod 2^64 in HUGEINT (oracles.py)."""
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         text.rolling_fingerprint, batch_format="pyarrow"
     )
@@ -162,43 +163,21 @@ def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clusters: shingle→minhash→band buckets (one
     groupby)→candidate pairs→exact-Jaccard verify→min-label components.
 
-    Scale shape: the verify stage JOINS candidate pairs back to doc texts
-    (two hash joins on doc_id) and scores each pair with the vectorized
-    shingle-Jaccard kernel inside ``map_batches`` — the corpus is never
-    broadcast and never materialized on the driver. Components run only over
-    edge-touched ids (verified near-dup pairs ≪ corpus); every untouched doc
-    is its own cluster, assigned distributedly. Rows-only for the driver;
-    pytest checks against brute-force Jaccard on the tiny sf."""
+    Scale shape: verification is pair-proportional, never corpus-
+    proportional — small candidate sets broadcast only the TOUCHED texts
+    (O(pairs)) and verify in map_batches; large sets hash-join pairs back to
+    texts on doc_id, scoring with the vectorized shingle-Jaccard kernel.
+    Components run only over edge-touched ids (verified near-dup pairs ≪
+    corpus); every untouched doc is its own cluster, assigned distributedly.
+    Oracle: the ENTIRE pipeline is recomputed in SQL (see oracles.py
+    minhash_dedup — signatures, bands, verify, recursive-CTE components);
+    pytest additionally checks clusters against brute-force Jaccard."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-    pairs = minhash_candidate_pairs(docs)
-    # join width: each hash-join spawns num_partitions aggregator actors —
-    # size to the session so two chained joins can't starve a small pool
-    n_join = int(max(2, min(8, ray.cluster_resources().get("CPU", 8) // 4)))
+    pairs = minhash_candidate_pairs(docs).materialize()
+    n_pairs = pairs.count()
 
-    def keep_a(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "text_a": b["text"]}
-        )
-
-    def keep_b(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_a": b["doc_a"],
-                "doc_b": b["doc_b"],
-                "text_a": b["text_a"],
-                "text_b": b["text"],
-            }
-        )
-
-    withtext = (
-        pairs.join(docs, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",))
-        .map_batches(keep_a, batch_format="pyarrow")
-        .join(docs, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",))
-        .map_batches(keep_b, batch_format="pyarrow")
-    )
-
-    def verify(b: pa.Table) -> pa.Table:
-        inter, union = dedup.pair_jaccard_counts_batch(b["text_a"], b["text_b"])
+    def verify(b: pa.Table, texts_a, texts_b) -> pa.Table:
+        inter, union = dedup.pair_jaccard_counts_batch(texts_a, texts_b)
         keep = 5 * inter >= 4 * union  # j >= 0.8 in exact integers
         return pa.table(
             {
@@ -207,7 +186,74 @@ def q_minhash_dedup(sf_dir: str):
             }
         )
 
-    edges = withtext.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if n_pairs <= MINHASH_VERIFY_BROADCAST_MAX:
+        # SMALL-SIDE BROADCAST path: the verify working set is O(pairs), not
+        # O(corpus) — collect the touched doc ids (bounded by 2*pairs),
+        # broadcast only THOSE texts, verify pairs in map_batches. The
+        # broadcast is pair-proportional; the corpus never leaves the
+        # cluster. Avoids two hash-join aggregator pools for small/medium
+        # candidate sets (their actor spawn dominates at bench scale).
+        pair_df = pairs.to_pandas()
+        touched_ids = np.unique(
+            np.r_[pair_df["doc_a"].to_numpy(np.int64), pair_df["doc_b"].to_numpy(np.int64)]
+        )
+        ids_ref = ray.put(touched_ids)
+        touched = docs.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    np.isin(
+                        b["doc_id"].to_numpy(zero_copy_only=False), ray.get(ids_ref)
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()  # O(pairs) rows
+        t_order = np.argsort(touched["doc_id"].to_numpy())
+        text_by_id = ray.put(
+            (
+                touched["doc_id"].to_numpy()[t_order],
+                pa.array(touched["text"].to_numpy()[t_order], type=pa.string()),
+            )
+        )
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            keys, texts = ray.get(text_by_id)
+            ia = np.searchsorted(keys, b["doc_a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(keys, b["doc_b"].to_numpy(zero_copy_only=False))
+            return verify(b, texts.take(pa.array(ia)), texts.take(pa.array(ib)))
+
+        edges = (
+            pairs.map_batches(verify_bcast, batch_format="pyarrow").to_pandas()
+        )
+    else:
+        # LARGE path: hash-join pairs back to texts (both sides stay
+        # distributed; pair volume can rival the corpus at 100 TB)
+        n_join = int(max(2, min(8, ray.cluster_resources().get("CPU", 8) // 4)))
+
+        def keep_a(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "text_a": b["text"]}
+            )
+
+        def keep_b(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_a": b["doc_a"],
+                    "doc_b": b["doc_b"],
+                    "text_a": b["text_a"],
+                    "text_b": b["text"],
+                }
+            )
+
+        withtext = (
+            pairs.join(docs, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",))
+            .map_batches(keep_a, batch_format="pyarrow")
+            .join(docs, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",))
+            .map_batches(keep_b, batch_format="pyarrow")
+        )
+        edges = withtext.map_batches(
+            lambda b: verify(b, b["text_a"], b["text_b"]), batch_format="pyarrow"
+        ).to_pandas()
     # Union-find over EDGE-TOUCHED ids only (near-dup pairs ≪ corpus); the
     # resulting mapping is tiny and broadcast once.
     touched = (
@@ -267,6 +313,8 @@ def q_embedding_neardup(sf_dir: str):
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
+
+MINHASH_VERIFY_BROADCAST_MAX = 200_000  # pairs; above this, verify hash-joins
 
 KNN_QUERIES = 8
 KNN_K = 10

@@ -24,6 +24,24 @@ from dstream_ray.stages.windows import prep, to_residual_rows
 DEFAULT_PATTERN = "ua*tt"
 
 
+
+def _symbols_u8(cols) -> np.ndarray:
+    """Per sorted row: first letter of role as a uint8 byte.
+
+    Goes through the role DICTIONARY (few distinct roles), so no per-row
+    Python string objects are created — per-conv sequences come out of
+    ``bytes(...).decode()`` over contiguous slices."""
+    role_col = cols.origin["role"]
+    if isinstance(role_col, pa.ChunkedArray):
+        role_col = role_col.combine_chunks()
+    enc = role_col.dictionary_encode()
+    dsym = np.array(
+        [ord(x[0]) if x else 0 for x in enc.dictionary.to_pylist()], dtype=np.uint8
+    )
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return dsym[codes][cols.order]
+
+
 def cep_pattern_kernel(
     transcripts: pa.Table, *, pattern: str = DEFAULT_PATTERN
 ) -> pa.Table:
@@ -40,21 +58,12 @@ def cep_pattern_kernel(
                 "n_matches": pa.array([], type=pa.int64()),
             }
         )
-    role_col = cols.origin["role"]
-    if isinstance(role_col, pa.ChunkedArray):
-        role_col = role_col.combine_chunks()
-    # symbol per sorted row = first letter of role
-    import pyarrow.compute as pc
-
-    sym_sorted = np.asarray(
-        pc.utf8_slice_codeunits(role_col, 0, 1).take(pa.array(cols.order)).to_pylist(),
-        dtype=object,
-    )
+    sym_u8 = _symbols_u8(cols)
     rx = re.compile(pattern)
     names = cols.conv_names()
     counts = np.zeros(len(names), dtype=np.int64)
     for code, (s, e) in zip(cols.codes[cols.starts], zip(cols.starts, cols.ends)):
-        seq = "".join(sym_sorted[s:e])
+        seq = sym_u8[s:e].tobytes().decode("ascii")
         counts[code] = len(rx.findall(seq))
     return pa.table(
         {
@@ -109,17 +118,7 @@ def cep_kernel(
     if new_rows.num_rows:
         rows = to_residual_rows(new_rows) if "ts" in new_rows.column_names else new_rows
         cols = prep(rows)
-        import pyarrow.compute as pc
-
-        role_col = cols.origin["role"]
-        if isinstance(role_col, pa.ChunkedArray):
-            role_col = role_col.combine_chunks()
-        sym_sorted = np.asarray(
-            pc.utf8_slice_codeunits(role_col, 0, 1)
-            .take(pa.array(cols.order))
-            .to_pylist(),
-            dtype=object,
-        )
+        sym_u8 = _symbols_u8(cols)
         if track_ts:
             ts_sorted = cols.ts  # residual-layout µs, already sort-permuted
         names = cols.conv_names()
@@ -127,7 +126,7 @@ def cep_kernel(
             cols.codes[cols.starts], zip(cols.starts, cols.ends)
         ):
             nm = names[code]
-            seq = suffix.get(nm, "") + "".join(sym_sorted[s:e])
+            seq = suffix.get(nm, "") + sym_u8[s:e].tobytes().decode("ascii")
             last_end = 0
             n = 0
             for m in rx.finditer(seq):

@@ -191,15 +191,19 @@ def test_ngram_jaccard_vectorized_matches_bruteforce():
     pd.testing.assert_frame_equal(got, ref)
 
 
-def test_minhash_dedup_pipeline_distributed(ray_session, tmp_path):
+@pytest.mark.parametrize("path", ["broadcast", "join"])
+def test_minhash_dedup_pipeline_distributed(ray_session, tmp_path, monkeypatch, path):
     """q_minhash_dedup end-to-end on a corpus WITH near-dups: clusters must
-    equal brute-force-Jaccard union-find. The pipeline verifies pairs via
-    hash joins + vectorized map_batches (no corpus broadcast, no O(corpus)
-    driver structure)."""
+    equal brute-force-Jaccard union-find, via BOTH verify paths — the
+    pair-proportional broadcast (small candidate sets) and the distributed
+    hash-join (large sets; forced by zeroing the threshold)."""
     import pyarrow.parquet as pq
 
+    from dstream_ray.pipelines import dataops
     from dstream_ray.pipelines.dataops import q_minhash_dedup
 
+    if path == "join":
+        monkeypatch.setattr(dataops, "MINHASH_VERIFY_BROADCAST_MAX", 0)
     table, _ = make_docs_with_dups(n=80, seed=21)
     pq.write_table(table, str(tmp_path / "documents.parquet"))
     got = (
