@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": d.q_lang_stats,
         "doc_fingerprint": d.q_doc_fingerprint,
         "doc_fingerprint_rolling": d.q_doc_fingerprint_rolling,  # SQL-gated (HUGEINT rolling hash)
+        # corpus curation
+        "text_normalize": d.q_text_normalize,
+        "sample_balanced": d.q_sample_balanced,  # deterministic stratum-balanced downsample
+        "pack_sequences": d.q_pack_sequences,  # distributed prefix-sum sequence packing
         # training-data ops: dedup family
         "dedup_exact": d.q_dedup_exact,
         "minhash_dedup": d.q_minhash_dedup,  # full pipeline SQL-gated (recursive-CTE components)

@@ -459,6 +459,155 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: normalization, deterministic sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+
+def q_text_normalize(sf_dir: str):
+    """Cleaning stage: lowercase + collapse whitespace + trim, all in Arrow
+    compute kernels (C, zero Python per row). Oracle:
+    ``lower(trim(regexp_replace(text,'\\s+',' ','g')))``."""
+    import pyarrow.compute as pc
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(b["text"], r"\s+", " ")
+        )
+        t = pc.utf8_lower(t)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "norm_text": t,
+                "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+def q_sample_balanced(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratum-balanced downsampling: every language stratum
+    is thinned to ~the smallest stratum's size by keeping docs with
+    ``fnv1a(doc_id) % 1e6 < floor(1e6 * min_n / stratum_n)`` — reproducible
+    across runs/nodes (content-hash gate, no RNG state), the standard way a
+    100 TB pipeline balances sources without a shuffle. Two-phase: tiny
+    per-stratum count aggregate, broadcast thresholds, one filter pass."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.common import fnv1a_u64
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    min_n = int(counts["n"].min())
+    thresholds = {
+        lang: (1_000_000 * min_n) // int(n)
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    thr_ref = ray.put(thresholds)
+
+    def keep(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        ids = b["doc_id"].cast(pa.string())
+        gate = fnv1a_u64(ids) % np.uint64(1_000_000)
+        lang_thr = np.array(
+            [thr[x] for x in b["lang"].to_pylist()], dtype=np.uint64
+        )
+        return b.filter(pa.array(gate < lang_thr))
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+PACK_CTX = 512
+
+
+def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
+    """Sequence packing with document breaking: lay every doc's tokens
+    (\\s+ count) end-to-end in doc_id order and cut fixed ``ctx``-token
+    training bins; a doc straddling a boundary is split. Emits one row per
+    (doc, bin) intersection: (doc_id, bin_id, bin_tok_start, n_tokens_in_bin).
+
+    Distributed as a two-phase PREFIX SUM: per-doc token counts are
+    aggregated per coarse doc_id range (tiny table), the driver prefix-sums
+    the range totals, and each range packs its own docs against its
+    broadcast global offset — no global sort, no driver-side token stream.
+    Oracle: SQL window cumsum + generate_series bin explosion."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.common import token_hash_arrays
+
+    RANGE = 100  # docs per prefix-sum range
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        _, offsets = token_hash_arrays(b["text"])
+        n_tok = np.diff(offsets)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": pa.array(n_tok.astype(np.int64)),
+                "range_id": pa.array((ids // RANGE).astype(np.int64)),
+            }
+        )
+
+    counted = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        tok_counts, batch_format="pyarrow"
+    ).materialize()
+    range_tot = (
+        counted.groupby("range_id").aggregate(Sum("n_tok", alias_name="tot")).to_pandas()
+    ).sort_values("range_id")
+    offs = np.r_[0, np.cumsum(range_tot["tot"].to_numpy(np.int64))][:-1]
+    range_offset = dict(zip(range_tot["range_id"].astype(int), offs))
+    off_ref = ray.put(range_offset)
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        base = ray.get(off_ref)[int(g["range_id"].iloc[0])]
+        n = g["n_tok"].to_numpy(np.int64)
+        start = base + np.r_[0, np.cumsum(n)][:-1]
+        end = start + n
+        ne = n > 0
+        first_bin = start // ctx
+        last_bin = np.maximum(end - 1, start) // ctx
+        reps = np.where(ne, last_bin - first_bin + 1, 0)
+        doc_idx = np.repeat(np.arange(len(g)), reps)
+        cum = np.r_[0, np.cumsum(reps)]
+        bin_id = np.repeat(first_bin, reps) + (
+            np.arange(int(reps.sum())) - np.repeat(cum[:-1], reps)
+        )
+        seg_lo = np.maximum(np.repeat(start, reps), bin_id * ctx)
+        seg_hi = np.minimum(np.repeat(end, reps), (bin_id + 1) * ctx)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[doc_idx],
+                "bin_id": bin_id.astype("int64"),
+                "bin_tok_start": (seg_lo - bin_id * ctx).astype("int64"),
+                "n_tokens_in_bin": (seg_hi - seg_lo).astype("int64"),
+            }
+        )
+
+    return (
+        counted.groupby("range_id")
+        .map_groups(pack_range, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
 # sketches
 # ---------------------------------------------------------------------------
 

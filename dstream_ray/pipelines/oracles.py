@@ -511,3 +511,62 @@ SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM walk
 # banded buckets, candidate self-join, exact-Jaccard verification (integer
 # 5*inter >= 4*union), and min-label components via a recursive CTE.
 ORACLE_SQL["minhash_dedup"] = _minhash_oracle_sql()
+
+
+# --- corpus curation: normalize / balanced sample / sequence packing -------
+
+ORACLE_SQL["text_normalize"] = """
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+       CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
+         AS n_chars_norm
+FROM documents
+"""
+
+# fnv1a over the decimal string of doc_id (same keying as the Ray side's
+# fnv1a_u64(cast(doc_id, string)))
+_FNV_DOCID = """list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(CAST(doc_id AS VARCHAR), ''),
+                                  c -> ord(c)::HUGEINT)),
+      (h, x) -> (xor(h, x) * 1099511628211) % (1::HUGEINT << 64))"""
+
+ORACLE_SQL["sample_balanced"] = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n) AS mn FROM c
+), thr AS (
+  SELECT lang, (1000000 * (SELECT mn FROM m)) // n AS t FROM c
+), h AS (
+  SELECT doc_id, lang, ({_FNV_DOCID}) % 1000000 AS gate FROM documents
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN thr USING (lang)
+WHERE gate < thr.t::HUGEINT
+"""
+
+ORACLE_SQL["pack_sequences"] = """
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM tok
+), spans AS (
+  SELECT doc_id, n_tok, s, s + n_tok AS e FROM pos WHERE n_tok > 0
+), ex AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // 512, greatest(e - 1, s) // 512)) AS bin_id
+  FROM spans
+)
+SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(greatest(s, bin_id * 512) - bin_id * 512 AS BIGINT) AS bin_tok_start,
+       CAST(least(e, (bin_id + 1) * 512) - greatest(s, bin_id * 512) AS BIGINT)
+         AS n_tokens_in_bin
+FROM ex
+"""

@@ -130,6 +130,28 @@ def test_vectorized_batch_kernels_match_scalar_references():
         assert abs(pj[i] - ref) < 1e-12, i
 
 
+def test_vectorized_kernels_handle_sliced_and_chunked_arrays():
+    """Arrow slices (non-zero array offset) and chunked arrays must hash
+    identically to flat arrays — map_batches frequently hands out both."""
+    import pyarrow as pa
+
+    from dstream_ray.common import token_hash_arrays
+
+    table, _ = make_docs_with_dups(n=30)
+    texts = EDGE_TEXTS + table["text"].to_pylist()
+    flat_arr = pa.array(texts, type=pa.string())
+    sliced = flat_arr.slice(3, 20)
+    chunked = pa.chunked_array([texts[:7], texts[7:]], type=pa.string())
+    mh = dedup.MinHasher()
+    ref_sigs = mh.signatures_batch(flat_arr)
+    assert np.array_equal(mh.signatures_batch(sliced), ref_sigs[3:23])
+    assert np.array_equal(mh.signatures_batch(chunked), ref_sigs)
+    f_ref, o_ref = token_hash_arrays(flat_arr)
+    f_s, o_s = token_hash_arrays(sliced)
+    lo, hi = o_ref[3], o_ref[23]
+    assert np.array_equal(f_s, f_ref[lo:hi])
+
+
 def test_rolling_fingerprint_matches_scalar_recurrence():
     """Batch winnowing fingerprint == the per-doc rolling-hash recurrence."""
     import pyarrow as pa
@@ -222,6 +244,63 @@ def test_minhash_dedup_pipeline_distributed(ray_session, tmp_path, monkeypatch, 
     )
     assert len(got) == len(exp)
     assert got["cluster_id"].tolist() == exp["cluster_id"].tolist()
+
+
+def test_pack_sequences_matches_naive_token_stream(ray_session, tmp_path):
+    """Distributed prefix-sum packing == naive 'concatenate all tokens and
+    cut every ctx' reference."""
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines.dataops import q_pack_sequences
+
+    table, _ = make_docs_with_dups(n=50, seed=77)
+    texts = table["text"].to_pylist() + ["", "one two three"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    ctx = 64
+    got = (
+        q_pack_sequences(str(tmp_path), ctx=ctx)
+        .sort_values(["doc_id", "bin_id"])
+        .reset_index(drop=True)
+    )
+    # naive reference: lay tokens end to end, cut bins of ctx
+    rows, pos = [], 0
+    for did, t in enumerate(texts):
+        n = len(t.split())
+        if n == 0:
+            continue
+        s, e = pos, pos + n
+        for b in range(s // ctx, (e - 1) // ctx + 1):
+            lo, hi = max(s, b * ctx), min(e, (b + 1) * ctx)
+            rows.append((did, b, lo - b * ctx, hi - lo))
+        pos = e
+    import pandas as pd
+
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "bin_id", "bin_tok_start", "n_tokens_in_bin"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    # conservation: every token lands in exactly one bin
+    assert got["n_tokens_in_bin"].sum() == sum(len(t.split()) for t in texts)
+    # every bin except the last is exactly full
+    per_bin = got.groupby("bin_id")["n_tokens_in_bin"].sum()
+    assert (per_bin.iloc[:-1] == ctx).all()
+
+
+def test_sample_balanced_deterministic_and_balanced(ray_session):
+    from dstream_ray.pipelines.dataops import q_sample_balanced
+
+    a = q_sample_balanced("/root/testdata/sf0.001").sort_values("doc_id")
+    b = q_sample_balanced("/root/testdata/sf0.001").sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # no RNG state
+    sizes = a.groupby("lang").size()
+    # strata thinned toward the smallest; hash gate keeps each within ~35%
+    assert sizes.max() <= 1.35 * sizes.min(), sizes
 
 
 def test_langid_ngram_on_synthetic_multilingual():
