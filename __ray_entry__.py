@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": d.q_simhash,  # SQL-gated (exact FNV+majority-bit recomputation)
         "ngram_jaccard": d.q_ngram_jaccard,
         "embedding_neardup": d.q_embedding_neardup,
+        "embedding_neardup_lsh": d.q_embedding_neardup_lsh,  # rows-only (no blocking key; pytest recall)
         # training-data ops: similarity search
         "knn_bruteforce": d.q_knn_bruteforce,
         "knn_lsh": d.q_knn_lsh,  # rows-only (+ pytest recall)

@@ -299,6 +299,61 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Embedding-cosine near-dup pairs with NO natural blocking key: block
+    by hyperplane-LSH bucket instead of label — the scale path when labels
+    don't exist. Multi-bucket union (bucket + one-bit flips) recovers pairs
+    split by a single hyperplane. Rows-only (float hyperplanes aren't
+    SQL-reproducible); pytest checks recall against the label-blocked
+    oracle-gated variant."""
+    ds = _read_embeddings(sf_dir).map_batches(
+        ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
+        fn_constructor_kwargs={"dim": 64, "n_planes": 6},
+    )
+
+    def fanout(b: pa.Table) -> pa.Table:
+        """Emit each vector under its own bucket AND one-bit-flip probes so
+        near pairs split by one hyperplane still co-locate; pairs are
+        deduped downstream by (vec_a, vec_b)."""
+        bk = b["bucket"].to_numpy(zero_copy_only=False)
+        n_planes = 6
+        reps = n_planes + 1
+        probe = np.empty(len(bk) * reps, dtype=np.int64)
+        probe[0::reps] = bk
+        for j in range(n_planes):
+            probe[j + 1 :: reps] = bk ^ (1 << j)
+        idx = np.repeat(np.arange(len(bk)), reps)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].take(pa.array(idx)),
+                "embedding": b["embedding"].take(pa.array(idx)),
+                "bucket": pa.array(probe),
+            }
+        )
+
+    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        return ann.cosine_neardup_group(g, tau=0.3)
+
+    out = (
+        ds.map_batches(fanout, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_group, batch_format="pandas")
+    )
+
+    def dedupe(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["vec_a", "vec_b"])
+
+    return (
+        out.map_batches(
+            lambda b: b.assign(pp=(b["vec_a"].to_numpy(np.int64) % 16).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("pp")
+        .map_groups(lambda g: dedupe(g)[["vec_a", "vec_b", "cos_x1000"]], batch_format="pandas")
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs, blocked by label (the blocking key
     bounds the quadratic term; swap in LSH buckets when no natural key

@@ -327,6 +327,20 @@ def test_rolling_fingerprint_stability():
     assert text.rolling_fingerprint(t3)["fingerprint64"].to_pylist()[0] == fps[0]
 
 
+def test_embedding_neardup_lsh_recall(ray_session, sf_tiny):
+    """LSH-blocked near-dup must recover most of the label-blocked
+    (oracle-gated) variant's pairs, without using the label key."""
+    from dstream_ray.pipelines.dataops import q_embedding_neardup, q_embedding_neardup_lsh
+
+    ref = q_embedding_neardup(sf_tiny).to_pandas()
+    got = q_embedding_neardup_lsh(sf_tiny).to_pandas()
+    assert not got.duplicated(["vec_a", "vec_b"]).any()
+    m = got.merge(ref, on=["vec_a", "vec_b"], suffixes=("_l", "_r"))
+    assert (m["cos_x1000_l"] == m["cos_x1000_r"]).all()  # same exact scores
+    recall = len(m) / max(1, len(ref))
+    assert recall >= 0.5, f"lsh-blocked recall too low: {recall}"
+
+
 def test_knn_lsh_recall_vs_bruteforce(ray_session, sf_tiny):
     from dstream_ray.pipelines.dataops import q_knn_bruteforce, q_knn_lsh
 
