@@ -575,9 +575,16 @@ def q_sample_balanced(sf_dir: str) -> pd.DataFrame:
         thr = ray.get(thr_ref)
         ids = b["doc_id"].cast(pa.string())
         gate = fnv1a_u64(ids) % np.uint64(1_000_000)
-        lang_thr = np.array(
-            [thr[x] for x in b["lang"].to_pylist()], dtype=np.uint64
+        # per-row threshold via the lang dictionary (few distinct values —
+        # no per-row Python lookups)
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        dict_thr = np.array(
+            [thr[x] for x in enc.dictionary.to_pylist()], dtype=np.uint64
         )
+        lang_thr = dict_thr[enc.indices.to_numpy(zero_copy_only=False)]
         return b.filter(pa.array(gate < lang_thr))
 
     return (

@@ -110,6 +110,41 @@ def test_bridge_turn_idx_monotone_across_shards():
     assert t2["turn_idx"].to_pylist() == [2, 3]  # continues, never restarts
 
 
+def test_provider_feeds_follow_mode_live(ray_session, tmp_path):
+    """Live tail: a provider writes shards WHILE the engine's follow() poll
+    loop consumes them — the full CDC loop (spawn -> handshake -> relay ->
+    shard -> poll -> window -> exactly-once sink) with no pre-staged feed."""
+    import threading
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    def produce():
+        p = spawn("counter", {"limit": 30, "tables": ["persons"]})
+        provider_to_feed(p, feed, rows_per_shard=10)
+
+    t = threading.Thread(target=produce)
+    t.start()
+    cfg = StreamingConfig(
+        feed_dir=feed,
+        out_dir=str(tmp_path / "out"),
+        num_partitions=2,
+        files_per_epoch=1,
+        operators={"tumbling": {"width_s": 3600}},
+    )
+    job = StreamingJob(cfg)
+    status = job.follow(poll_interval_s=0.1, idle_limit_s=3.0)
+    t.join()
+    # late-arriving shards after the first idle window: one more follow pass
+    status = job.follow(poll_interval_s=0.1, idle_limit_s=2.0)
+    events = job.sink.read_op("events").to_pandas()
+    assert len(events) == 30
+    assert sorted(events["turn_idx"]) == list(range(30))
+    assert status["flushed"]
+
+
 def test_counter_provider_e2e_through_engine(ray_session, tmp_path):
     """The reference's counter demo end-to-end: live child process ->
     handshake -> stdout envelopes -> feed shards -> full streaming engine
