@@ -159,6 +159,76 @@ def minhash_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def components_min_label_distributed(
+    edges: rd.Dataset, *, max_iters: int = 25
+) -> pd.DataFrame:
+    """Distributed min-label propagation over an edge Dataset — the swap-in
+    for the driver-side union-find when the verified-duplicate edge set
+    itself outgrows one machine (SCALE.md §6).
+
+    Each round: hash-join current labels onto the symmetric edge list
+    (neighbor label candidates), union with current labels, groupby-min.
+    Labels are non-increasing integers, so ``sum(label)`` is a monotone
+    convergence witness; rounds needed = cluster diameter (near-dup
+    clusters: 2-3). Returns (doc_id, cluster_id) for edge-touched nodes."""
+    from ray.data.aggregate import Min, Sum
+
+    n_join = int(max(2, min(8, ray.cluster_resources().get("CPU", 8) // 4)))
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": pa.array(np.r_[u, v]), "v": pa.array(np.r_[v, u])}
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # init: lbl(node) = min(node, min neighbor)
+    labels = (
+        sym_edges.map_batches(
+            lambda b: pa.table(
+                {"node": b["u"], "lbl": pa.array(np.minimum(
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                ))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+
+    def total(ds: rd.Dataset) -> int:
+        out = ds.aggregate(Sum("lbl", alias_name="s"))
+        return int(out["s"]) if out else 0
+
+    prev_total = total(labels)
+    for _ in range(max_iters):
+        prop = (
+            sym_edges.join(
+                labels, join_type="inner", num_partitions=n_join,
+                on=("u",), right_on=("node",),
+            )
+            .map_batches(
+                lambda b: pa.table({"node": b["v"], "lbl": b["lbl"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        new_total = total(labels)
+        if new_total == prev_total:
+            break
+        prev_total = new_total
+    df = labels.to_pandas().rename(columns={"node": "doc_id", "lbl": "cluster_id"})
+    return df.astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clusters: shingle→minhash→band buckets (one
     groupby)→candidate pairs→exact-Jaccard verify→min-label components.
@@ -251,19 +321,28 @@ def q_minhash_dedup(sf_dir: str):
             .join(docs, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",))
             .map_batches(keep_b, batch_format="pyarrow")
         )
-        edges = withtext.map_batches(
+        edges_ds = withtext.map_batches(
             lambda b: verify(b, b["text_a"], b["text_b"]), batch_format="pyarrow"
-        ).to_pandas()
-    # Union-find over EDGE-TOUCHED ids only (near-dup pairs ≪ corpus); the
-    # resulting mapping is tiny and broadcast once.
-    touched = (
-        np.unique(np.r_[edges["doc_a"].to_numpy(np.int64), edges["doc_b"].to_numpy(np.int64)])
-        if len(edges)
-        else np.empty(0, dtype=np.int64)
-    )
-    mapping = dedup.connected_components_min_label(edges, touched)
-    keys = mapping["doc_id"].to_numpy(np.int64)  # sorted (touched is sorted)
-    vals = mapping["cluster_id"].to_numpy(np.int64)
+        ).materialize()
+        if edges_ds.count() > MINHASH_VERIFY_BROADCAST_MAX:
+            # edge set itself is big: distributed min-label propagation —
+            # no O(edges) driver structure at all
+            mapping = components_min_label_distributed(edges_ds)
+            edges = None
+        else:
+            edges = edges_ds.to_pandas()
+    if edges is not None:
+        # Union-find over EDGE-TOUCHED ids only (near-dup pairs ≪ corpus);
+        # the resulting mapping is tiny and broadcast once.
+        touched = (
+            np.unique(np.r_[edges["doc_a"].to_numpy(np.int64), edges["doc_b"].to_numpy(np.int64)])
+            if len(edges)
+            else np.empty(0, dtype=np.int64)
+        )
+        mapping = dedup.connected_components_min_label(edges, touched)
+    order = np.argsort(mapping["doc_id"].to_numpy(np.int64))
+    keys = mapping["doc_id"].to_numpy(np.int64)[order]
+    vals = mapping["cluster_id"].to_numpy(np.int64)[order]
     remap_ref = ray.put((keys, vals))
 
     def assign(b: pa.Table) -> pa.Table:

@@ -303,6 +303,36 @@ def test_sample_balanced_deterministic_and_balanced(ray_session):
     assert sizes.max() <= 1.35 * sizes.min(), sizes
 
 
+def test_distributed_components_match_union_find(ray_session):
+    """Min-label propagation over Ray Data == driver union-find on a random
+    graph with chains (multi-hop label flow), rings, and singletons."""
+    import ray.data as rd
+
+    from dstream_ray.pipelines.dataops import components_min_label_distributed
+
+    rng = np.random.default_rng(5)
+    edges = []
+    # chains of length 6 (diameter test), a ring, random pairs
+    for base in range(0, 60, 6):
+        edges += [(base + i, base + i + 1) for i in range(5)]
+    edges += [(100, 101), (101, 102), (102, 100)]
+    edges += [(int(a), int(b)) for a, b in rng.integers(200, 240, (20, 2)) if a != b]
+    df = pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype("int64")
+    got = (
+        components_min_label_distributed(rd.from_pandas(df))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    touched = np.unique(np.r_[df["doc_a"], df["doc_b"]])
+    exp = (
+        dedup.connected_components_min_label(df, touched)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_langid_ngram_on_synthetic_multilingual():
     clf = text.LangIdNgram()
     samples = {
