@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": d.q_text_normalize,
         "sample_balanced": d.q_sample_balanced,  # deterministic stratum-balanced downsample
         "pack_sequences": d.q_pack_sequences,  # distributed prefix-sum sequence packing
+        "curation_pipeline": d.q_curation_pipeline,  # composed normalize->quality->dedup->sample, gated end-to-end
         # training-data ops: dedup family
         "dedup_exact": d.q_dedup_exact,
         "minhash_dedup": d.q_minhash_dedup,  # full pipeline SQL-gated (recursive-CTE components)

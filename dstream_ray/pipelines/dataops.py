@@ -673,6 +673,114 @@ def q_sample_balanced(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The composed training-data curation flow as ONE Dataset pipeline:
+    normalize → quality filter → exact dedup (survivor = min doc_id per
+    normalized text) → deterministic stratum-balanced sample. Emits the
+    surviving (doc_id, lang) — what you'd feed a tokenizer. Every stage's
+    semantics are SQL-mirrored, so the whole composition is value-hash
+    oracle-gated end to end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from dstream_ray.common import fnv1a_u64, token_hash_arrays
+
+    STOP = {"the", "a", "and", "of", "to"}
+
+    def norm_and_quality(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(
+            pc.utf8_trim_whitespace(pc.replace_substring_regex(b["text"], r"\s+", " "))
+        )
+        flat, offsets = token_hash_arrays(norm)
+        n_tok = np.diff(offsets)
+        stop_hashes = np.sort(
+            np.array([dedup._token_hashes(s)[0] for s in STOP], dtype=np.uint64)
+        )
+        is_stop = np.isin(flat, stop_hashes)
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
+        n_stop = np.bincount(doc_idx[is_stop], minlength=len(n_tok)).astype(np.int64)
+        ok = (n_tok >= 10) & (n_tok <= 1000) & (5 * n_stop <= n_tok)
+        out = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "norm_text": norm,
+            }
+        ).filter(pa.array(ok))
+        return out
+
+    import hashlib
+
+    def dedup_partial(b: pa.Table) -> pa.Table:
+        # survivor key: min of zero-padded doc_id || '|' || lang per content
+        # hash — an arg-min that carries the surviving row's lang through
+        # the aggregate without a join (SQL mirrors the same composite)
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in b["norm_text"].to_pylist()]
+        key = [
+            f"{int(d):012d}|{lg}"
+            for d, lg in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist())
+        ]
+        df = pd.DataFrame({"h": hs, "k": key}).groupby("h", as_index=False).agg(
+            k=("k", "min")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    survivors = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(norm_and_quality, batch_format="pyarrow")
+        .map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("k", alias_name="k"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        [int(x.split("|")[0]) for x in b["k"].to_pylist()],
+                        type=pa.int64(),
+                    ),
+                    "lang": pa.array(
+                        [x.split("|", 1)[1] for x in b["k"].to_pylist()],
+                        type=pa.string(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
+
+    counts = (
+        survivors.map_batches(count_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    min_n = int(counts["n"].min())
+    thresholds = {
+        lang: (1_000_000 * min_n) // int(n)
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    thr_ref = ray.put(thresholds)
+
+    def keep(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        gate = fnv1a_u64(b["doc_id"].cast(pa.string())) % np.uint64(1_000_000)
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        dict_thr = np.array(
+            [thr[x] for x in enc.dictionary.to_pylist()], dtype=np.uint64
+        )
+        lang_thr = dict_thr[enc.indices.to_numpy(zero_copy_only=False)]
+        return b.filter(pa.array(gate < lang_thr))
+
+    return survivors.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
 PACK_CTX = 512
 
 

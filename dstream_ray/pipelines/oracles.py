@@ -570,3 +570,43 @@ SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
          AS n_tokens_in_bin
 FROM ex
 """
+
+
+# Composed curation flow: normalize -> quality -> exact-dedup (arg-min via a
+# zero-padded composite key, mirroring the Ray aggregate) -> balanced sample.
+ORACLE_SQL["curation_pipeline"] = f"""
+WITH normed AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, norm_text,
+    CASE WHEN norm_text = '' THEN 0
+         ELSE len(string_split(norm_text, ' ')) END AS n_tok,
+    CASE WHEN norm_text = '' THEN 0
+         ELSE len(list_filter(string_split(norm_text, ' '),
+                  t -> t IN ('the', 'a', 'and', 'of', 'to'))) END AS n_stop
+  FROM normed
+), quality AS (
+  SELECT doc_id, lang, norm_text FROM toks
+  WHERE n_tok BETWEEN 10 AND 1000 AND 5 * n_stop <= n_tok
+), surv AS (
+  SELECT min(lpad(CAST(doc_id AS VARCHAR), 12, '0') || '|' || lang) AS k
+  FROM quality GROUP BY md5(norm_text)
+), parsed AS (
+  SELECT CAST(split_part(k, '|', 1) AS BIGINT) AS doc_id,
+         split_part(k, '|', 2) AS lang
+  FROM surv
+), c AS (
+  SELECT lang, count(*) AS n FROM parsed GROUP BY 1
+), m AS (
+  SELECT min(n) AS mn FROM c
+), thr AS (
+  SELECT lang, (1000000 * (SELECT mn FROM m)) // n AS t FROM c
+), h AS (
+  SELECT doc_id, lang, ({_FNV_DOCID}) % 1000000 AS gate FROM parsed
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN thr USING (lang)
+WHERE gate < thr.t::HUGEINT
+"""
