@@ -795,27 +795,37 @@ def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
     the range totals, and each range packs its own docs against its
     broadcast global offset — no global sort, no driver-side token stream.
     Oracle: SQL window cumsum + generate_series bin explosion."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     from dstream_ray.common import token_hash_arrays
-
-    RANGE = 100  # docs per prefix-sum range
 
     def tok_counts(b: pa.Table) -> pa.Table:
         _, offsets = token_hash_arrays(b["text"])
         n_tok = np.diff(offsets)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "n_tok": pa.array(n_tok.astype(np.int64)),
-                "range_id": pa.array((ids // RANGE).astype(np.int64)),
             }
         )
 
-    counted = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+    base_counts = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         tok_counts, batch_format="pyarrow"
     ).materialize()
+    # size the prefix-sum ranges so the driver's range-total table stays
+    # bounded (~<=100k rows) no matter the corpus size
+    max_id = int(base_counts.aggregate(Max("doc_id", alias_name="m"))["m"])
+    RANGE = max(100, (max_id + 1) // 100_000 + 1)
+
+    counted = base_counts.map_batches(
+        lambda b: b.append_column(
+            "range_id",
+            pa.array(
+                (b["doc_id"].to_numpy(zero_copy_only=False) // RANGE).astype(np.int64)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
     range_tot = (
         counted.groupby("range_id").aggregate(Sum("n_tok", alias_name="tot")).to_pandas()
     ).sort_values("range_id")
