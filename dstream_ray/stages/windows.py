@@ -467,9 +467,22 @@ def session_kernel(
     *,
     gap_s: int,
     flush: bool,
+    closure: str = "conv",
+    watermark_us: int | None = None,
 ) -> tuple[pa.Table, dict]:
     """Gap-based session windows. session_id = number of closed sessions of
     the conv before this one (carried across epochs via ``closed_count``).
+
+    Closure policies (mirroring :func:`tumbling_kernel`):
+    - ``"conv"`` (default): a session closes when its conv produces a row
+      beyond the gap — exact under the per-conv-monotone-ts contract; idle
+      convs' open sessions wait for the flush.
+    - ``"watermark"``: a conv's LAST (open) session also closes once the
+      partition watermark passes ``last_ts + gap`` (textbook event-time
+      semantics; the engine injects ``watermark_us``) — idle convs emit
+      without a flush. Rows arriving for an already-closed session (ts ≤
+      emitted-through + gap) are dropped and counted in ``late_drops``;
+      exact on feeds globally ts-ordered across conversations.
 
     Oracle SQL shape: gap-and-islands with
     ``lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)``.
@@ -478,8 +491,27 @@ def session_kernel(
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     closed_count: dict = dict(state.get("closed_count", {}))
+    late_drops = int(state.get("late_drops", 0))
+    emitted_through: dict = dict(state.get("emitted_through", {}))
     if len(cols.codes) == 0:
         return _SESSION_EMPTY, state
+    if closure == "watermark" and emitted_through:
+        names = cols.conv_names()
+        thr = np.array(
+            [emitted_through.get(nm, _I64MIN) for nm in names], dtype=np.int64
+        )
+        cut = np.where(thr == _I64MIN, _I64MIN, thr + gap_us)
+        late = cols.ts <= cut[cols.codes]
+        if late.any():
+            late_drops += int(late.sum())
+            cols = prep(_take(cols, ~late))
+            if len(cols.codes) == 0:
+                return _SESSION_EMPTY, {
+                    "residual": None,
+                    "closed_count": closed_count,
+                    "late_drops": late_drops,
+                    "emitted_through": emitted_through,
+                }
     sess = _assign_sessions(cols, gap_us)
     starts, agg = _group_agg([sess], cols)
     last_sess_per_conv = np.repeat(_conv_last(sess, cols), cols.ends - cols.starts)
@@ -501,13 +533,36 @@ def session_kernel(
             closed_count[nm] = closed_count.get(nm, 0) + int(last_by_code[code]) + 1
     else:
         row_open = sess == last_sess_per_conv
+        # watermark closure: a conv's last session ALSO closes once the
+        # watermark passes its last event + gap (idle convs emit here)
+        wm_close_by_seg = None
+        if closure == "watermark" and watermark_us is not None:
+            conv_last_ts = _conv_last(cols.ts, cols)  # segment order
+            wm_close_by_seg = watermark_us >= conv_last_ts + gap_us
+            close_per_row = np.repeat(wm_close_by_seg, cols.ends - cols.starts)
+            row_open = row_open & ~close_per_row
         emit_run = ~row_open[starts]
         residual = _take(cols, row_open)
         # advance closed_count: sessions 0..last-1 closed this epoch
-        # (conv segments are contiguous; map code -> its last session index)
-        for code, nm in enumerate(names):
-            if last_by_code[code] > 0:
-                closed_count[nm] = closed_count.get(nm, 0) + int(last_by_code[code])
+        # (conv segments are contiguous; map code -> its last session index);
+        # +1 when the watermark closed the last session too
+        if wm_close_by_seg is not None:
+            closed_last = np.zeros(len(names), dtype=bool)
+            closed_last[cols.codes[cols.starts]] = wm_close_by_seg
+            through = np.full(len(names), _I64MIN, dtype=np.int64)
+            through[cols.codes[cols.starts]] = _conv_last(cols.ts, cols)
+            for code, nm in enumerate(names):
+                inc = int(last_by_code[code]) + (1 if closed_last[code] else 0)
+                if inc > 0:
+                    closed_count[nm] = closed_count.get(nm, 0) + inc
+                if closed_last[code]:
+                    emitted_through[nm] = max(
+                        int(through[code]), emitted_through.get(nm, _I64MIN)
+                    )
+        else:
+            for code, nm in enumerate(names):
+                if last_by_code[code] > 0:
+                    closed_count[nm] = closed_count.get(nm, 0) + int(last_by_code[code])
     out = pa.table(
         {
             "conv_id": cols.conv_strings(starts[emit_run]),
@@ -520,7 +575,11 @@ def session_kernel(
             "duration_us": pa.array((agg["max_ts"] - agg["min_ts"])[emit_run]),
         }
     )
-    return out, {"residual": residual, "closed_count": closed_count}
+    new_state = {"residual": residual, "closed_count": closed_count}
+    if closure == "watermark":
+        new_state["late_drops"] = late_drops
+        new_state["emitted_through"] = emitted_through
+    return out, new_state
 
 
 def _last_user_turn(cols: Cols, sess: np.ndarray) -> np.ndarray:

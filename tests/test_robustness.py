@@ -149,6 +149,82 @@ def test_cep_eviction_emits_early_and_totals_match():
     assert len(state["counts"]) == 0  # flush drained everything
 
 
+def test_session_watermark_closure_epoch_invariant():
+    """closure='watermark': sessions of idle convs emit BEFORE flush, and on
+    a globally ts-ordered feed the union of epoch emissions equals the
+    single-pass batch output (ids, aggregates, everything)."""
+    from dstream_ray.stages.windows import session_kernel
+
+    feed = generate_transcripts(n_convs=40, mean_turns=10, seed=51, session_gap_s=120)
+    rows = to_residual_rows(feed)
+    # single-pass reference (conv closure + flush == full sessionization)
+    batch_out, _ = session_kernel(rows, {}, gap_s=120, flush=True)
+    batch_df = batch_out.to_pandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+
+    # globally ts-ordered epoch split
+    ts = rows["ts_us"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ts, kind="stable")
+    rows_sorted = rows.take(pa.array(order))
+    ts_sorted = ts[order]
+    for n_epochs in (3, 7):
+        bounds = np.linspace(0, rows.num_rows, n_epochs + 1).astype(int)
+        state: dict = {}
+        outs = []
+        early = 0
+        for i in range(n_epochs):
+            chunk = rows_sorted.slice(bounds[i], bounds[i + 1] - bounds[i])
+            wm = int(ts_sorted[bounds[i + 1] - 1]) if bounds[i + 1] > 0 else -1
+            out, state = session_kernel(
+                chunk, state, gap_s=120, flush=(i == n_epochs - 1),
+                closure="watermark", watermark_us=wm,
+            )
+            if i < n_epochs - 1:
+                early += out.num_rows
+            outs.append(out)
+        got = (
+            pa.concat_tables(outs)
+            .to_pandas()
+            .sort_values(["conv_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        assert early > 0, "watermark closure never emitted before flush"
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, batch_df)
+        assert int(state.get("late_drops", 0)) == 0
+
+
+def test_session_watermark_late_rows_dropped_not_duplicated():
+    """A row arriving after its session was watermark-closed is counted in
+    late_drops, never re-emitted as a duplicate session id."""
+    from dstream_ray.stages.windows import session_kernel
+
+    def mk(convs_turns):  # [(conv, turn, ts_s)]
+        return pa.table(
+            {
+                "conv_id": pa.array([c for c, _, _ in convs_turns]),
+                "turn_idx": pa.array([t for _, t, _ in convs_turns], type=pa.int32()),
+                "role": pa.array(["user"] * len(convs_turns)),
+                "tool": pa.array([""] * len(convs_turns)),
+                "ts_us": pa.array([s * 1_000_000 for _, _, s in convs_turns], type=pa.int64()),
+                "n_chars": pa.array([1] * len(convs_turns), type=pa.int64()),
+            }
+        )
+
+    e1 = mk([("a", 0, 0), ("a", 1, 10)])
+    out1, st = session_kernel(e1, {}, gap_s=60, flush=False, closure="watermark", watermark_us=200_000_000)
+    assert out1.num_rows == 1  # wm=200s >> 10s+60s: session closed early
+    # late row inside the closed session's span
+    e2 = mk([("a", 2, 30)])
+    out2, st = session_kernel(e2, st, gap_s=60, flush=False, closure="watermark", watermark_us=200_000_000)
+    assert out2.num_rows == 0 and st["late_drops"] == 1
+    # genuinely-new session after the gap
+    e3 = mk([("a", 3, 500)])
+    out3, st = session_kernel(e3, st, gap_s=60, flush=True, closure="watermark", watermark_us=600_000_000)
+    df = out3.to_pandas()
+    assert df["session_id"].tolist() == [1]  # numbered after the closed one
+
+
 def test_lease_stale_break_is_atomic(tmp_path):
     path = str(tmp_path / "job.lock")
     a = Lease(path, owner="A", ttl_s=0.2)
