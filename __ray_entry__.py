@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_join": q.q_streaming_join,
         "streaming_sliding": q.q_streaming_sliding,
         "streaming_cep": q.q_streaming_cep,
+        "streaming_tumbling_wm": q.q_streaming_tumbling_wm,  # watermark-closure engine run
+        "streaming_session_wm": q.q_streaming_session_wm,  # watermark-closure engine run
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,

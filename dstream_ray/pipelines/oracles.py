@@ -610,3 +610,8 @@ SELECT h.doc_id, h.lang
 FROM h JOIN thr USING (lang)
 WHERE gate < thr.t::HUGEINT
 """
+
+# watermark-closure engine runs hit the same content oracles — early
+# emission must not change the committed results
+ORACLE_SQL["streaming_tumbling_wm"] = ORACLE_SQL["tumbling_window"]
+ORACLE_SQL["streaming_session_wm"] = ORACLE_SQL["session_window"]

@@ -524,6 +524,61 @@ def _run_streaming(sf_dir: str):
     return job
 
 
+def _run_streaming_wm(sf_dir: str):
+    """A second engine run exercising WATERMARK closure (idle convs emit per
+    epoch, not at flush) over a GLOBALLY TS-ORDERED feed — the ordering
+    contract under which watermark closure is exact (a conv-sorted feed
+    maximizes cross-conv skew and would late-drop boundary convs). Its
+    committed sinks hit the SAME oracles as the conv-closure run: early
+    emission must change nothing about the final content."""
+    key = ("wm", sf_dir)
+    if key in _STREAMING_CACHE:
+        return _STREAMING_CACHE[key]
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = tempfile.mkdtemp(prefix="dstream_q_stream_wm_")
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    feed = q_transcripts_feed(sf_dir).to_pandas()
+    feed = feed.sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
+    tbl = pa.Table.from_pandas(feed.drop(columns=["partition_id"]), preserve_index=False)
+    n = tbl.num_rows
+    shards = 3
+    bounds = np.linspace(0, n, shards + 1).astype(int)
+    for i in range(shards):
+        pq_mod.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(feed_dir, f"feed-{i:02d}.parquet"),
+        )
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=8,
+            files_per_epoch=1,
+            operators={
+                "tumbling@wm": {"width_s": TUMBLING_S, "closure": "watermark"},
+                "session@wm": {"gap_s": SESSION_GAP_S, "closure": "watermark"},
+            },
+        )
+    )
+    job.run()
+    _STREAMING_CACHE[key] = job
+    return job
+
+
+def q_streaming_tumbling_wm(sf_dir: str) -> pa.Table:
+    return _run_streaming_wm(sf_dir).sink.read_op("tumbling@wm")
+
+
+def q_streaming_session_wm(sf_dir: str) -> pa.Table:
+    return _run_streaming_wm(sf_dir).sink.read_op("session@wm")
+
+
 def q_streaming_events(sf_dir: str) -> pa.Table:
     """Committed relay sink of a REAL multi-epoch run == the transcripts
     feed, byte-equal text (delivery contract under the driver's hash gate)."""
