@@ -171,3 +171,40 @@ def frame_sample(batch: pa.Table, *, every: int = 8) -> pa.Table:
             "frame_payload": pa.array(out_payload, type=pa.binary()),
         }
     )
+
+
+def audio_chunk(batch: pa.Table, *, chunk_ms: int = 500) -> pa.Table:
+    """Fixed-duration chunking for audio rows: expand each audio payload
+    into one row per ``chunk_ms`` window (duration inferred from payload
+    length at 1 byte/sample against ``sample_rate``); non-audio rows pass
+    through as one chunk. As with :func:`frame_sample`, the codec decode is
+    the stubbed step — chunk boundaries, per-chunk metadata and
+    deterministic payload slices (the Ray-side plumbing) are real.
+    """
+    kinds = np.asarray(batch["kind"].to_pylist(), dtype=object)
+    rates = batch["sample_rate"].to_numpy(zero_copy_only=False)
+    ids = batch["media_id"].to_numpy(zero_copy_only=False)
+    payloads = batch["payload"].to_pylist()
+    out_id, out_chunk, out_ms, out_payload = [], [], [], []
+    for i in range(len(ids)):
+        p = payloads[i]
+        if kinds[i] == "audio" and rates[i] > 0:
+            bytes_per_chunk = max(1, int(rates[i]) * chunk_ms // 1000)
+            n_chunks = max(1, -(-len(p) // bytes_per_chunk))
+        else:
+            bytes_per_chunk = len(p) or 1
+            n_chunks = 1
+        for c in range(n_chunks):
+            seg = p[c * bytes_per_chunk : (c + 1) * bytes_per_chunk]
+            out_id.append(int(ids[i]))
+            out_chunk.append(c)
+            out_ms.append(c * chunk_ms if kinds[i] == "audio" and rates[i] > 0 else 0)
+            out_payload.append(seg[:64])  # bound row size; stub decode
+    return pa.table(
+        {
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_chunk, type=pa.int32()),
+            "start_ms": pa.array(out_ms, type=pa.int64()),
+            "chunk_payload": pa.array(out_payload, type=pa.binary()),
+        }
+    )

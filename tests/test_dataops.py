@@ -596,3 +596,37 @@ def test_streaming_cep_in_engine(ray_session, tmp_path):
     exp = cep_pattern_kernel(full, pattern="ua*t").to_pandas()
     m = got.merge(exp, on="conv_id", suffixes=("_s", "_b"))
     assert len(m) == len(exp) and (m["n_matches_s"] == m["n_matches_b"]).all()
+
+
+def test_audio_chunk_expansion(ray_session):
+    import ray.data as rd
+
+    media = multimodal.generate_media_table(n=40, seed=5)
+    out = (
+        rd.from_arrow(media)
+        .map_batches(lambda b: multimodal.audio_chunk(b, chunk_ms=250),
+                     batch_format="pyarrow", batch_size=16)
+        .to_pandas()
+    )
+    src = media.to_pandas().set_index("media_id")
+    for mid, g in out.groupby("media_id"):
+        row = src.loc[mid]
+        if row["kind"] == "audio" and row["sample_rate"] > 0:
+            bpc = max(1, int(row["sample_rate"]) * 250 // 1000)
+            exp = max(1, -(-len(row["payload"]) // bpc))
+        else:
+            exp = 1
+        assert sorted(g["chunk_idx"]) == list(range(exp)), mid
+        assert (g.sort_values("chunk_idx")["start_ms"].diff().dropna() >= 0).all()
+    assert (out["chunk_payload"].map(len) <= 64).all()
+    # deterministic across runs
+    out2 = (
+        rd.from_arrow(media)
+        .map_batches(lambda b: multimodal.audio_chunk(b, chunk_ms=250),
+                     batch_format="pyarrow", batch_size=16)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values(["media_id", "chunk_idx"]).reset_index(drop=True),
+        out2.sort_values(["media_id", "chunk_idx"]).reset_index(drop=True),
+    )
