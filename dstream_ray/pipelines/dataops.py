@@ -673,6 +673,49 @@ def q_sample_balanced(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT token-length quantiles (p50/p90/p99) per language via a
+    distributed histogram: per-batch (lang, n_tokens) value counts, one
+    small groupby over distinct (lang, length) pairs, quantiles read off
+    the cumulative counts driver-side (O(distinct lengths), not O(docs)) —
+    the scale path for exact order statistics on integer-valued metrics.
+    Matches DuckDB ``quantile_disc`` (value at sorted position ceil(q*n))."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.common import token_hash_arrays
+
+    QS = (50, 90, 99)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        _, offsets = token_hash_arrays(b["text"])
+        n_tok = np.diff(offsets).astype(np.int64)
+        df = pd.DataFrame({"lang": b["lang"].to_pylist(), "n_tokens": n_tok})
+        g = df.groupby(["lang", "n_tokens"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "cnt"}), preserve_index=False
+        )
+
+    hist = (
+        _read_documents(sf_dir, ["lang", "text"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["lang", "n_tokens"])
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["n_tokens"].to_numpy(np.int64)
+        for q in QS:
+            pos = -(-q * n // 100)  # ceil(q/100 * n) in exact integers
+            rows.append((lang, q, int(vals[np.searchsorted(cum, pos)])))
+    return pd.DataFrame(rows, columns=["lang", "q_pct", "n_tokens"]).astype(
+        {"q_pct": "int64", "n_tokens": "int64"}
+    )
+
+
 def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """The composed training-data curation flow as ONE Dataset pipeline:
     normalize → quality filter → exact dedup (survivor = min doc_id per

@@ -615,3 +615,19 @@ WHERE gate < thr.t::HUGEINT
 # emission must not change the committed results
 ORACLE_SQL["streaming_tumbling_wm"] = ORACLE_SQL["tumbling_window"]
 ORACLE_SQL["streaming_session_wm"] = ORACLE_SQL["session_window"]
+
+# exact token-length quantiles per language: quantile_disc == the engine's
+# histogram-cumsum read-off (value at sorted position ceil(q*n))
+ORACLE_SQL["len_quantiles"] = """
+WITH tok AS (
+  SELECT lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), qd AS (
+  SELECT lang, quantile_disc(n_tokens, [0.50, 0.90, 0.99]) AS qs
+  FROM tok GROUP BY lang
+)
+SELECT lang, CAST([50, 90, 99][i] AS BIGINT) AS q_pct, CAST(qs[i] AS BIGINT) AS n_tokens
+FROM qd, (SELECT unnest(generate_series(1, 3)) AS i)
+"""
