@@ -90,6 +90,13 @@ def parse_envelope_lines(lines: list[str]) -> pa.Table:
             "text": pa.array([r["payload"] for r in recs], type=pa.string()),
             "tool": pa.array([r["op"] for r in recs], type=pa.string()),
             "ts": pa.array(ts).cast(pa.timestamp("us")),
+            # the dual (LSN, Seq) cursor itself, zero-padded so lexicographic
+            # order == numeric order; the relay dedups envelope feeds on THIS
+            # (not the per-file positional turn_idx, which restarts per
+            # shard — a continuation shard must not look like a replay)
+            "cdc_key": pa.array(
+                [k if v else "" for k, v in zip(keys, valid)], type=pa.string()
+            ),
         }
     )
 

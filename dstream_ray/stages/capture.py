@@ -39,6 +39,8 @@ def relay_kernel(
     evicted conv replayed AFTER eviction would be re-accepted, so the
     eviction TTL must exceed the upstream's maximum replay lag.
     """
+    if "cdc_key" in new_rows.column_names:
+        return _relay_by_key(new_rows, state, evict_idle_us=evict_idle_us)
     next_turn: dict = dict(state.get("next_turn", {}))
     track_ts = evict_idle_us is not None
     last_ts: dict = dict(state.get("last_ts", {})) if track_ts else {}
@@ -94,3 +96,77 @@ def relay_kernel(
             del last_ts[nm]
             next_turn.pop(nm, None)
     return out, _state()
+
+
+TS_BASE_US = 1_700_000_000_000_000
+
+
+def _relay_by_key(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    evict_idle_us: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """Dual-cursor relay for dstream envelope feeds: dedup on the
+    ``(LSN, Seq)`` key itself (``cdc_key``, zero-padded hex so lexicographic
+    == numeric), not on the per-file positional ``turn_idx``.
+
+    This is the reference's actual semantics (cross-transaction LSN +
+    within-transaction seqval, docs/capability-inventory.md:133): a replayed
+    shard re-delivers keys ≤ the cursor and is dropped; a CONTINUATION shard
+    carries larger keys and flows through even though its per-file turn_idx
+    restarted at 0. Accepted rows get a rewritten dense per-conv turn_idx
+    (delivered-count cursor) and a deterministic per-conv ts, both monotone
+    across shards, so every downstream window kernel sees the standard feed
+    contract."""
+    last_key: dict = dict(state.get("last_key", {}))
+    delivered: dict = dict(state.get("delivered", {}))
+
+    def _state() -> dict:
+        return {"last_key": last_key, "delivered": delivered}
+
+    if new_rows.num_rows == 0:
+        return new_rows.drop_columns(["cdc_key"]), _state()
+    conv = new_rows["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    enc = conv.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    names = enc.dictionary.to_pylist()
+    # fixed-width byte keys sort at C speed and compare lexicographically
+    keys = np.array(new_rows["cdc_key"].to_pylist(), dtype="S80")
+    order = np.lexsort((keys, codes))
+    codes_s, keys_s = codes[order], keys[order]
+    thr = np.array(
+        [last_key.get(nm, "").encode() for nm in names], dtype="S80"
+    )
+    dup = np.zeros(len(keys_s), dtype=bool)
+    dup[1:] = (codes_s[1:] == codes_s[:-1]) & (keys_s[1:] == keys_s[:-1])
+    accept = (keys_s > thr[codes_s]) & ~dup
+    out = new_rows.take(pa.array(order[accept]))
+    codes_a, keys_a = codes_s[accept], keys_s[accept]
+    # rewrite turn_idx/ts from the per-conv delivered-count cursor
+    new_turn = np.zeros(len(codes_a), dtype=np.int64)
+    if len(codes_a):
+        a_starts = np.flatnonzero(np.r_[True, codes_a[1:] != codes_a[:-1]])
+        a_ends = np.r_[a_starts[1:], len(codes_a)]
+        pos = np.arange(len(codes_a), dtype=np.int64)
+        within = pos - np.repeat(pos[a_starts], a_ends - a_starts)
+        base = np.empty(len(codes_a), dtype=np.int64)
+        for s, e in zip(a_starts, a_ends):
+            nm = names[codes_a[s]]
+            base[s:e] = delivered.get(nm, 0)
+            delivered[nm] = int(base[s]) + int(e - s)
+            last_key[nm] = keys_a[e - 1].decode()
+        new_turn = base + within
+    idx_turn = out.column_names.index("turn_idx")
+    idx_ts = out.column_names.index("ts")
+    out = out.set_column(
+        idx_turn, "turn_idx", pa.array(new_turn.astype(np.int32))
+    )
+    out = out.set_column(
+        idx_ts,
+        "ts",
+        pa.array(TS_BASE_US + new_turn * 1_000_000).cast(pa.timestamp("us")),
+    )
+    return out.drop_columns(["cdc_key"]), _state()

@@ -141,3 +141,35 @@ def test_payload_size_matrix_fidelity(ray_session, tmp_path):
         env = json.loads(line)
         expected.add(json.dumps(env["data"], sort_keys=True, separators=(",", ":")))
     assert set(events["text"]) == expected
+
+
+def test_envelope_continuation_shards_flow_through(ray_session, tmp_path):
+    """Dual-cursor semantics on raw NDJSON feeds: a CONTINUATION shard
+    (advancing LSNs, per-file turn numbering restarting at 0) is delivered,
+    a partial-overlap replay is deduped on the (LSN, Seq) key, and rewritten
+    turn_idx/ts stay dense + monotone per table across shards."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def lines(lsns):
+        return "\n".join(
+            json.dumps({"data": {"v": l},
+                        "metadata": {"TableName": "t", "LSN": f"{l:016x}",
+                                     "Seq": "0", "OperationType": "i"}})
+            for l in lsns
+        ) + "\n"
+
+    (feed / "cdc-000.ndjson").write_text(lines(range(0, 5)))
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        operators={}, allowed_lateness_s=None,
+    )
+    StreamingJob(cfg).run(flush_at_end=False)
+    (feed / "cdc-001.ndjson").write_text(lines(range(5, 10)))  # continuation
+    (feed / "cdc-002.ndjson").write_text(lines(range(3, 8)))   # overlap replay
+    job = StreamingJob(cfg)
+    job.run(flush_at_end=False)
+    ev = job.sink.read_op("events").to_pandas().sort_values("turn_idx")
+    assert ev["turn_idx"].tolist() == list(range(10))
+    assert [json.loads(t)["v"] for t in ev["text"]] == list(range(10))
+    assert ev["ts"].is_monotonic_increasing
