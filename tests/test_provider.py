@@ -173,3 +173,24 @@ def test_counter_provider_e2e_through_engine(ray_session, tmp_path):
     assert (per["count"] == 40).all() and (per["min"] == 0).all() and (per["max"] == 39).all()
     v0 = json.loads(events.sort_values(["conv_id", "turn_idx"]).iloc[0]["text"])
     assert v0 == {"payload": "c-0", "value": 0}
+
+
+def test_raw_relay_mode_through_engine(ray_session, tmp_path):
+    """fmt='ndjson' byte relay: raw shards, engine-side parallel parsing,
+    dual-cursor dedup across shards — same delivered rows as parquet mode."""
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    feed = str(tmp_path / "feed")
+    p = spawn("counter", {"limit": 40, "tables": ["persons", "cars"]})
+    shards = provider_to_feed(p, feed, rows_per_shard=16, fmt="ndjson")
+    assert all(s.endswith(".ndjson") for s in shards) and len(shards) == 5
+    cfg = StreamingConfig(
+        feed_dir=feed, out_dir=str(tmp_path / "out"), num_partitions=2,
+        files_per_epoch=2, operators={},
+    )
+    job = StreamingJob(cfg)
+    job.run()
+    events = job.sink.read_op("events").to_pandas()
+    assert len(events) == 80
+    per = events.groupby("conv_id")["turn_idx"].agg(["count", "min", "max"])
+    assert (per["count"] == 40).all() and (per["min"] == 0).all() and (per["max"] == 39).all()
