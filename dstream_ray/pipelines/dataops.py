@@ -981,18 +981,25 @@ def _kmeans_lite(M: np.ndarray, k: int, iters: int = 8, seed: int = 77) -> np.nd
     return C
 
 
-def q_knn_ivf(sf_dir: str, n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF ANN: train a coarse quantizer on a bounded head sample (first
-    parquet batches only — never a full-table driver read), broadcast the
-    centroids, bucket the corpus by nearest centroid inside map_batches, and
-    search only the n_probe closest lists per query via the same broadcast
-    ``ProbedTopK`` stage as LSH (per-batch partial top-k; only nq×k×batches
-    rows reach the driver). Rows-only; pytest bounds recall vs brute force."""
+def q_knn_ivf(
+    sf_dir: str, n_lists: int = 16, n_probe: int = 4, quantizer: str = "head"
+) -> pd.DataFrame:
+    """IVF ANN: train a coarse quantizer (``quantizer="head"``: Lloyd on a
+    bounded head sample — never a full-table driver read;
+    ``"distributed"``: ann.kmeans_distributed, one streaming corpus pass
+    per iteration — the 10^10-vector path), broadcast the centroids, bucket
+    the corpus by nearest centroid inside map_batches, and search only the
+    n_probe closest lists per query via the same broadcast ``ProbedTopK``
+    stage as LSH (per-batch partial top-k; only nq×k×batches rows reach the
+    driver). Rows-only; pytest bounds recall vs brute force."""
     q = _load_queries(sf_dir)
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    head = next(pf.iter_batches(batch_size=2000, columns=["embedding"]))
-    sample = ann.normalize_rows(ann._stack(pa.Table.from_batches([head])["embedding"]))
-    C = _kmeans_lite(sample, n_lists)
+    if quantizer == "distributed":
+        C = ann.kmeans_distributed(_read_embeddings(sf_dir), n_lists)
+    else:
+        pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+        head = next(pf.iter_batches(batch_size=2000, columns=["embedding"]))
+        sample = ann.normalize_rows(ann._stack(pa.Table.from_batches([head])["embedding"]))
+        C = _kmeans_lite(sample, n_lists)
     c_ref = ray.put(C)
 
     def bucketize(b: pa.Table) -> pa.Table:

@@ -490,13 +490,15 @@ def test_hll_pipeline_per_event_type(ray_session):
     assert (rel_err < 0.05).all(), m
 
 
-def test_knn_ivf_recall(ray_session, sf_tiny):
+@pytest.mark.parametrize("quantizer", ["head", "distributed"])
+def test_knn_ivf_recall(ray_session, sf_tiny, quantizer):
     """IVF with n_probe=4/16 lists should recover a solid fraction of the
-    brute-force top-10."""
+    brute-force top-10, with either quantizer trainer (bounded head sample
+    or the distributed one-pass-per-iteration Lloyd)."""
     from dstream_ray.pipelines.dataops import q_knn_bruteforce, q_knn_ivf
 
     bf = q_knn_bruteforce(sf_tiny)
-    ivf = q_knn_ivf(sf_tiny)
+    ivf = q_knn_ivf(sf_tiny, quantizer=quantizer)
     assert (ivf.groupby("query_id").size() == 10).all()
     merged = ivf.merge(bf, on=["query_id", "neighbor_id"], how="inner")
     recall = len(merged) / len(bf)

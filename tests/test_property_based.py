@@ -177,3 +177,55 @@ def test_salted_sessionization_matches_plain(data, chunk_turns):
     merged = phase2_merge_islands(islands, gap_s=GAP_S).to_pandas()
     plain, _ = session_kernel(to_residual_rows(tbl), {}, gap_s=GAP_S, flush=True)
     pd.testing.assert_frame_equal(canon(merged), canon(plain.to_pandas()), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_key_relay_dual_cursor_property(data):
+    """Dual-cursor relay property: for ANY sharding of envelope rows into
+    epochs — with arbitrary replays (duplicated shards / overlapping key
+    ranges, keys re-delivered out of shard order AFTER first delivery) —
+    the delivered stream per table is exactly the distinct keys in key
+    order, with dense turn_idx and monotone ts."""
+    import json
+
+    from dstream_ray.sources.envelopes import parse_envelope_lines
+
+    tables = data.draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3, unique=True))
+    keys_per_table = {
+        t: sorted(data.draw(st.sets(st.integers(0, 60), min_size=1, max_size=25)))
+        for t in tables
+    }
+    # build the true delivery order then shard it with replays appended
+    lines = []
+    for t, ks in keys_per_table.items():
+        for k in ks:
+            lines.append(json.dumps({
+                "data": {"v": k},
+                "metadata": {"TableName": t, "LSN": f"{k:016x}", "Seq": "0",
+                             "OperationType": "i"},
+            }))
+    n_epochs = data.draw(st.integers(1, 5))
+    bounds = sorted(data.draw(st.lists(st.integers(0, len(lines)), min_size=n_epochs - 1, max_size=n_epochs - 1))) + [len(lines)]
+    shards = []
+    prev = 0
+    for b in bounds:
+        shards.append(lines[prev:b])
+        prev = b
+    # replays: re-deliver some already-shipped prefix as extra epochs
+    n_replays = data.draw(st.integers(0, 2))
+    for _ in range(n_replays):
+        upto = data.draw(st.integers(0, len(lines)))
+        shards.append(lines[:upto])
+
+    state: dict = {}
+    outs = []
+    for shard in shards:
+        out, state = relay_kernel(parse_envelope_lines(shard), state)
+        outs.append(out)
+    got = pa.concat_tables(outs).to_pandas()
+    for t, ks in keys_per_table.items():
+        g = got[got["conv_id"] == t].sort_values("turn_idx")
+        assert g["turn_idx"].tolist() == list(range(len(ks))), t
+        assert [json.loads(x)["v"] for x in g["text"]] == ks, t
+        assert g["ts"].is_monotonic_increasing
