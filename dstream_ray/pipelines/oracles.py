@@ -129,8 +129,8 @@ FROM lineitem GROUP BY 1, 2
 ORACLE_SQL["doc_stats"] = """
 WITH toks AS (
   SELECT doc_id, text,
-         CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\\s+') END AS t
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))='' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS t
   FROM documents
 )
 SELECT doc_id,
@@ -149,11 +149,11 @@ FROM toks
 ORACLE_SQL["langid_markers"] = """
 WITH scored AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(trim(text),'\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+'),
              x -> x IN ('der','die','und','das','ist'))) AS s_de,
-         len(list_filter(string_split_regex(trim(text),'\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+'),
              x -> x IN ('le','la','les','et','est'))) AS s_fr,
-         len(list_filter(string_split_regex(trim(text),'\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+'),
              x -> x IN ('el','los','las','y','es'))) AS s_es
   FROM documents
 )
@@ -181,7 +181,7 @@ FROM documents GROUP BY text
 
 ORACLE_SQL["ngram_jaccard"] = """
 WITH toks AS (
-  SELECT doc_id, source, list_distinct(string_split_regex(trim(text),'\\s+')) AS t
+  SELECT doc_id, source, list_distinct(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+')) AS t
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -418,8 +418,8 @@ _FNV_TOKEN = """list_reduce(
 
 _TOKS_TH = f"""toks AS (
   SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN []
-         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN []
+         ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS ts
   FROM documents
 ), th AS (
   SELECT doc_id, list_transform(ts, t -> {_FNV_TOKEN}) AS hs FROM toks
@@ -549,8 +549,8 @@ WHERE gate < thr.t::HUGEINT
 ORACLE_SQL["pack_sequences"] = """
 WITH tok AS (
   SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) END AS n_tok
   FROM documents
 ), pos AS (
   SELECT doc_id, n_tok,
@@ -621,8 +621,8 @@ ORACLE_SQL["streaming_session_wm"] = ORACLE_SQL["session_window"]
 ORACLE_SQL["len_quantiles"] = """
 WITH tok AS (
   SELECT lang,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) END AS n_tokens
   FROM documents
 ), qd AS (
   SELECT lang, quantile_disc(n_tokens, [0.50, 0.90, 0.99]) AS qs
