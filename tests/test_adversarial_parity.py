@@ -103,3 +103,91 @@ def test_adversarial_documents_parity(ray_session, tmp_path, qname):
         normalize(got).head(),
         normalize(exp).head(),
     )
+
+
+EVENT_QUERIES = [
+    "transcripts_feed",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "session_salted",
+    "tumbling_salted",
+    "stream_join",
+    "cep_pattern",
+    "partition_watermarks",
+    "role_stats",
+    "tool_usage",
+    "events_hourly",
+    "hll_registers",
+]
+
+
+def make_adversarial_events(tmp_path) -> str:
+    """Edge-case events: duplicate timestamps (tie-break by event_id), a
+    single-turn user, one mega-user, bursts inside one second, gaps just at
+    the session boundary, identical payloads."""
+    rng = np.random.default_rng(123)
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+
+    def add(user, ts_us, etype="click", value=1.0, props='{"k": 1}'):
+        nonlocal eid
+        rows.append((eid, ts_us, user, etype, value, props))
+        eid += 1
+
+    # duplicate timestamps for one user (ordering must tie-break on event_id)
+    for i in range(6):
+        add(1, base + 1_000_000)
+    # single-event user
+    add(2, base)
+    # mega-user: 300 turns, some exactly at the session gap boundary
+    t = base
+    GAP_US = 43_200 * 1_000_000
+    for i in range(300):
+        if i % 37 == 5:
+            t += GAP_US  # exactly == gap: same session (strict > breaks)
+        elif i % 37 == 6:
+            t += GAP_US + 1  # just over: new session
+        else:
+            t += int(rng.integers(1, 5_000_000))
+        add(3, t, etype=["click", "purchase", "signup", "error"][i % 4],
+            value=float(i), props=f'{{"k": {i}}}')
+    # burst: 50 events in one second across users
+    for i in range(50):
+        add(4 + (i % 3), base + 5_000_000 + i * 1000)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array([r[5] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("qname", EVENT_QUERIES)
+def test_adversarial_events_parity(ray_session, tmp_path, qname):
+    import __ray_entry__ as entry
+
+    sf_dir = make_adversarial_events(tmp_path)
+    qs, sqls = entry.queries(), entry.oracle_sql()
+    got = to_pandas(qs[qname](sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exp = con.execute(sqls[qname]).fetch_df()
+    assert len(got) == len(exp), (qname, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), qname
+    assert value_hash(got) == value_hash(exp), (
+        qname,
+        normalize(got).head(),
+        normalize(exp).head(),
+    )
