@@ -155,3 +155,40 @@ def test_state_pruning_bounds_disk(ray_session, tmp_path):
     pq.write_table(tbl.set_column(0, "conv_id", conv), str(feed / "feed-9998.parquet"))
     st = StreamingJob(cfg).run()
     assert st["flushed"] and st["file_cursor"] == 7
+
+
+def test_cli_lifecycle_verbs(tmp_path):
+    """python -m dstream_ray: the dstream lifecycle verbs end-to-end in real
+    subprocesses (init -> plan -> run -> status -> destroy), fresh Ray
+    session per invocation (the CLI owns its session; library code never
+    calls ray.init)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from dstream_ray.sources.transcripts import generate_transcripts
+
+    feed = tmp_path / "feed"
+    generate_transcripts(n_convs=10, mean_turns=5, seed=77, out_path=str(feed), n_shards=2)
+    out_dir = str(tmp_path / "out")
+
+    def cli(verb, *extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "dstream_ray", verb,
+             "--feed-dir", str(feed), "--out-dir", out_dir,
+             "--partitions", "2", *extra],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+        )
+        assert r.returncode == 0, (verb, r.stderr[-800:])
+        out = r.stdout[r.stdout.index("{"):]  # indent=1 JSON spans lines
+        return _json.loads(out)
+
+    assert cli("init")["status"] == "ready"
+    plan = cli("plan")
+    assert len(plan["pending_files"]) == 2 and plan["file_cursor"] == 0
+    st = cli("run")
+    assert st["flushed"] and st["file_cursor"] == 2
+    st2 = cli("status")
+    assert st2["committed_epochs"] >= 1 and st2["cumulative"]["rows_in"] > 0
+    assert cli("destroy")["status"] == "destroyed"
+    assert not os.path.exists(out_dir)
