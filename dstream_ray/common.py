@@ -134,7 +134,9 @@ def token_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     prev = np.empty(len(data), dtype=bool)
     prev[0] = False
     prev[1:] = nonws[:-1]
-    prev[starts] = False  # a token never continues across a doc boundary
+    # a token never continues across a doc boundary; trailing empty docs
+    # have starts[i] == len(data), which must not be indexed
+    prev[starts[starts < len(data)]] = False
     nxt = np.empty(len(data), dtype=bool)
     nxt[-1] = False
     nxt[:-1] = nonws[1:]

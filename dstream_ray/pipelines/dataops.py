@@ -204,6 +204,7 @@ def components_min_label_distributed(
         return int(out["s"]) if out else 0
 
     prev_total = total(labels)
+    converged = False
     for _ in range(max_iters):
         prop = (
             sym_edges.join(
@@ -223,8 +224,15 @@ def components_min_label_distributed(
         )
         new_total = total(labels)
         if new_total == prev_total:
+            converged = True
             break
         prev_total = new_total
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds — a "
+            "component's diameter exceeds the iteration budget; raise "
+            "max_iters (rounds needed = longest chain of near-dup edges)"
+        )
     df = labels.to_pandas().rename(columns={"node": "doc_id", "lbl": "cluster_id"})
     return df.astype({"doc_id": "int64", "cluster_id": "int64"})
 
@@ -597,6 +605,48 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _balanced_sample_by_lang(ds: rd.Dataset) -> pd.DataFrame:
+    """Deterministic stratum-balanced downsample of a (doc_id, lang)
+    Dataset: tiny per-stratum count aggregate -> broadcast integer
+    thresholds -> one fnv1a(doc_id)-gated filter pass (dictionary-coded
+    lang lookup, no RNG state). Shared by q_sample_balanced and
+    q_curation_pipeline so the sampling rule exists exactly once."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.common import fnv1a_u64
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    min_n = int(counts["n"].min())
+    thresholds = {
+        lang: (1_000_000 * min_n) // int(n)
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    thr_ref = ray.put(thresholds)
+
+    def keep(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        gate = fnv1a_u64(b["doc_id"].cast(pa.string())) % np.uint64(1_000_000)
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        dict_thr = np.array(
+            [thr[x] for x in enc.dictionary.to_pylist()], dtype=np.uint64
+        )
+        lang_thr = dict_thr[enc.indices.to_numpy(zero_copy_only=False)]
+        return b.filter(pa.array(gate < lang_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
 def q_text_normalize(sf_dir: str):
     """Cleaning stage: lowercase + collapse whitespace + trim, all in Arrow
     compute kernels (C, zero Python per row). Oracle:
@@ -605,7 +655,7 @@ def q_text_normalize(sf_dir: str):
 
     def norm(b: pa.Table) -> pa.Table:
         t = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(b["text"], r"\s+", " ")
+            pc.replace_substring_regex(b["text"], r"[ \t\n\x0b\x0c\r]+", " ")
         )
         t = pc.utf8_lower(t)
         return pa.table(
@@ -626,51 +676,8 @@ def q_sample_balanced(sf_dir: str) -> pd.DataFrame:
     is thinned to ~the smallest stratum's size by keeping docs with
     ``fnv1a(doc_id) % 1e6 < floor(1e6 * min_n / stratum_n)`` — reproducible
     across runs/nodes (content-hash gate, no RNG state), the standard way a
-    100 TB pipeline balances sources without a shuffle. Two-phase: tiny
-    per-stratum count aggregate, broadcast thresholds, one filter pass."""
-    from ray.data.aggregate import Sum
-
-    from dstream_ray.common import fnv1a_u64
-
-    ds = _read_documents(sf_dir, ["doc_id", "lang"])
-
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
-
-    counts = (
-        ds.map_batches(count_partial, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    min_n = int(counts["n"].min())
-    thresholds = {
-        lang: (1_000_000 * min_n) // int(n)
-        for lang, n in zip(counts["lang"], counts["n"])
-    }
-    thr_ref = ray.put(thresholds)
-
-    def keep(b: pa.Table) -> pa.Table:
-        thr = ray.get(thr_ref)
-        ids = b["doc_id"].cast(pa.string())
-        gate = fnv1a_u64(ids) % np.uint64(1_000_000)
-        # per-row threshold via the lang dictionary (few distinct values —
-        # no per-row Python lookups)
-        lang = b["lang"]
-        if isinstance(lang, pa.ChunkedArray):
-            lang = lang.combine_chunks()
-        enc = lang.dictionary_encode()
-        dict_thr = np.array(
-            [thr[x] for x in enc.dictionary.to_pylist()], dtype=np.uint64
-        )
-        lang_thr = dict_thr[enc.indices.to_numpy(zero_copy_only=False)]
-        return b.filter(pa.array(gate < lang_thr))
-
-    return (
-        _read_documents(sf_dir, ["doc_id", "lang"])
-        .map_batches(keep, batch_format="pyarrow")
-        .to_pandas()
-    )
+    100 TB pipeline balances sources without a shuffle."""
+    return _balanced_sample_by_lang(_read_documents(sf_dir, ["doc_id", "lang"]))
 
 
 def q_len_quantiles(sf_dir: str) -> pd.DataFrame:
@@ -732,7 +739,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     def norm_and_quality(b: pa.Table) -> pa.Table:
         norm = pc.utf8_lower(
-            pc.utf8_trim_whitespace(pc.replace_substring_regex(b["text"], r"\s+", " "))
+            pc.utf8_trim_whitespace(pc.replace_substring_regex(b["text"], r"[ \t\n\x0b\x0c\r]+", " "))
         )
         flat, offsets = token_hash_arrays(norm)
         n_tok = np.diff(offsets)
@@ -792,36 +799,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
         .materialize()
     )
 
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
-
-    counts = (
-        survivors.map_batches(count_partial, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    min_n = int(counts["n"].min())
-    thresholds = {
-        lang: (1_000_000 * min_n) // int(n)
-        for lang, n in zip(counts["lang"], counts["n"])
-    }
-    thr_ref = ray.put(thresholds)
-
-    def keep(b: pa.Table) -> pa.Table:
-        thr = ray.get(thr_ref)
-        gate = fnv1a_u64(b["doc_id"].cast(pa.string())) % np.uint64(1_000_000)
-        lang = b["lang"]
-        if isinstance(lang, pa.ChunkedArray):
-            lang = lang.combine_chunks()
-        enc = lang.dictionary_encode()
-        dict_thr = np.array(
-            [thr[x] for x in enc.dictionary.to_pylist()], dtype=np.uint64
-        )
-        lang_thr = dict_thr[enc.indices.to_numpy(zero_copy_only=False)]
-        return b.filter(pa.array(gate < lang_thr))
-
-    return survivors.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return _balanced_sample_by_lang(survivors)
 
 
 PACK_CTX = 512

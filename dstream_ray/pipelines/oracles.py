@@ -130,7 +130,7 @@ ORACLE_SQL["doc_stats"] = """
 WITH toks AS (
   SELECT doc_id, text,
          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))='' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS t
+              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+') END AS t
   FROM documents
 )
 SELECT doc_id,
@@ -149,11 +149,11 @@ FROM toks
 ORACLE_SQL["langid_markers"] = """
 WITH scored AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'[ \\t\\n\\x0b\\x0c\\r]+'),
              x -> x IN ('der','die','und','das','ist'))) AS s_de,
-         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'[ \\t\\n\\x0b\\x0c\\r]+'),
              x -> x IN ('le','la','les','et','est'))) AS s_fr,
-         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+'),
+         len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'[ \\t\\n\\x0b\\x0c\\r]+'),
              x -> x IN ('el','los','las','y','es'))) AS s_es
   FROM documents
 )
@@ -181,7 +181,7 @@ FROM documents GROUP BY text
 
 ORACLE_SQL["ngram_jaccard"] = """
 WITH toks AS (
-  SELECT doc_id, source, list_distinct(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'\\s+')) AS t
+  SELECT doc_id, source, list_distinct(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),'[ \\t\\n\\x0b\\x0c\\r]+')) AS t
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -419,7 +419,7 @@ _FNV_TOKEN = """list_reduce(
 _TOKS_TH = f"""toks AS (
   SELECT doc_id,
     CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN []
-         ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS ts
+         ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+') END AS ts
   FROM documents
 ), th AS (
   SELECT doc_id, list_transform(ts, t -> {_FNV_TOKEN}) AS hs FROM toks
@@ -517,8 +517,8 @@ ORACLE_SQL["minhash_dedup"] = _minhash_oracle_sql()
 
 ORACLE_SQL["text_normalize"] = """
 SELECT doc_id,
-       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
-       CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
+       lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS norm_text,
+       CAST(length(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))) AS BIGINT)
          AS n_chars_norm
 FROM documents
 """
@@ -550,7 +550,7 @@ ORACLE_SQL["pack_sequences"] = """
 WITH tok AS (
   SELECT doc_id,
     CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
-         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) END AS n_tok
+         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+')) END AS n_tok
   FROM documents
 ), pos AS (
   SELECT doc_id, n_tok,
@@ -577,7 +577,7 @@ FROM ex
 ORACLE_SQL["curation_pipeline"] = f"""
 WITH normed AS (
   SELECT doc_id, lang,
-         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+         lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS norm_text
   FROM documents
 ), toks AS (
   SELECT doc_id, lang, norm_text,
@@ -622,7 +622,7 @@ ORACLE_SQL["len_quantiles"] = """
 WITH tok AS (
   SELECT lang,
     CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
-         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) END AS n_tokens
+         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+')) END AS n_tokens
   FROM documents
 ), qd AS (
   SELECT lang, quantile_disc(n_tokens, [0.50, 0.90, 0.99]) AS qs

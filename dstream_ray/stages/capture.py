@@ -118,12 +118,25 @@ def _relay_by_key(
     restarted at 0. Accepted rows get a rewritten dense per-conv turn_idx
     (delivered-count cursor) and a deterministic per-conv ts, both monotone
     across shards, so every downstream window kernel sees the standard feed
-    contract."""
+    contract.
+
+    Eviction (``evict_idle_us``): the synthetic per-conv clock (1 s per
+    delivered row) is not comparable across tables, so idleness is measured
+    in DELIVERY TICKS — one tick per epoch that delivered any rows; a table
+    idle for more than ``evict_idle_us // 1e6`` ticks drops its cursors
+    (same replay-lag tradeoff as the positional relay's eviction)."""
     last_key: dict = dict(state.get("last_key", {}))
     delivered: dict = dict(state.get("delivered", {}))
+    track = evict_idle_us is not None
+    last_tick: dict = dict(state.get("last_tick", {})) if track else {}
+    tick = int(state.get("tick", 0))
 
     def _state() -> dict:
-        return {"last_key": last_key, "delivered": delivered}
+        out = {"last_key": last_key, "delivered": delivered}
+        if track:
+            out["last_tick"] = last_tick
+            out["tick"] = tick
+        return out
 
     if new_rows.num_rows == 0:
         return new_rows.drop_columns(["cdc_key"]), _state()
@@ -153,12 +166,21 @@ def _relay_by_key(
         pos = np.arange(len(codes_a), dtype=np.int64)
         within = pos - np.repeat(pos[a_starts], a_ends - a_starts)
         base = np.empty(len(codes_a), dtype=np.int64)
+        tick += 1
         for s, e in zip(a_starts, a_ends):
             nm = names[codes_a[s]]
             base[s:e] = delivered.get(nm, 0)
             delivered[nm] = int(base[s]) + int(e - s)
             last_key[nm] = keys_a[e - 1].decode()
+            if track:
+                last_tick[nm] = tick
         new_turn = base + within
+    if track and last_tick:
+        idle_ticks = max(1, int(evict_idle_us) // 1_000_000)
+        for nm in [n for n, t in last_tick.items() if tick - t > idle_ticks]:
+            del last_tick[nm]
+            last_key.pop(nm, None)
+            delivered.pop(nm, None)
     idx_turn = out.column_names.index("turn_idx")
     idx_ts = out.column_names.index("ts")
     out = out.set_column(

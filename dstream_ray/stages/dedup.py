@@ -324,25 +324,44 @@ def ngram_jaccard_pairs_group(group: pd.DataFrame, *, tau_x1000: int = 200) -> p
         if len(codes):
             codes = np.unique(codes, return_inverse=True)[1]
     V = int(codes.max()) + 1 if len(codes) else 0
-    inter = np.zeros((D, D), dtype=np.int64)
-    # accumulate A @ A.T over vocab chunks to bound the dense temporary
-    chunk = max(1, min(V, (1 << 24) // max(D, 1)))
-    for lo in range(0, V, chunk):
-        sel = (codes >= lo) & (codes < lo + chunk)
-        if not sel.any():
-            continue
-        A = np.zeros((D, min(chunk, V - lo)), dtype=np.float32)
-        A[doc_idx[sel], codes[sel] - lo] = 1.0
-        inter += (A @ A.T).astype(np.int64)
-    ia, ib = np.triu_indices(D, k=1)
-    inter_p = inter[ia, ib]
-    uni = sizes[ia] + sizes[ib] - inter_p
-    jx = np.where(uni > 0, (1000 * inter_p) // np.maximum(uni, 1), 1000)
-    hit = jx >= tau_x1000
-    a = np.minimum(ids[ia[hit]], ids[ib[hit]]).astype(np.int64)
-    b = np.maximum(ids[ia[hit]], ids[ib[hit]]).astype(np.int64)
+    # ROW-BLOCKED accumulation: never hold a D x D matrix — per row block
+    # accumulate (R x D) int32 intersections over vocab chunks (bounded
+    # dense scatter + sgemm) and emit that block's qualifying pairs
+    # immediately. Peak memory ~ R*D*4 + D*chunk*4 bytes regardless of
+    # block size; chunk-matrix rebuild costs (D/R) x O(tokens), dwarfed by
+    # the matmul itself.
+    chunk = max(1, min(V, (1 << 24) // max(D, 1))) if V else 1
+    R = max(256, min(D, (1 << 24) // max(D, 1)))
+    code_order = np.argsort(codes, kind="stable") if len(codes) else codes
+    codes_sorted = codes[code_order] if len(codes) else codes
+    out_a, out_b, out_j = [], [], []
+    for r0 in range(0, D, R):
+        r1 = min(r0 + R, D)
+        inter_rows = np.zeros((r1 - r0, D), dtype=np.int32)
+        for lo in range(0, V, chunk):
+            lo_sel = np.searchsorted(codes_sorted, lo)
+            hi_sel = np.searchsorted(codes_sorted, min(lo + chunk, V))
+            if hi_sel == lo_sel:
+                continue
+            sel = code_order[lo_sel:hi_sel]
+            A = np.zeros((D, min(chunk, V - lo)), dtype=np.float32)
+            A[doc_idx[sel], codes[sel] - lo] = 1.0
+            inter_rows += (A[r0:r1] @ A.T).astype(np.int32)
+        # pairs (i, j) with i in this row block and j > i
+        ia_l, ib = np.nonzero(
+            np.arange(D)[None, :] > (np.arange(r0, r1))[:, None]
+        )
+        ia = ia_l + r0
+        inter_p = inter_rows[ia_l, ib].astype(np.int64)
+        uni = sizes[ia] + sizes[ib] - inter_p
+        jx = np.where(uni > 0, (1000 * inter_p) // np.maximum(uni, 1), 1000)
+        hit = jx >= tau_x1000
+        out_a.append(np.minimum(ids[ia[hit]], ids[ib[hit]]).astype(np.int64))
+        out_b.append(np.maximum(ids[ia[hit]], ids[ib[hit]]).astype(np.int64))
+        out_j.append(jx[hit].astype(np.int64))
+    cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
     return pd.DataFrame(
-        {"doc_a": a, "doc_b": b, "jaccard_x1000": jx[hit].astype(np.int64)}
+        {"doc_a": cat(out_a), "doc_b": cat(out_b), "jaccard_x1000": cat(out_j)}
     )
 
 
@@ -373,34 +392,12 @@ def pair_jaccard_counts_batch(texts_a, texts_b, w: int = 3):
 
 
 def pair_jaccard_batch(texts_a, texts_b, w: int = 3) -> np.ndarray:
-    """Exact shingle-Jaccard for N (text_a, text_b) pairs, vectorized.
-
-    Both columns are shingled batch-wise; per-pair intersection counts come
-    from one lexsort over (pair_id, value) — a value occurring twice within a
-    pair is a common shingle (sets are unique). The MinHash verify stage runs
-    this inside ``map_batches`` after joining candidate pairs to texts, so no
-    corpus-sized structure ever reaches the driver."""
-    n = len(texts_a)
-    if n == 0:
-        return np.empty(0, dtype=np.float64)
-    va, offa = shingle_sets_batch(texts_a, w)
-    vb, offb = shingle_sets_batch(texts_b, w)
-    ca, cb = np.diff(offa), np.diff(offb)
-    pid = np.r_[
-        np.repeat(np.arange(n, dtype=np.int64), ca),
-        np.repeat(np.arange(n, dtype=np.int64), cb),
-    ]
-    val = np.r_[va, vb]
-    order = np.lexsort((val, pid))
-    pid_s, val_s = pid[order], val[order]
-    dup = np.zeros(len(val_s), dtype=bool)
-    if len(val_s) > 1:
-        dup[1:] = (pid_s[1:] == pid_s[:-1]) & (val_s[1:] == val_s[:-1])
-    inter = np.bincount(pid_s[dup], minlength=n)
-    union = ca + cb - inter
-    both_empty = (ca == 0) & (cb == 0)
+    """Exact shingle-Jaccard for N (text_a, text_b) pairs, vectorized —
+    the float view over :func:`pair_jaccard_counts_batch` (both-empty pairs
+    have union 0 and score 1.0, matching the scalar :func:`jaccard`)."""
+    inter, union = pair_jaccard_counts_batch(texts_a, texts_b, w)
     out = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    out[both_empty] = 1.0
+    out[union == 0] = 1.0
     return out
 
 

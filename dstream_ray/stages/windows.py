@@ -538,7 +538,11 @@ def session_kernel(
         wm_close_by_seg = None
         if closure == "watermark" and watermark_us is not None:
             conv_last_ts = _conv_last(cols.ts, cols)  # segment order
-            wm_close_by_seg = watermark_us >= conv_last_ts + gap_us
+            # STRICT >: a row at exactly last_ts + gap still extends the
+            # session (gap-and-islands breaks only on diff > gap) and a row
+            # at ts == watermark is still admissible — closing at >= would
+            # late-drop that row and undercount vs the oracle
+            wm_close_by_seg = watermark_us > conv_last_ts + gap_us
             close_per_row = np.repeat(wm_close_by_seg, cols.ends - cols.starts)
             row_open = row_open & ~close_per_row
         emit_run = ~row_open[starts]

@@ -78,9 +78,18 @@ class Lease:
                 pass
             return self.acquire()
         try:
+            # we won the sentinel for generation cur — but a racer that won
+            # an EARLIER generation may have broken the lease between our
+            # read and our sentinel create (it then removed its sentinel,
+            # letting ours succeed). Only overwrite if the lease is still
+            # exactly the stale record we observed; otherwise someone holds
+            # a fresh lease and we must not stomp it.
+            cur2 = self._read()
+            if cur2 is None or cur2 != cur:
+                return False
             self._write(now)
-            cur = self._read()
-            return cur is not None and cur["owner"] == self.owner
+            cur3 = self._read()
+            return cur3 is not None and cur3["owner"] == self.owner
         finally:
             try:
                 os.remove(sentinel)

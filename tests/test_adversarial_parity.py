@@ -51,6 +51,8 @@ def make_adversarial_documents(tmp_path) -> str:
     add("")
     add("   ")
     add("\t\n")
+    add("\x0bvertical\x0btab\x0b")  # \v: outside RE2 \s but IS Python/Arrow ws
+    add("\x0cform feed mid \x0c doc")
     add("one")
     add("a b")
     add("!!! ??? ... ;;;")

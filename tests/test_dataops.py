@@ -101,6 +101,10 @@ EDGE_TEXTS = [
     "tab\tsep\nnewline  multi   space",
     "x " * 200,
     "short doc here ok",
+    # TRAILING empty/ws docs: starts[i] == len(data) must not be indexed
+    # (crashed token_spans before round 2's fix)
+    "",
+    "  ",
 ]
 
 

@@ -302,3 +302,32 @@ def test_engine_cep_eviction_publishes_before_flush(ray_session, tmp_path):
         .sort_index()
     )
     assert got.equals(exp)
+
+
+def test_key_relay_eviction_bounds_state():
+    """Envelope (dual-cursor) relay: with eviction, tables idle for more
+    than the tick budget drop their cursors; live tables keep deduping."""
+    import json
+
+    from dstream_ray.sources.envelopes import parse_envelope_lines
+
+    def shard(table, lsns):
+        return parse_envelope_lines([
+            json.dumps({"data": {"v": l},
+                        "metadata": {"TableName": table, "LSN": f"{l:016x}",
+                                     "Seq": "0", "OperationType": "i"}})
+            for l in lsns
+        ])
+
+    st: dict = {}
+    # table 'hot' delivers every epoch; each epoch also brings a fresh table
+    for ep in range(10):
+        t = shard("hot", range(ep * 2, ep * 2 + 2))
+        t2 = shard(f"cold{ep}", range(3))
+        out, st = relay_kernel(t, st, evict_idle_us=3_000_000)  # 3 ticks
+        out2, st = relay_kernel(t2, st, evict_idle_us=3_000_000)
+    assert "hot" in st["last_key"]
+    assert len(st["last_key"]) <= 6, sorted(st["last_key"])  # cold tables evicted
+    # hot table still dedups replays
+    out, st = relay_kernel(shard("hot", range(0, 20)), st, evict_idle_us=3_000_000)
+    assert out.num_rows == 0
