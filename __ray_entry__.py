@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": d.q_pack_sequences,  # distributed prefix-sum sequence packing
         "curation_pipeline": d.q_curation_pipeline,  # composed normalize->quality->dedup->sample, gated end-to-end
         "len_quantiles": d.q_len_quantiles,  # exact distributed-histogram quantiles
+        "top_tokens": d.q_top_tokens,  # exact vocabulary heavy hitters
         # training-data ops: dedup family
         "dedup_exact": d.q_dedup_exact,
         "minhash_dedup": d.q_minhash_dedup,  # full pipeline SQL-gated (recursive-CTE components)

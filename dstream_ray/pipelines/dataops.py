@@ -723,6 +723,36 @@ def q_len_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Exact corpus-wide top-k tokens (vocabulary heavy hitters): per-batch
+    token value-count partials (pandas C groupby on the split lists), one
+    groupby over distinct tokens (vocabulary-bounded, not row-bounded),
+    deterministic (count desc, token asc) tie-break. Oracle: UNNEST +
+    GROUP BY + LIMIT."""
+    from ray.data.aggregate import Sum
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split()
+        flat = pd.Series(
+            [t for ts in toks for t in ts], dtype="object", name="token"
+        )
+        if not len(flat):
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "cnt": pd.Series(dtype="int64")})
+        g = flat.value_counts().rename_axis("token").reset_index(name="cnt")
+        return g
+
+    counts = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(tok_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    top = counts.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+    return top.reset_index(drop=True).astype({"cnt": "int64"})
+
+
 def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """The composed training-data curation flow as ONE Dataset pipeline:
     normalize → quality filter → exact dedup (survivor = min doc_id per

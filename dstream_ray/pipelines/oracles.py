@@ -631,3 +631,17 @@ WITH tok AS (
 SELECT lang, CAST([50, 90, 99][i] AS BIGINT) AS q_pct, CAST(qs[i] AS BIGINT) AS n_tokens
 FROM qd, (SELECT unnest(generate_series(1, 3)) AS i)
 """
+
+# corpus-wide top-k tokens, deterministic (count desc, token asc) tie-break
+ORACLE_SQL["top_tokens"] = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS token
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+"""

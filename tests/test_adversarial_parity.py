@@ -34,6 +34,7 @@ ADVERSARIAL_QUERIES = [
     "pack_sequences",
     "len_quantiles",
     "curation_pipeline",
+    "top_tokens",
 ]
 
 
