@@ -688,18 +688,44 @@ def session_with_join_kernel(
     *,
     gap_s: int,
     flush: bool,
+    closure: str = "conv",
+    watermark_us: int | None = None,
 ) -> tuple[dict[str, pa.Table], dict]:
     """Fused session window + session-scoped join: both operators share the
     identical closure rule (the conv's LAST session stays open), so fusing
     them halves the dictionary-encode/sort work and carries ONE residual.
     Emits {"session": ..., "session_join": ...} with outputs byte-identical
-    to the standalone kernels."""
+    to the standalone kernels. ``closure="watermark"`` closes idle convs'
+    last sessions at wm > last_ts + gap for BOTH outputs, with the same
+    late-drop semantics as :func:`session_kernel`."""
     gap_us = gap_s * US
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     closed_count: dict = dict(state.get("closed_count", {}))
+    late_drops = int(state.get("late_drops", 0))
+    emitted_through: dict = dict(state.get("emitted_through", {}))
     if len(cols.codes) == 0:
         return {"session": _SESSION_EMPTY, "session_join": _JOIN_EMPTY}, state
+    if closure == "watermark" and emitted_through:
+        names0 = cols.conv_names()
+        thr = np.array(
+            [emitted_through.get(nm, _I64MIN) for nm in names0], dtype=np.int64
+        )
+        cut = np.where(thr == _I64MIN, _I64MIN, thr + gap_us)
+        late = cols.ts <= cut[cols.codes]
+        if late.any():
+            late_drops += int(late.sum())
+            cols = prep(_take(cols, ~late))
+            if len(cols.codes) == 0:
+                return (
+                    {"session": _SESSION_EMPTY, "session_join": _JOIN_EMPTY},
+                    {
+                        "residual": None,
+                        "closed_count": closed_count,
+                        "late_drops": late_drops,
+                        "emitted_through": emitted_through,
+                    },
+                )
     sess = _assign_sessions(cols, gap_us)
     names = cols.conv_names()
     base_by_code = np.array([closed_count.get(nm, 0) for nm in names], dtype=np.int64)
@@ -728,13 +754,35 @@ def session_with_join_kernel(
             new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code]) + 1
     else:
         row_open = sess == last_sess_per_conv
+        wm_close_by_seg = None
+        if closure == "watermark" and watermark_us is not None:
+            conv_last_ts = _conv_last(cols.ts, cols)  # segment order
+            # strict >: see session_kernel (a row at exactly last_ts + gap
+            # still extends; ts == wm is still admissible)
+            wm_close_by_seg = watermark_us > conv_last_ts + gap_us
+            close_per_row = np.repeat(wm_close_by_seg, cols.ends - cols.starts)
+            row_open = row_open & ~close_per_row
         emit_run = ~row_open[starts]
         emit_pair = is_pair & ~row_open
         residual = _take(cols, row_open)
         new_closed = dict(closed_count)
-        for code, nm in enumerate(names):
-            if last_by_code[code] > 0:
-                new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code])
+        if wm_close_by_seg is not None:
+            closed_last = np.zeros(len(names), dtype=bool)
+            closed_last[cols.codes[cols.starts]] = wm_close_by_seg
+            through = np.full(len(names), _I64MIN, dtype=np.int64)
+            through[cols.codes[cols.starts]] = _conv_last(cols.ts, cols)
+            for code, nm in enumerate(names):
+                inc = int(last_by_code[code]) + (1 if closed_last[code] else 0)
+                if inc > 0:
+                    new_closed[nm] = new_closed.get(nm, 0) + inc
+                if closed_last[code]:
+                    emitted_through[nm] = max(
+                        int(through[code]), emitted_through.get(nm, _I64MIN)
+                    )
+        else:
+            for code, nm in enumerate(names):
+                if last_by_code[code] > 0:
+                    new_closed[nm] = new_closed.get(nm, 0) + int(last_by_code[code])
 
     session_out = pa.table(
         {
@@ -760,4 +808,8 @@ def session_with_join_kernel(
         }
     )
     out = {"session": session_out, "session_join": join_out}
-    return out, {"residual": residual, "closed_count": new_closed}
+    new_state = {"residual": residual, "closed_count": new_closed}
+    if closure == "watermark":
+        new_state["late_drops"] = late_drops
+        new_state["emitted_through"] = emitted_through
+    return out, new_state

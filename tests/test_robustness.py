@@ -331,3 +331,50 @@ def test_key_relay_eviction_bounds_state():
     # hot table still dedups replays
     out, st = relay_kernel(shard("hot", range(0, 20)), st, evict_idle_us=3_000_000)
     assert out.num_rows == 0
+
+
+def test_fused_session_join_watermark_epoch_invariant():
+    """Fused kernel with closure='watermark': BOTH outputs (session + join)
+    emit idle convs before flush and match the single-pass batch output on
+    globally ts-ordered feeds."""
+    import pandas as pd
+
+    from dstream_ray.stages.windows import session_with_join_kernel
+
+    feed = generate_transcripts(n_convs=40, mean_turns=12, seed=61, session_gap_s=120)
+    rows = to_residual_rows(feed)
+    batch, _ = session_with_join_kernel(rows, {}, gap_s=120, flush=True)
+    ref = {
+        k: v.to_pandas().sort_values(list(v.column_names)).reset_index(drop=True)
+        for k, v in batch.items()
+    }
+    ts = rows["ts_us"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ts, kind="stable")
+    rows_sorted = rows.take(pa.array(order))
+    ts_sorted = ts[order]
+    for n_epochs in (4,):
+        bounds = np.linspace(0, rows.num_rows, n_epochs + 1).astype(int)
+        state: dict = {}
+        outs: dict = {"session": [], "session_join": []}
+        early = 0
+        for i in range(n_epochs):
+            chunk = rows_sorted.slice(bounds[i], bounds[i + 1] - bounds[i])
+            wm = int(ts_sorted[bounds[i + 1] - 1])
+            out, state = session_with_join_kernel(
+                chunk, state, gap_s=120, flush=(i == n_epochs - 1),
+                closure="watermark", watermark_us=wm,
+            )
+            for k, v in out.items():
+                outs[k].append(v)
+                if i < n_epochs - 1:
+                    early += v.num_rows
+        assert early > 0
+        for k in outs:
+            got = (
+                pa.concat_tables(outs[k])
+                .to_pandas()
+                .sort_values(list(ref[k].columns))
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, ref[k], check_like=True)
+        assert int(state.get("late_drops", 0)) == 0
