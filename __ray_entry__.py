@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_cep": q.q_streaming_cep,
         "streaming_tumbling_wm": q.q_streaming_tumbling_wm,  # watermark-closure engine run
         "streaming_session_wm": q.q_streaming_session_wm,  # watermark-closure engine run
+        "streaming_join_wm": q.q_streaming_join_wm,  # fused join under watermark closure
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,

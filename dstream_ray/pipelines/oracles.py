@@ -615,6 +615,7 @@ WHERE gate < thr.t::HUGEINT
 # emission must not change the committed results
 ORACLE_SQL["streaming_tumbling_wm"] = ORACLE_SQL["tumbling_window"]
 ORACLE_SQL["streaming_session_wm"] = ORACLE_SQL["session_window"]
+ORACLE_SQL["streaming_join_wm"] = ORACLE_SQL["stream_join"]
 
 # exact token-length quantiles per language: quantile_disc == the engine's
 # histogram-cumsum read-off (value at sorted position ceil(q*n))

@@ -562,7 +562,9 @@ def _run_streaming_wm(sf_dir: str):
             files_per_epoch=1,
             operators={
                 "tumbling@wm": {"width_s": TUMBLING_S, "closure": "watermark"},
-                "session@wm": {"gap_s": SESSION_GAP_S, "closure": "watermark"},
+                # fused kernel in watermark mode gates BOTH the session and
+                # the stream-stream-join outputs under early emission
+                "session_with_join": {"gap_s": SESSION_GAP_S, "closure": "watermark"},
             },
         )
     )
@@ -576,7 +578,11 @@ def q_streaming_tumbling_wm(sf_dir: str) -> pa.Table:
 
 
 def q_streaming_session_wm(sf_dir: str) -> pa.Table:
-    return _run_streaming_wm(sf_dir).sink.read_op("session@wm")
+    return _run_streaming_wm(sf_dir).sink.read_op("session")
+
+
+def q_streaming_join_wm(sf_dir: str) -> pa.Table:
+    return _run_streaming_wm(sf_dir).sink.read_op("session_join")
 
 
 def q_streaming_events(sf_dir: str) -> pa.Table:
