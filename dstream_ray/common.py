@@ -85,27 +85,112 @@ def utf8_view(strings: pa.Array | pa.ChunkedArray | list[str]):
     return data, offsets[:-1] - base, offsets[1:] - base
 
 
+# Spans longer than this are hashed by a scalar per-byte loop instead of the
+# vectorized per-position passes: FNV is sequential within a span, so one
+# pathological span (a whitespace-free base64 blob tokenized as one "token")
+# would otherwise cost `longest_span` numpy dispatches over the whole batch.
+HASH_SPAN_SCALAR_CUTOFF = 4096
+
+
+def _fnv1a_bytes(buf) -> int:
+    h = 14695981039346656037
+    for b in buf:
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def hash_spans(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64 over arbitrary byte spans of one buffer.
 
-    One numpy pass per character position (bounded by the longest span), the
-    same technique as :func:`fnv1a_u64` but span-addressed — used to hash
-    every token of every doc in a batch in a handful of passes instead of a
-    per-byte Python loop.
+    Spans are processed sorted by length, one numpy pass per byte position
+    over only the still-active suffix — total work O(total span bytes), not
+    O(n_spans × longest_span), so one outlier-length span cannot degrade the
+    whole batch. Spans beyond :data:`HASH_SPAN_SCALAR_CUTOFF` bytes take a
+    scalar per-byte path (cheaper than `length` numpy dispatches for a
+    handful of giants; identical output).
     """
     n = len(starts)
     out = np.full(n, FNV_OFFSET, dtype=np.uint64)
     if n == 0:
         return out
-    maxlen = int(lengths.max())
+    big = lengths > HASH_SPAN_SCALAR_CUTOFF
+    if big.any():
+        dbytes = data.tobytes()  # one copy; only giants pay for it
+        for i in np.flatnonzero(big):
+            s = int(starts[i])
+            out[i] = np.uint64(_fnv1a_bytes(dbytes[s : s + int(lengths[i])]))
+        small = ~big
+        sub = hash_spans(data, starts[small], np.minimum(lengths[small], HASH_SPAN_SCALAR_CUTOFF))
+        out[small] = sub
+        return out
+    order = np.argsort(lengths, kind="stable")
+    s_starts = starts[order]
+    s_lens = lengths[order]
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(s_lens[-1]) if n else 0
+    lo = 0
     with np.errstate(over="ignore"):
         for i in range(maxlen):
-            mask = lengths > i
-            if not mask.any():
-                break
-            ch = data[starts[mask] + i].astype(np.uint64)
-            out[mask] = (out[mask] ^ ch) * FNV_PRIME
+            while s_lens[lo] <= i:  # sorted: active spans are a suffix
+                lo += 1
+            ch = data[s_starts[lo:] + i].astype(np.uint64)
+            h[lo:] = (h[lo:] ^ ch) * FNV_PRIME
+    out[order] = h
     return out
+
+
+def poly_hash_spans(
+    data: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    bases: tuple[int, ...] = (1000003,),
+) -> list[np.ndarray]:
+    """Polynomial (Horner) hash mod 2^64 of byte spans, one result array per
+    base: ``h = sum(b[i] * base^(L-1-i))`` — the whole-doc content hash for
+    the exact-dedup family, replacing per-row ``hashlib`` loops.
+
+    Unlike FNV (sequential xor-multiply), the polynomial form is a weighted
+    SUM, so the whole batch is hashed in O(total bytes) numpy ops: one
+    gather of byte values, one power-table lookup per base, one
+    ``add.reduceat`` per base. Empty spans hash to 0. Pass two bases for a
+    128-bit effective key (collision-safe grouping at 10^10+ docs; a single
+    64-bit polynomial is fine for fingerprints but not for dedup-by-hash at
+    that scale). SQL mirror: ``list_reduce(chars, (a,b) -> (a*BASE + b) %
+    (1::HUGEINT << 64))`` (see oracles.py doc_fingerprint).
+    """
+    n = len(starts)
+    outs = [np.zeros(n, dtype=np.uint64) for _ in bases]
+    if n == 0:
+        return outs
+    ne = lengths > 0
+    if not ne.any():
+        return outs
+    s_ne = starts[ne].astype(np.int64)
+    l_ne = lengths[ne].astype(np.int64)
+    maxlen = int(l_ne.max())
+    seg_off = np.zeros(len(l_ne) + 1, dtype=np.int64)
+    np.cumsum(l_ne, out=seg_off[1:])
+    intra = np.arange(seg_off[-1], dtype=np.int64) - np.repeat(seg_off[:-1], l_ne)
+    byte_vals = data[np.repeat(s_ne, l_ne) + intra].astype(np.uint64)
+    exp = np.repeat(l_ne, l_ne) - 1 - intra
+    with np.errstate(over="ignore"):
+        for bi, base in enumerate(bases):
+            W = np.ones(maxlen, dtype=np.uint64)
+            if maxlen > 1:
+                W[1:] = np.uint64(base)
+                np.multiply.accumulate(W, out=W)  # [1, B, B^2, ...] mod 2^64
+            vals = byte_vals * W[exp]
+            outs[bi][ne] = np.add.reduceat(vals, seg_off[:-1])
+    return outs
+
+
+def poly_hash_strings(
+    strings, bases: tuple[int, ...] = (1000003,)
+) -> list[np.ndarray]:
+    """Whole-string polynomial hash per base over a string array (zero-copy
+    Arrow buffer view + :func:`poly_hash_spans`)."""
+    data, starts, ends = utf8_view(strings)
+    return poly_hash_spans(data, starts, ends - starts, bases)
 
 
 # ASCII whitespace lookup for byte-level tokenization. Matches Python's

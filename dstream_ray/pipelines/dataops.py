@@ -72,7 +72,7 @@ def q_lang_stats(sf_dir: str) -> pd.DataFrame:
 
 def q_doc_fingerprint(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.fingerprint_md5, batch_format="pyarrow"
+        text.fingerprint_poly, batch_format="pyarrow"
     )
 
 
@@ -89,22 +89,31 @@ def q_doc_fingerprint_rolling(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# two independent polynomial bases -> 128-bit effective content key: a
+# single 64-bit hash collides around 10^10 docs (birthday), which a 100 TB
+# corpus reaches; the PAIR does not. The oracle groups by raw text, so only
+# key injectivity matters, not the hash values.
+DEDUP_HASH_BASES = (1000003, 1000033)
+
+
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: survivors = min doc_id per distinct text (+ copy count).
-    Hash the content per batch, ONE groupby on the hash."""
+    Whole-batch vectorized content hash (common.poly_hash_strings — no
+    per-row Python), per-batch partials, ONE groupby on the 128-bit key."""
+    from dstream_ray.common import poly_hash_strings
+
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
-    import hashlib
-
     def partial(b: pa.Table) -> pa.Table:
-        # per-batch partial: min doc_id + count per content hash
+        h1, h2 = poly_hash_strings(b["text"], bases=DEDUP_HASH_BASES)
         df = pd.DataFrame(
             {
-                "h": [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()],
+                "h1": h1.astype(np.int64),
+                "h2": h2.astype(np.int64),
                 "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
             }
         )
-        g = df.groupby("h", as_index=False).agg(
+        g = df.groupby(["h1", "h2"], as_index=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -113,7 +122,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
         .to_pandas()[["doc_id", "n_copies"]]
     )
@@ -725,26 +734,24 @@ def q_len_quantiles(sf_dir: str) -> pd.DataFrame:
 
 def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Exact corpus-wide top-k tokens (vocabulary heavy hitters): per-batch
-    token value-count partials (pandas C groupby on the split lists), one
-    groupby over distinct tokens (vocabulary-bounded, not row-bounded),
-    deterministic (count desc, token asc) tie-break. Oracle: UNNEST +
-    GROUP BY + LIMIT."""
+    token value-count partials entirely in Arrow C kernels (split →
+    list_flatten → value_counts, zero Python per token), one groupby over
+    distinct tokens (vocabulary-bounded, not row-bounded), deterministic
+    (count desc, token asc) tie-break. Oracle: UNNEST + GROUP BY + LIMIT."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.split()
-        flat = pd.Series(
-            [t for ts in toks for t in ts], dtype="object", name="token"
-        )
-        if not len(flat):
-            return pd.DataFrame({"token": pd.Series(dtype="object"),
-                                 "cnt": pd.Series(dtype="int64")})
-        g = flat.value_counts().rename_axis("token").reset_index(name="cnt")
-        return g
+    def tok_partial(b: pa.Table) -> pa.Table:
+        # utf8_split_whitespace keeps boundary empties ('' tokens); drop them
+        # to match str.split() semantics (same unicode ws class incl. \\x0b)
+        flat = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
 
     counts = (
         _read_documents(sf_dir, ["text"])
-        .map_batches(tok_partial, batch_format="pandas")
+        .map_batches(tok_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
@@ -789,43 +796,42 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
         ).filter(pa.array(ok))
         return out
 
-    import hashlib
+    from dstream_ray.common import poly_hash_strings
 
     def dedup_partial(b: pa.Table) -> pa.Table:
         # survivor key: min of zero-padded doc_id || '|' || lang per content
         # hash — an arg-min that carries the surviving row's lang through
-        # the aggregate without a join (SQL mirrors the same composite)
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in b["norm_text"].to_pylist()]
-        key = [
-            f"{int(d):012d}|{lg}"
-            for d, lg in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist())
-        ]
-        df = pd.DataFrame({"h": hs, "k": key}).groupby("h", as_index=False).agg(
-            k=("k", "min")
+        # the aggregate without a join (SQL mirrors the same composite).
+        # Content key = vectorized 2×64-bit polynomial hash (the oracle
+        # groups by md5(norm_text); only key injectivity must agree).
+        h1, h2 = poly_hash_strings(b["norm_text"], bases=DEDUP_HASH_BASES)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (
+            pd.Series(ids.astype("U"), dtype="object").str.zfill(12)
+            + "|"
+            + pd.Series(b["lang"].to_pylist(), dtype="object")
         )
+        df = pd.DataFrame(
+            {"h1": h1.astype(np.int64), "h2": h2.astype(np.int64), "k": key}
+        ).groupby(["h1", "h2"], as_index=False).agg(k=("k", "min"))
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    def decode_key(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["k"].str.partition("|")
+        return pd.DataFrame(
+            {
+                "doc_id": parts[0].astype("int64"),
+                "lang": parts[2].astype("object"),
+            }
+        )
 
     survivors = (
         _read_documents(sf_dir, ["doc_id", "lang", "text"])
         .map_batches(norm_and_quality, batch_format="pyarrow")
         .map_batches(dedup_partial, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h1", "h2"])
         .aggregate(Min("k", alias_name="k"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": pa.array(
-                        [int(x.split("|")[0]) for x in b["k"].to_pylist()],
-                        type=pa.int64(),
-                    ),
-                    "lang": pa.array(
-                        [x.split("|", 1)[1] for x in b["k"].to_pylist()],
-                        type=pa.string(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(decode_key, batch_format="pandas")
         .materialize()
     )
 

@@ -170,8 +170,21 @@ SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 
+# whole-doc Horner polynomial hash mod 2^64 (base 1000003), mirroring
+# stages/text.fingerprint_poly exactly; ASCII contract: ord(char) == byte.
 ORACLE_SQL["doc_fingerprint"] = """
-SELECT doc_id, md5(text) AS fingerprint FROM documents
+WITH hashed AS (
+  SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN 0::HUGEINT
+         ELSE list_reduce(list_transform(split(text, ''), c -> ord(c)::HUGEINT),
+                          (a, b) -> (a * 1000003 + b) % (1::HUGEINT << 64))
+    END AS h
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h >= (1::HUGEINT << 63) THEN (h - (1::HUGEINT << 64))::BIGINT
+            ELSE h::BIGINT END AS fingerprint64
+FROM hashed
 """
 
 ORACLE_SQL["dedup_exact"] = """

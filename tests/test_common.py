@@ -28,3 +28,41 @@ def test_segmented_cumcount():
     codes = np.array([0, 0, 0, 1, 1, 5, 5, 5, 5])
     assert segmented_cumcount(codes).tolist() == [0, 1, 2, 0, 1, 0, 1, 2, 3]
     assert segmented_cumcount(np.array([])).tolist() == []
+
+
+def test_hash_spans_matches_scalar_incl_outliers():
+    """Sorted-suffix + scalar-outlier hash_spans == per-span scalar FNV,
+    including spans beyond HASH_SPAN_SCALAR_CUTOFF (the pathological
+    whitespace-free-doc case) and zero-length spans."""
+    from dstream_ray.common import (
+        FNV_OFFSET,
+        HASH_SPAN_SCALAR_CUTOFF,
+        hash_spans,
+        utf8_view,
+    )
+
+    strings = ["", "a", "token", "x" * (HASH_SPAN_SCALAR_CUTOFF + 7), "yz", "m" * 100]
+    data, starts, ends = utf8_view(pa.array(strings))
+    got = hash_spans(data, starts, ends - starts)
+    exp = [fnv1a_u64_py(s) if s else int(FNV_OFFSET) for s in strings]
+    assert [int(x) for x in got] == exp
+
+
+def test_poly_hash_strings_matches_scalar_horner():
+    from dstream_ray.common import poly_hash_strings
+
+    def horner(s: str, base: int) -> int:
+        h = 0
+        for b in s.encode():
+            h = (h * base + b) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    strings = ["", "a", "hello world", "x" * 5000, "aaa", "aab", " "]
+    arr = pa.array(strings)
+    h1, h2 = poly_hash_strings(arr, bases=(1000003, 1000033))
+    assert [int(x) for x in h1] == [horner(s, 1000003) for s in strings]
+    assert [int(x) for x in h2] == [horner(s, 1000033) for s in strings]
+    # sliced (non-zero offset) arrays hash identically
+    sl = arr.slice(2, 3)
+    (g,) = poly_hash_strings(sl, bases=(1000003,))
+    assert [int(x) for x in g] == [horner(s, 1000003) for s in strings[2:5]]

@@ -428,32 +428,21 @@ def test_multimodal_strict_decode_raises():
 
 def test_dedup_exact_with_actual_duplicates(ray_session):
     """End-to-end exact dedup on a table WITH duplicates (testdata has none)."""
-    import ray.data as rd
+    import tempfile
 
-    from dstream_ray.stages.dedup import connected_components_min_label
+    import pyarrow.parquet as pq
 
-    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
-    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)), "text": pa.array(texts)})
-    import hashlib
+    from dstream_ray.pipelines import dataops
 
-    def add_hash(b: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"], "h": pa.array(hs)})
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]})
-
-    out = (
-        rd.from_arrow(tbl)
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert out["doc_id"].tolist() == [0, 1, 3]
-    assert out["n_copies"].tolist() == [3, 2, 1]
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa", ""]
+    tbl = pa.table({"doc_id": pa.array(np.arange(7, dtype=np.int64)), "text": pa.array(texts)})
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, f"{td}/documents.parquet")
+        out = (
+            dataops.q_dedup_exact(td).sort_values("doc_id").reset_index(drop=True)
+        )
+    assert out["doc_id"].tolist() == [0, 1, 3, 6]
+    assert out["n_copies"].tolist() == [3, 2, 1, 1]
 
 
 def test_hll_accuracy_and_merge():
