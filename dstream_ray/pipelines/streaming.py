@@ -181,6 +181,19 @@ def process_partition(
     # partition watermark by more than the allowance — route to 'late' sink,
     # exclude from windows. (The reference never produces late data: LSN
     # order is total per table; here cross-conv ts skew can.)
+    # Lateness is defined ONLY for ts-ordered feeds: an envelope (cdc_key)
+    # feed's ts restarts at TS_BASE per shard and is rewritten by the relay
+    # to a per-conv synthetic clock that is not comparable to the partition
+    # watermark — filtering against it would wholesale-drop every
+    # continuation shard. Reject the combination loudly.
+    if cfg.allowed_lateness_s is not None and "cdc_key" in table.column_names:
+        raise ValueError(
+            "allowed_lateness_s is incompatible with envelope (cdc_key) feeds: "
+            "the relay rewrites ts on a per-conv synthetic clock, so event-time "
+            "lateness against the partition watermark is undefined; run envelope "
+            "feeds with allowed_lateness_s=None (the (LSN, Seq) cursor already "
+            "deduplicates replays)"
+        )
     late_table = None
     if cfg.allowed_lateness_s is not None and table.num_rows:
         ts_us = table["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)

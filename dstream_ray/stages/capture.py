@@ -146,13 +146,21 @@ def _relay_by_key(
     enc = conv.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     names = enc.dictionary.to_pylist()
-    # fixed-width byte keys sort at C speed and compare lexicographically
-    keys = np.array(new_rows["cdc_key"].to_pylist(), dtype="S80")
+    # fixed-width byte keys sort at C speed and compare lexicographically;
+    # width is sized from the batch AND carried state so a key wider than
+    # the historical norm is never silently truncated (a truncated key
+    # aliasing an 80-byte prefix used to drop rows as duplicates)
+    key_list = new_rows["cdc_key"].to_pylist()
+    thr_list = [last_key.get(nm, "").encode() for nm in names]
+    width = max(
+        1,
+        max((len(k) for k in key_list), default=1),
+        max((len(t) for t in thr_list), default=1),
+    )
+    keys = np.array(key_list, dtype=f"S{width}")
     order = np.lexsort((keys, codes))
     codes_s, keys_s = codes[order], keys[order]
-    thr = np.array(
-        [last_key.get(nm, "").encode() for nm in names], dtype="S80"
-    )
+    thr = np.array(thr_list, dtype=f"S{width}")
     dup = np.zeros(len(keys_s), dtype=bool)
     dup[1:] = (codes_s[1:] == codes_s[:-1]) & (keys_s[1:] == keys_s[:-1])
     accept = (keys_s > thr[codes_s]) & ~dup

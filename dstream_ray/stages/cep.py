@@ -30,16 +30,34 @@ def _symbols_u8(cols) -> np.ndarray:
 
     Goes through the role DICTIONARY (few distinct roles), so no per-row
     Python string objects are created — per-conv sequences come out of
-    ``bytes(...).decode()`` over contiguous slices."""
+    ``bytes(...).decode()`` over contiguous slices.
+
+    Empty/null roles map to byte 0, which :func:`_conv_seq` DROPS from the
+    sequence (matching the old codeunit-slice path, where an empty role
+    contributed no character — a 0 byte in the middle would otherwise break
+    symbol adjacency and change match counts). A role whose first character
+    is outside latin-1 (ord > 255) maps to byte 1 — a private non-letter
+    placeholder that preserves the row's position without crashing the
+    uint8 conversion (patterns are ASCII letters, so it can never match)."""
     role_col = cols.origin["role"]
     if isinstance(role_col, pa.ChunkedArray):
         role_col = role_col.combine_chunks()
     enc = role_col.dictionary_encode()
     dsym = np.array(
-        [ord(x[0]) if x else 0 for x in enc.dictionary.to_pylist()], dtype=np.uint8
+        [(ord(x[0]) if ord(x[0]) <= 255 else 1) if x else 0
+         for x in enc.dictionary.to_pylist()],
+        dtype=np.uint8,
     )
     codes = enc.indices.to_numpy(zero_copy_only=False)
     return dsym[codes][cols.order]
+
+
+def _conv_seq(sym_u8: np.ndarray, s: int, e: int) -> str:
+    """One conversation's symbol string; 0 bytes (empty roles) are skipped
+    entirely so they neither match nor break adjacency."""
+    seg = sym_u8[s:e]
+    seg = seg[seg != 0]
+    return seg.tobytes().decode("latin-1")
 
 
 def cep_pattern_kernel(
@@ -63,7 +81,7 @@ def cep_pattern_kernel(
     names = cols.conv_names()
     counts = np.zeros(len(names), dtype=np.int64)
     for code, (s, e) in zip(cols.codes[cols.starts], zip(cols.starts, cols.ends)):
-        seq = sym_u8[s:e].tobytes().decode("ascii")
+        seq = _conv_seq(sym_u8, s, e)
         counts[code] = len(rx.findall(seq))
     return pa.table(
         {
@@ -126,7 +144,7 @@ def cep_kernel(
             cols.codes[cols.starts], zip(cols.starts, cols.ends)
         ):
             nm = names[code]
-            seq = suffix.get(nm, "") + sym_u8[s:e].tobytes().decode("ascii")
+            seq = suffix.get(nm, "") + _conv_seq(sym_u8, s, e)
             last_end = 0
             n = 0
             for m in rx.finditer(seq):

@@ -625,3 +625,28 @@ def test_audio_chunk_expansion(ray_session):
         out.sort_values(["media_id", "chunk_idx"]).reset_index(drop=True),
         out2.sort_values(["media_id", "chunk_idx"]).reset_index(drop=True),
     )
+
+
+def test_cep_empty_and_nonascii_roles_skip_position():
+    """Empty/null roles contribute NO symbol (adjacency preserved, matching
+    the codeunit-slice semantics); a non-latin1 first role char becomes a
+    non-matching placeholder instead of crashing."""
+    from dstream_ray.stages.cep import cep_kernel, cep_pattern_kernel
+
+    t = pa.table({
+        "conv_id": pa.array(["c1"] * 4 + ["c2"] * 3),
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 2], type=pa.int32()),
+        # c1: u, <empty>, t, t -> seq 'utt' (one 'ut+' style 'ua*tt' match);
+        # c2 has a non-latin1 role between u and t -> placeholder breaks it
+        "role": pa.array(["user", "", "tool", "tool", "user", "世界", "tool"]),
+        "text": pa.array(["x"] * 7),
+        "tool": pa.array([""] * 7),
+        "ts": pa.array(range(7), type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = cep_pattern_kernel(t, pattern="ua*tt").to_pandas().set_index("conv_id")
+    assert out.loc["c1", "n_matches"] == 1  # empty role skipped, 'tt' adjacent
+    assert out.loc["c2", "n_matches"] == 0  # placeholder is not a letter
+    # streaming kernel agrees
+    stream_out, _ = cep_kernel(t, {}, pattern="ua*tt", flush=True)
+    s = stream_out.to_pandas().set_index("conv_id")["n_matches"]
+    assert s["c1"] == 1 and s["c2"] == 0

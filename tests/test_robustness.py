@@ -378,3 +378,55 @@ def test_fused_session_join_watermark_epoch_invariant():
             )
             pd.testing.assert_frame_equal(got, ref[k], check_like=True)
         assert int(state.get("late_drops", 0)) == 0
+
+
+def test_key_relay_wide_keys_not_truncated():
+    """cdc_keys wider than the old fixed S80 dtype: two distinct keys sharing
+    an 80-byte prefix must BOTH be delivered (truncation aliased them and
+    dropped the second as a duplicate)."""
+    prefix = "f" * 80
+    t = pa.table({
+        "conv_id": pa.array(["t1", "t1"]),
+        "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["a", "b"]),
+        "tool": pa.array(["", ""]),
+        "ts": pa.array([0, 1], type=pa.int64()).cast(pa.timestamp("us")),
+        "cdc_key": pa.array([prefix + "1", prefix + "2"]),
+    })
+    out, st = relay_kernel(t, {})
+    assert out.num_rows == 2
+    assert st["last_key"]["t1"] == prefix + "2"
+    # replaying both is fully deduped; a strictly larger wide key flows
+    out2, st = relay_kernel(t, st)
+    assert out2.num_rows == 0
+    t3 = t.set_column(
+        t.column_names.index("cdc_key"), "cdc_key",
+        pa.array([prefix + "3", prefix + "0"]),
+    )
+    out3, st = relay_kernel(t3, st)
+    assert out3.num_rows == 1
+
+
+def test_lateness_rejected_on_envelope_feeds():
+    """allowed_lateness_s + cdc_key feed is undefined (relay rewrites ts on
+    a synthetic clock) and must fail loudly, not silently drop shards."""
+    import pytest as _pytest
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, process_partition
+
+    t = pa.table({
+        "conv_id": pa.array(["t1"]),
+        "turn_idx": pa.array([0], type=pa.int32()),
+        "role": pa.array(["user"]),
+        "text": pa.array(["a"]),
+        "tool": pa.array([""]),
+        "ts": pa.array([0], type=pa.int64()).cast(pa.timestamp("us")),
+        "cdc_key": pa.array(["0001"]),
+    })
+    cfg = StreamingConfig(
+        feed_dir="/nonexistent", out_dir="/tmp/dstream_late_reject",
+        allowed_lateness_s=60,
+    )
+    with _pytest.raises(ValueError, match="incompatible with envelope"):
+        process_partition(t, 0, 0, {}, cfg, flush=False)
