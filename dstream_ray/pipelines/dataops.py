@@ -510,10 +510,7 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     q = _load_queries(sf_dir)
     lsh = ann.HyperplaneLSH(dim=q["vecs"].shape[1])
     n_planes = lsh.planes.shape[0]
-    qsigns = (ann.normalize_rows(q["vecs"]) @ lsh.planes.T) > 0
-    qbucket = np.zeros(len(qsigns), dtype=np.int64)
-    for i in range(qsigns.shape[1]):
-        qbucket |= qsigns[:, i].astype(np.int64) << i
+    qbucket = lsh.bucket_of(q["vecs"])
     probes = {
         int(qid): {int(b)} | {int(b) ^ (1 << j) for j in range(n_planes)}
         for qid, b in zip(q["ids"], qbucket)

@@ -526,6 +526,98 @@ SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM walk
 ORACLE_SQL["minhash_dedup"] = _minhash_oracle_sql()
 
 
+# --- hyperplane-LSH ANN / near-dup: exact SQL recomputation ----------------
+# The LSH stage is integer-exact by construction (ann.HyperplaneLSH: seeded
+# {-1,0,+1} planes, vectors quantized to floor(x*1e6) BIGINTs before the
+# projection), so DuckDB recomputes every bucket bit-for-bit. The plane
+# matrix is read from the SAME class the pipeline instantiates, so the two
+# sides cannot drift.
+
+
+def _lsh_bucket_ctes(n_planes: int, dim: int = 64) -> str:
+    from dstream_ray.stages.ann import HyperplaneLSH
+
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes)
+    planes_vals = ",\n  ".join(
+        f"({j}, [{','.join(str(int(w)) for w in lsh.planes[j])}])"
+        for j in range(n_planes)
+    )
+    return f"""ei AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000) AS BIGINT)) AS e
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM ei
+), planes(j, p) AS (
+  VALUES {planes_vals}
+), pv AS (
+  SELECT j, unnest(p) AS w, generate_subscripts(p, 1) AS d FROM planes
+), proj AS (
+  SELECT ev.vec_id, pv.j, sum(ev.x * pv.w) AS s
+  FROM ev JOIN pv USING (d) GROUP BY 1, 2
+), bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY 1
+)"""
+
+
+def _knn_lsh_oracle_sql(n_planes: int = 8) -> str:
+    # mirrors dataops.q_knn_lsh: multi-probe = own bucket + every 1-bit flip;
+    # rank by cosine desc with neighbor-id tiebreak, self excluded, top 10
+    return f"""
+WITH {_lsh_bucket_ctes(n_planes)},
+q AS (
+  SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv, b.bucket AS qb
+  FROM embeddings e JOIN bucket b USING (vec_id) WHERE e.vec_id < 8
+), probes AS (
+  SELECT qid, qb AS pb FROM q
+  UNION
+  SELECT qid, xor(qb, (1::BIGINT << t.j))
+  FROM q CROSS JOIN generate_series(0, {n_planes - 1}) AS t(j)
+), cand AS (
+  SELECT DISTINCT p.qid, cb.vec_id AS nid
+  FROM probes p JOIN bucket cb ON cb.bucket = p.pb
+  WHERE cb.vec_id != p.qid
+), sims AS (
+  SELECT c.qid, c.nid,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM cand c JOIN q ON q.qid = c.qid
+  JOIN embeddings e ON e.vec_id = c.nid
+), ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _embedding_neardup_lsh_oracle_sql(n_planes: int = 6) -> str:
+    # mirrors dataops.q_embedding_neardup_lsh: each vector fans out under its
+    # bucket + every 1-bit flip; a pair co-locates iff the probe-label sets
+    # intersect, i.e. iff hamming(bucket_a, bucket_b) <= 2 (equal, one flip,
+    # or two distinct flips meeting in the middle)
+    return f"""
+WITH {_lsh_bucket_ctes(n_planes)},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(1000 * list_cosine_similarity(ea.v, eb.v)) AS BIGINT)
+         AS cos_x1000
+FROM bucket a JOIN bucket b
+  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 2
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+"""
+
+
+ORACLE_SQL["knn_lsh"] = _knn_lsh_oracle_sql()
+ORACLE_SQL["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
+
+
 # --- corpus curation: normalize / balanced sample / sequence packing -------
 
 ORACLE_SQL["text_normalize"] = """

@@ -90,23 +90,37 @@ def merge_topk(partials: pd.DataFrame, k: int = 10) -> pd.DataFrame:
 
 class HyperplaneLSH:
     """Random-hyperplane signature stage (seeded per actor, identical
-    everywhere): bucket = sign-bit string of ``n_planes`` projections."""
+    everywhere): bucket = sign-bit string of ``n_planes`` projections.
+
+    INTEGER-EXACT by construction so a SQL oracle can recompute buckets
+    bit-for-bit: plane weights are seeded {-1, 0, +1} draws, and vectors
+    enter the projection as ``floor(x * 10^6)`` integers. Every product is
+    an integer |.| <= 10^6 and every dot a sum of <= dim of them (< 2^53),
+    so the float64 matmul is EXACT and equals DuckDB's BIGINT arithmetic.
+    Sign-of-projection is invariant under the vector's norm, so skipping
+    normalization changes no bucket semantics; the floor quantization
+    perturbs only dots within ~dim/1e6 of zero — immaterial for LSH
+    blocking, decisive for oracle reproducibility."""
 
     def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 1234):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = rng.integers(-1, 2, size=(n_planes, dim)).astype(np.float64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        M = normalize_rows(_stack(batch["embedding"]))
-        signs = (M @ self.planes.T) > 0
-        bucket = np.zeros(len(M), dtype=np.int64)
+    def bucket_of(self, M: np.ndarray) -> np.ndarray:
+        """Bucket ids for raw (unnormalized) float vectors."""
+        Mq = np.floor(np.asarray(M, dtype=np.float64) * 1_000_000.0)
+        signs = (Mq @ self.planes.T) > 0
+        bucket = np.zeros(len(Mq), dtype=np.int64)
         for i in range(signs.shape[1]):
             bucket |= signs[:, i].astype(np.int64) << i
+        return bucket
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
                 "embedding": batch["embedding"],
-                "bucket": pa.array(bucket),
+                "bucket": pa.array(self.bucket_of(_stack(batch["embedding"]))),
             }
         )
 
