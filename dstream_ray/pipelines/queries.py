@@ -517,6 +517,10 @@ def _run_streaming(sf_dir: str):
                 "session_with_join": {"gap_s": SESSION_GAP_S},
                 "cep": {"pattern": "ua*t"},
             },
+            # the keyed-state-store ACTOR path (partition-owner actors hold
+            # state in memory between epochs) runs under the driver's oracle
+            # gate here; the wm run below keeps the task-reduce path gated
+            use_state_actors=True,
         )
     )
     job.run()
@@ -547,7 +551,7 @@ def _run_streaming_wm(sf_dir: str):
     feed = feed.sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
     tbl = pa.Table.from_pandas(feed.drop(columns=["partition_id"]), preserve_index=False)
     n = tbl.num_rows
-    shards = 3
+    shards = 6
     bounds = np.linspace(0, n, shards + 1).astype(int)
     for i in range(shards):
         pq_mod.write_table(
@@ -559,7 +563,12 @@ def _run_streaming_wm(sf_dir: str):
             feed_dir=feed_dir,
             out_dir=os.path.join(workdir, "out"),
             num_partitions=8,
-            files_per_epoch=1,
+            # 6 shards / 3 per epoch = 2 watermark epochs + flush, with the
+            # TWO-LEVEL exchange engaged (combine_every=2 pre-merges split
+            # slices per partition before the reduce — the bounded-fan-in
+            # scale path, here under the driver's oracle gate)
+            files_per_epoch=3,
+            combine_every=2,
             operators={
                 "tumbling@wm": {"width_s": TUMBLING_S, "closure": "watermark"},
                 # fused kernel in watermark mode gates BOTH the session and
