@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": d.q_text_normalize,
         "sample_balanced": d.q_sample_balanced,  # deterministic stratum-balanced downsample
         "pack_sequences": d.q_pack_sequences,  # distributed prefix-sum sequence packing
+        "pack_nobreak": d.q_pack_nobreak,  # greedy first-fit, no doc breaking
         "curation_pipeline": d.q_curation_pipeline,  # composed normalize->quality->dedup->sample, gated end-to-end
         "len_quantiles": d.q_len_quantiles,  # exact distributed-histogram quantiles
         "top_tokens": d.q_top_tokens,  # exact vocabulary heavy hitters

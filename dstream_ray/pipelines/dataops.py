@@ -838,18 +838,11 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
 PACK_CTX = 512
 
 
-def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
-    """Sequence packing with document breaking: lay every doc's tokens
-    (\\s+ count) end-to-end in doc_id order and cut fixed ``ctx``-token
-    training bins; a doc straddling a boundary is split. Emits one row per
-    (doc, bin) intersection: (doc_id, bin_id, bin_tok_start, n_tokens_in_bin).
-
-    Distributed as a two-phase PREFIX SUM: per-doc token counts are
-    aggregated per coarse doc_id range (tiny table), the driver prefix-sums
-    the range totals, and each range packs its own docs against its
-    broadcast global offset — no global sort, no driver-side token stream.
-    Oracle: SQL window cumsum + generate_series bin explosion."""
-    from ray.data.aggregate import Max, Sum
+def _token_counts_by_range(sf_dir: str):
+    """Shared phase-1 of both packing policies: per-doc \\s+ token counts
+    plus a coarse doc_id ``range_id`` sized so the driver's per-range table
+    stays bounded (~<=100k rows) no matter the corpus size."""
+    from ray.data.aggregate import Max
 
     from dstream_ray.common import token_hash_arrays
 
@@ -866,8 +859,6 @@ def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
     base_counts = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         tok_counts, batch_format="pyarrow"
     ).materialize()
-    # size the prefix-sum ranges so the driver's range-total table stays
-    # bounded (~<=100k rows) no matter the corpus size
     max_id = int(base_counts.aggregate(Max("doc_id", alias_name="m"))["m"])
     RANGE = max(100, (max_id + 1) // 100_000 + 1)
 
@@ -880,6 +871,23 @@ def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
+    return counted, RANGE
+
+
+def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
+    """Sequence packing with document breaking: lay every doc's tokens
+    (\\s+ count) end-to-end in doc_id order and cut fixed ``ctx``-token
+    training bins; a doc straddling a boundary is split. Emits one row per
+    (doc, bin) intersection: (doc_id, bin_id, bin_tok_start, n_tokens_in_bin).
+
+    Distributed as a two-phase PREFIX SUM: per-doc token counts are
+    aggregated per coarse doc_id range (tiny table), the driver prefix-sums
+    the range totals, and each range packs its own docs against its
+    broadcast global offset — no global sort, no driver-side token stream.
+    Oracle: SQL window cumsum + generate_series bin explosion."""
+    from ray.data.aggregate import Sum
+
+    counted, RANGE = _token_counts_by_range(sf_dir)
     range_tot = (
         counted.groupby("range_id").aggregate(Sum("n_tok", alias_name="tot")).to_pandas()
     ).sort_values("range_id")
@@ -918,6 +926,79 @@ def q_pack_sequences(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
         .map_groups(pack_range, batch_format="pandas")
         .to_pandas()
     )
+
+
+def q_pack_nobreak(sf_dir: str, ctx: int = PACK_CTX) -> pd.DataFrame:
+    """Greedy first-fit sequence packing WITHOUT document breaking: docs are
+    placed whole, in doc_id order, into ``ctx``-token bins; a doc that
+    doesn't fit the current bin's remainder starts a new bin; a doc longer
+    than ``ctx`` is truncated to one full bin (the standard no-break
+    tradeoff). Emits (doc_id, bin_id, bin_tok_start, n_tokens_in_bin).
+
+    Distributed shape: greedy packing is sequential per doc, so each coarse
+    doc_id RANGE packs independently (the per-doc loop is range-local and
+    range groups run in parallel), and bin ids are globalized by a tiny
+    per-range bin-count prefix sum — bins never span ranges, which is also
+    the oracle's definition. Oracle: recursive-CTE greedy fold per range +
+    the same prefix sum."""
+    from ray.data.aggregate import Max
+
+    counted, RANGE = _token_counts_by_range(sf_dir)
+
+    def pack_range_local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["n_tok"] > 0].sort_values("doc_id")
+        n_eff = np.minimum(g["n_tok"].to_numpy(np.int64), ctx)
+        bins = np.empty(len(g), dtype=np.int64)
+        starts = np.empty(len(g), dtype=np.int64)
+        b = 0
+        used = 0
+        # sequential by definition (each placement depends on the previous);
+        # bounded by the range width and parallel across ranges
+        for i, ne in enumerate(n_eff):
+            if used + ne > ctx:
+                b += 1
+                used = 0
+            bins[i] = b
+            starts[i] = used
+            used += ne
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "range_id": g["range_id"].to_numpy(),
+                "local_bin": bins,
+                "bin_tok_start": starts,
+                "n_tokens_in_bin": n_eff,
+            }
+        )
+
+    packed = (
+        counted.groupby("range_id")
+        .map_groups(pack_range_local, batch_format="pandas")
+        .materialize()
+    )
+    nbins = (
+        packed.groupby("range_id")
+        .aggregate(Max("local_bin", alias_name="mb"))
+        .to_pandas()
+        .sort_values("range_id")
+    )
+    offs = np.r_[0, np.cumsum(nbins["mb"].to_numpy(np.int64) + 1)][:-1]
+    off_by_range = dict(zip(nbins["range_id"].astype(int), offs))
+    off_ref = ray.put(off_by_range)
+
+    def globalize(b: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        base = b["range_id"].map(off).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "bin_id": (base + b["local_bin"].to_numpy(np.int64)).astype("int64"),
+                "bin_tok_start": b["bin_tok_start"].to_numpy(np.int64),
+                "n_tokens_in_bin": b["n_tokens_in_bin"].to_numpy(np.int64),
+            }
+        )
+
+    return packed.map_batches(globalize, batch_format="pandas").to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -992,18 +1073,34 @@ def _kmeans_lite(M: np.ndarray, k: int, iters: int = 8, seed: int = 77) -> np.nd
     return C
 
 
+# above this many vectors, a head sample is no longer a credible quantizer
+# training set (and reading it is no longer the cheap option): train with
+# the distributed one-pass-per-iteration k-means instead
+IVF_DISTRIBUTED_QUANTIZER_MIN_ROWS = 1_000_000
+
+
 def q_knn_ivf(
-    sf_dir: str, n_lists: int = 16, n_probe: int = 4, quantizer: str = "head"
+    sf_dir: str, n_lists: int = 16, n_probe: int = 4, quantizer: str = "auto"
 ) -> pd.DataFrame:
     """IVF ANN: train a coarse quantizer (``quantizer="head"``: Lloyd on a
     bounded head sample — never a full-table driver read;
     ``"distributed"``: ann.kmeans_distributed, one streaming corpus pass
-    per iteration — the 10^10-vector path), broadcast the centroids, bucket
-    the corpus by nearest centroid inside map_batches, and search only the
+    per iteration — the 10^10-vector path; ``"auto"`` (default): head below
+    :data:`IVF_DISTRIBUTED_QUANTIZER_MIN_ROWS` rows per the parquet
+    metadata, distributed above), broadcast the centroids, bucket the
+    corpus by nearest centroid inside map_batches, and search only the
     n_probe closest lists per query via the same broadcast ``ProbedTopK``
     stage as LSH (per-batch partial top-k; only nq×k×batches rows reach the
-    driver). Rows-only; pytest bounds recall vs brute force."""
+    driver). Rows-only; pytest bounds recall vs brute force on BOTH
+    quantizers."""
     q = _load_queries(sf_dir)
+    if quantizer == "auto":
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+        quantizer = (
+            "distributed" if n_rows >= IVF_DISTRIBUTED_QUANTIZER_MIN_ROWS else "head"
+        )
     if quantizer == "distributed":
         C = ann.kmeans_distributed(_read_embeddings(sf_dir), n_lists)
     else:

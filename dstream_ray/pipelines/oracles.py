@@ -677,6 +677,47 @@ FROM ex
 """
 
 
+# Greedy no-break packing: a recursive CTE folds the first-fit rule doc by
+# doc WITHIN each coarse doc_id range (ranges pack independently, exactly as
+# the engine's parallel range groups do), then per-range bin counts prefix-
+# sum into global bin ids. RANGE matches dataops._token_counts_by_range.
+ORACLE_SQL["pack_nobreak"] = """
+WITH RECURSIVE params AS (
+  SELECT greatest(100, (max(doc_id) + 1) // 100000 + 1) AS rng FROM documents
+), tok AS (
+  SELECT doc_id,
+    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+')) END AS n_tok
+  FROM documents
+), seqd AS (
+  SELECT doc_id, least(n_tok, 512) AS n_eff,
+         doc_id // (SELECT rng FROM params) AS range_id,
+         row_number() OVER (PARTITION BY doc_id // (SELECT rng FROM params)
+                            ORDER BY doc_id) AS seq
+  FROM tok WHERE n_tok > 0
+), rec(range_id, seq, doc_id, n_eff, bin_l, start_tok, used_after) AS (
+  SELECT range_id, seq, doc_id, n_eff, 0, 0, n_eff FROM seqd WHERE seq = 1
+  UNION ALL
+  SELECT d.range_id, d.seq, d.doc_id, d.n_eff,
+         CASE WHEN r.used_after + d.n_eff <= 512 THEN r.bin_l ELSE r.bin_l + 1 END,
+         CASE WHEN r.used_after + d.n_eff <= 512 THEN r.used_after ELSE 0 END,
+         CASE WHEN r.used_after + d.n_eff <= 512 THEN r.used_after + d.n_eff ELSE d.n_eff END
+  FROM rec r JOIN seqd d ON d.range_id = r.range_id AND d.seq = r.seq + 1
+), nb AS (
+  SELECT range_id, max(bin_l) + 1 AS n_bins FROM rec GROUP BY 1
+), offs AS (
+  SELECT range_id,
+         CAST(coalesce(sum(n_bins) OVER (ORDER BY range_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM nb
+)
+SELECT rec.doc_id, CAST(rec.bin_l + offs.o AS BIGINT) AS bin_id,
+       CAST(rec.start_tok AS BIGINT) AS bin_tok_start,
+       CAST(rec.n_eff AS BIGINT) AS n_tokens_in_bin
+FROM rec JOIN offs USING (range_id)
+"""
+
+
 # Composed curation flow: normalize -> quality -> exact-dedup (arg-min via a
 # zero-padded composite key, mirroring the Ray aggregate) -> balanced sample.
 ORACLE_SQL["curation_pipeline"] = f"""

@@ -650,3 +650,59 @@ def test_cep_empty_and_nonascii_roles_skip_position():
     stream_out, _ = cep_kernel(t, {}, pattern="ua*tt", flush=True)
     s = stream_out.to_pandas().set_index("conv_id")["n_matches"]
     assert s["c1"] == 1 and s["c2"] == 0
+
+
+def test_knn_ivf_auto_quantizer_routes_by_scale(ray_session, sf_tiny, monkeypatch):
+    """quantizer='auto' (the default) trains on the head sample below the
+    row threshold and switches to the distributed trainer above it."""
+    from dstream_ray.pipelines import dataops
+
+    small = dataops.q_knn_ivf(sf_tiny)  # auto -> head at test scale
+    head = dataops.q_knn_ivf(sf_tiny, quantizer="head")
+    pd.testing.assert_frame_equal(small, head)
+    monkeypatch.setattr(dataops, "IVF_DISTRIBUTED_QUANTIZER_MIN_ROWS", 1)
+    big = dataops.q_knn_ivf(sf_tiny)  # auto -> distributed
+    dist = dataops.q_knn_ivf(sf_tiny, quantizer="distributed")
+    pd.testing.assert_frame_equal(big, dist)
+
+
+def test_pack_nobreak_matches_naive_greedy(ray_session, tmp_path):
+    """Greedy no-break packing == the naive sequential first-fit reference
+    (docs whole and in order, oversize docs truncated to one bin). At this
+    scale everything is one range, so global ids equal the local greedy."""
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines.dataops import q_pack_nobreak
+
+    table, _ = make_docs_with_dups(n=50, seed=78)
+    texts = table["text"].to_pylist() + ["", "one two three", "tok " * 200]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    ctx = 64
+    got = (
+        q_pack_nobreak(str(tmp_path), ctx=ctx)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows, b, used = [], 0, 0
+    for did, t in enumerate(texts):
+        n = min(len(t.split()), ctx)
+        if n == 0:
+            continue
+        if used + n > ctx:
+            b, used = b + 1, 0
+        rows.append((did, b, used, n))
+        used += n
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "bin_id", "bin_tok_start", "n_tokens_in_bin"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    # no-break invariants: every doc appears exactly once, no bin overflows
+    assert got["doc_id"].is_unique
+    per_bin = got.groupby("bin_id")["n_tokens_in_bin"].sum()
+    assert (per_bin <= ctx).all()
