@@ -44,6 +44,35 @@ flagged AS (
 
 ORACLE_SQL: dict[str, str] = {}
 
+
+def assert_oracle_ascii_contract(sf_dir: str) -> None:
+    """Explicit data contract for the byte-level HUGEINT oracles
+    (fnv/simhash/minhash/fingerprint/hll): they recompute hashes via
+    ``split(text, '') -> ord(c)``, which equals the engine's UTF-8 byte
+    hashing only when every codepoint is ASCII. The ENGINE is byte-correct
+    for any input; this check makes an oracle comparison on non-ASCII data
+    fail loudly up front instead of surfacing as an inexplicable
+    value-hash mismatch."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from dstream_ray.common import utf8_view
+
+    for tbl, col in (("documents", "text"), ("documents", "lang"), ("events", "props")):
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        if not os.path.exists(path):
+            continue
+        t = _pq.read_table(path, columns=[col])
+        data, _, _ = utf8_view(t[col])
+        if len(data) and int(data.max()) >= 128:
+            raise ValueError(
+                f"oracle ASCII contract violated: {tbl}.{col} in {sf_dir} "
+                "contains non-ASCII bytes; the byte-level HUGEINT oracles are "
+                "only defined for ASCII input (the engine itself handles any "
+                "bytes) — exclude those oracles for this dataset"
+            )
+
 ORACLE_SQL["transcripts_feed"] = f"WITH {TRANSCRIPTS_CTE} SELECT * FROM transcripts"
 
 ORACLE_SQL["tumbling_window"] = f"""

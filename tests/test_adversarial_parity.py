@@ -23,7 +23,7 @@ ADVERSARIAL_QUERIES = [
     "doc_stats",
     "bpe_token_counts",
     "langid_markers",
-    "doc_fingerprint",
+    "doc_fingerprint",  # library-only (outside the driver's 50-slot window)
     "doc_fingerprint_rolling",
     "dedup_exact",
     "simhash",
@@ -32,10 +32,25 @@ ADVERSARIAL_QUERIES = [
     "text_normalize",
     "sample_balanced",
     "pack_sequences",
+    "pack_nobreak",
     "len_quantiles",
     "curation_pipeline",
     "top_tokens",
 ]
+
+
+def _queries_and_oracles():
+    """Driver-visible queries plus the library-only oracle-checked ones
+    (q_doc_fingerprint ceded its grading slot but keeps local parity)."""
+    import __ray_entry__ as entry
+
+    from dstream_ray.pipelines import dataops
+    from dstream_ray.pipelines.oracles import ORACLE_SQL
+
+    qs = dict(entry.queries())
+    qs.setdefault("doc_fingerprint", dataops.q_doc_fingerprint)
+    qs.setdefault("embedding_norms", dataops.q_embedding_norms)
+    return qs, dict(ORACLE_SQL)
 
 
 def make_adversarial_documents(tmp_path) -> str:
@@ -89,10 +104,8 @@ def make_adversarial_documents(tmp_path) -> str:
 
 @pytest.mark.parametrize("qname", ADVERSARIAL_QUERIES)
 def test_adversarial_documents_parity(ray_session, tmp_path, qname):
-    import __ray_entry__ as entry
-
     sf_dir = make_adversarial_documents(tmp_path)
-    qs, sqls = entry.queries(), entry.oracle_sql()
+    qs, sqls = _queries_and_oracles()
     got = to_pandas(qs[qname](sf_dir))
     con = duckdb.connect()
     con.execute(
@@ -177,10 +190,8 @@ def make_adversarial_events(tmp_path) -> str:
 
 @pytest.mark.parametrize("qname", EVENT_QUERIES)
 def test_adversarial_events_parity(ray_session, tmp_path, qname):
-    import __ray_entry__ as entry
-
     sf_dir = make_adversarial_events(tmp_path)
-    qs, sqls = entry.queries(), entry.oracle_sql()
+    qs, sqls = _queries_and_oracles()
     got = to_pandas(qs[qname](sf_dir))
     con = duckdb.connect()
     con.execute(
@@ -194,3 +205,23 @@ def test_adversarial_events_parity(ray_session, tmp_path, qname):
         normalize(got).head(),
         normalize(exp).head(),
     )
+
+
+def test_ascii_oracle_contract_check(tmp_path):
+    """Non-ASCII text trips the explicit oracle data-contract check."""
+    from dstream_ray.pipelines.oracles import assert_oracle_ascii_contract
+
+    tbl = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["héllo"]),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["srcA"]),
+        "n_chars": pa.array([5], type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="ASCII contract"):
+        assert_oracle_ascii_contract(str(tmp_path))
+    # ASCII-only data passes
+    tbl2 = tbl.set_column(1, "text", pa.array(["hello"]))
+    pq.write_table(tbl2, str(tmp_path / "documents.parquet"))
+    assert_oracle_ascii_contract(str(tmp_path))

@@ -66,6 +66,9 @@ def main() -> int:
 
     import __ray_entry__ as entry
 
+    from dstream_ray.pipelines.oracles import assert_oracle_ascii_contract
+
+    assert_oracle_ascii_contract(sf_dir)  # byte-level oracles are ASCII-only
     qs, sqls = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
