@@ -205,6 +205,136 @@ def single_run() -> dict:
     return result
 
 
+PROVIDER_LINES = int(os.environ.get("RAY_GRAFT_BENCH_PROVIDER_LINES", "2000000"))
+PROVIDER_TABLES = 64
+
+
+def prepare_provider_corpus() -> str:
+    """Pre-serialized envelope NDJSON (cached, untimed): the provider child
+    just emits these bytes, like a real CDC source that produces lines
+    natively — the timed section measures OUR relay + engine, not corpus
+    serialization."""
+    path = f"/tmp/dstream_bench_provider_{PROVIDER_LINES}_{PROVIDER_TABLES}.ndjson"
+    if os.path.exists(path):
+        return path
+    tmp = path + ".tmp"
+    with open(tmp, "w", buffering=1 << 22) as fh:
+        for i in range(PROVIDER_LINES):
+            fh.write(
+                '{"data":{"id":%d,"v":%d},"metadata":{"TableName":"tbl%02d",'
+                '"LSN":"%016x","Seq":"0000000000000000","OperationType":"i"}}\n'
+                % (i, (i * 7) % 1000, i % PROVIDER_TABLES, i)
+            )
+    os.replace(tmp, path)
+    return path
+
+
+def provider_run() -> dict:
+    """The reference's actual deployment shape: a LIVE provider child
+    process (any executable emitting JSON lines on stdout — here /bin/cat
+    over the cached corpus, i.e. a maximally fast legacy provider) is
+    tailed by the raw byte-relay (provider_to_feed fmt='ndjson') into feed
+    shards while the engine's follow loop concurrently captures, windows,
+    joins and exactly-once-sinks them. One pipe + one relay thread is the
+    single-stream bottleneck by design — it is the reference's shape too
+    (BASELINE.md: reference relay = 110 K msg/s on this class of envelope);
+    scale-out is one provider per monitored table/partition."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from dstream_ray.pipelines.queries import SESSION_GAP_S, TUMBLING_S
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    corpus = prepare_provider_corpus()
+    warmup()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    reps = int(os.environ.get("RAY_GRAFT_BENCH_REPS", "2"))
+    best, rows = None, 0
+    for rep in range(max(1, reps)):
+        wall_i, rows_i = _provider_run_once(base, corpus)
+        rows = rows_i
+        best = wall_i if best is None else min(best, wall_i)
+    wall = best
+    result = {
+        "metric": "live-provider end-to-end turns/sec (spawn -> byte relay -> capture -> windows+join -> exactly-once sink)",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "rows": rows,
+        "lines_emitted": PROVIDER_LINES,
+        "num_cpus": NUM_CPUS,
+        "turns_per_sec": round(rows / wall, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def _provider_run_once(base: str, corpus: str) -> tuple[float, int]:
+    from dstream_ray.pipelines.queries import SESSION_GAP_S, TUMBLING_S
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = f"{base}/dstream_bench_prov_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=16,
+            files_per_epoch=8,
+            task_num_cpus=1,
+            envelope_payload="raw",  # reference semantics: bytes verbatim
+            operators={
+                "tumbling": {"width_s": TUMBLING_S},
+                "session_with_join": {"gap_s": SESSION_GAP_S},
+            },
+        )
+    )
+    job.init()
+    t0 = time.time()
+    # the relay runs in its OWN process (python -m dstream_ray.sources.
+    # provider), as it would beside a real provider: in-driver threading
+    # would share the GIL with the epoch loop and serialize the two.
+    relay = subprocess.Popen(
+        [
+            sys.executable, "-m", "dstream_ray.sources.provider",
+            "--feed-dir", feed_dir, "--fmt", "ndjson",
+            "--rows-per-shard", "50000", "--", "cat", corpus,
+        ],
+        cwd="/root/repo",
+        env=dict(os.environ, PYTHONPATH="/root/repo"),
+        stdout=subprocess.DEVNULL,
+    )
+    while True:
+        if job._pending_files():
+            job.run(flush_at_end=False)
+            continue
+        if relay.poll() is None:
+            time.sleep(0.02)
+            continue
+        if job._pending_files():  # shards flushed after our last look
+            continue
+        break
+    job.run(flush_at_end=True)
+    wall = time.time() - t0
+    if relay.returncode != 0:
+        raise RuntimeError(f"relay exited with {relay.returncode}")
+    last = job.store.last_committed()[1]
+    rows = sum(p["rows_in_total"] for p in last["partitions"].values())
+    shutil.rmtree(workdir, ignore_errors=True)
+    return wall, rows
+
+
 def scaling_run() -> dict:
     lo, hi = SCALING_CPUS
     results = {}
@@ -248,6 +378,8 @@ def scaling_run() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_run()))
+    elif "--provider" in sys.argv:
+        print(json.dumps(provider_run()))
     elif os.environ.get("RAY_GRAFT_BENCH_HEADLINE_ONLY"):
         import ray
 

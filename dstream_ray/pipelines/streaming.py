@@ -107,6 +107,11 @@ class StreamingConfig:
     # delivery cursor forever): bounds state on unbounded streams; must
     # exceed the upstream's max replay lag (see relay_kernel docstring).
     relay_evict_idle_s: int | None = None
+    # NDJSON envelope payload mode: "canonical" re-serializes data with
+    # sorted keys (the envelope→transcript adapter), "raw" keeps the line
+    # bytes verbatim and parses metadata with Arrow's C++ NDJSON reader —
+    # the reference's byte-relay semantics and ~5x the parse bandwidth.
+    envelope_payload: str = "canonical"
     # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
     # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
     # streams (and leaves headroom for raylet/driver) — size
@@ -310,14 +315,14 @@ def _empty_feed_table() -> pa.Table:
 
 
 @ray.remote
-def _split_task(path: str, num_partitions: int) -> tuple:
+def _split_task(path: str, num_partitions: int, envelope_payload: str = "canonical") -> tuple:
     """Map side: read one feed shard, hash-split by conv_id into P tables.
 
     Returned as P separate objects (num_returns=P) so each reduce task pulls
     only its slice — the object-store analog of a network exchange."""
     if path.endswith((".ndjson", ".jsonl")):
         # dstream wire format: JSON-line envelopes (readme.md:250-272)
-        t = read_envelope_file(path)
+        t = read_envelope_file(path, payload=envelope_payload)
     else:
         import pyarrow.parquet as pq
 
@@ -513,10 +518,13 @@ class StreamingJob:
         if files:
             if P == 1:
                 read = _split_task.options(num_returns=1, num_cpus=ncpu)
-                slices = [[_first_ref.remote(read.remote(f, 1))] for f in files]
+                slices = [
+                    [_first_ref.remote(read.remote(f, 1, cfg.envelope_payload))]
+                    for f in files
+                ]
             else:
                 split = _split_task.options(num_returns=P, num_cpus=ncpu)
-                slices = [split.remote(f, P) for f in files]
+                slices = [split.remote(f, P, cfg.envelope_payload) for f in files]
             n_b = len(files)
             c = cfg.combine_every
             if c and n_b > c:

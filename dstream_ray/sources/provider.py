@@ -65,13 +65,15 @@ class ProviderProcess:
         full_env = dict(os.environ)
         if env:
             full_env.update(env)
+        # stdout is BINARY + block-buffered: the handshake decodes only the
+        # first line, lines() decodes lazily, and raw_chunks() can relay the
+        # stream at pipe bandwidth (a text-mode line-buffered pipe caps the
+        # relay at a few hundred K lines/s of Python readline overhead)
         self.proc = subprocess.Popen(
             argv,
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
-            text=True,
-            bufsize=1,
             env=full_env,
         )
         self._stderr_thread = threading.Thread(
@@ -80,7 +82,7 @@ class ProviderProcess:
         self._stderr_thread.start()
         try:
             envelope = json.dumps({"command": command, "config": config or {}})
-            self.proc.stdin.write(envelope + "\n")
+            self.proc.stdin.write((envelope + "\n").encode())
             self.proc.stdin.flush()
             if close_stdin:
                 self.proc.stdin.close()
@@ -91,7 +93,9 @@ class ProviderProcess:
     # -- handshake ----------------------------------------------------------
     def _drain_stderr(self) -> None:
         for line in self.proc.stderr:
-            self._stderr_tail.append(line.rstrip("\n"))
+            self._stderr_tail.append(
+                line.decode("utf-8", errors="replace").rstrip("\n")
+            )
 
     def _stderr_context(self) -> str:
         if not self._stderr_tail:
@@ -107,7 +111,7 @@ class ProviderProcess:
 
         def reader():
             line = self.proc.stdout.readline()
-            result["line"] = line
+            result["line"] = line.decode("utf-8", errors="replace")
             got_line.set()
 
         t = threading.Thread(target=reader, daemon=True)
@@ -161,7 +165,35 @@ class ProviderProcess:
             yield self._legacy_first_line
             self._legacy_first_line = None
         for line in self.proc.stdout:
-            yield line.rstrip("\n")
+            yield line.decode("utf-8", errors="replace").rstrip("\n")
+
+    def raw_chunks(self, chunk_bytes: int = 1 << 20):
+        """Yield raw stdout BYTE chunks, each ending exactly on a line
+        boundary (legacy first line included). This is the zero-parse relay
+        path: the only per-byte work is a C-level ``rfind(b'\\n')``, so the
+        relay runs at pipe bandwidth and all JSON parsing happens in the
+        engine's parallel split tasks."""
+        carry = b""
+        if self._legacy_first_line is not None:
+            carry = self._legacy_first_line.encode() + b"\n"
+            self._legacy_first_line = None
+        out = self.proc.stdout
+        while True:
+            # read1: whatever is buffered/available now (one raw read),
+            # blocking only when the pipe is empty — a slow LIVE provider
+            # still flows line-by-line instead of stalling for a full chunk
+            chunk = out.read1(chunk_bytes)
+            if not chunk:
+                if carry:
+                    yield carry  # unterminated final line
+                return
+            chunk = carry + chunk
+            nl = chunk.rfind(b"\n")
+            if nl == -1:
+                carry = chunk
+                continue
+            carry = chunk[nl + 1 :]
+            yield chunk[: nl + 1]
 
     def returncode(self) -> int | None:
         return self.proc.poll()
@@ -267,32 +299,61 @@ def provider_to_feed(
     paths. Raises :class:`ProviderError` if the provider dies mid-stream.
 
     ``fmt="parquet"``: parse + canonicalize in this process (EnvelopeBridge).
-    ``fmt="ndjson"``: PURE BYTE RELAY — raw lines land in ``.ndjson`` shards
-    and the engine's split tasks parse them in parallel; the relay's
+    ``fmt="ndjson"``: PURE BYTE RELAY — line-aligned byte chunks land in
+    ``.ndjson`` shards (``rows_per_shard`` is a LOWER bound per shard:
+    sharding happens at chunk granularity, so a shard may carry a few more
+    lines) and the engine's split tasks parse them in parallel; the relay's
     dual-(LSN, Seq)-cursor dedups across shards, so per-shard numbering is
     irrelevant. This is the reference's own shape (relay moves bytes, the
-    cursor lives downstream) and ~an order of magnitude faster per core.
+    cursor lives downstream) and runs at pipe bandwidth.
     """
     assert fmt in ("parquet", "ndjson")
     os.makedirs(feed_dir, exist_ok=True)
-    bridge = EnvelopeBridge()
     shard_idx = 0
-    buf: list[str] = []
     written: list[str] = []
+
+    if fmt == "ndjson":
+        # zero-parse byte relay: line-aligned chunks straight to shard
+        # files; per-byte work is C-level count/rfind only. The engine's
+        # split tasks parse the envelopes in parallel downstream.
+        bbuf: list[bytes] = []
+        nlines = 0
+
+        def flush_bytes():
+            nonlocal shard_idx, nlines
+            if not bbuf:
+                return
+            path = os.path.join(feed_dir, f"{shard_prefix}-{shard_idx:06d}.ndjson")
+            with open(path + ".tmp", "wb") as fh:
+                fh.writelines(bbuf)
+            os.replace(path + ".tmp", path)  # readers never see partials
+            written.append(path)
+            shard_idx += 1
+            bbuf.clear()
+            nlines = 0
+
+        for chunk in provider.raw_chunks():
+            bbuf.append(chunk)
+            nlines += chunk.count(b"\n")
+            if nlines >= rows_per_shard:
+                flush_bytes()
+                if max_shards is not None and shard_idx >= max_shards:
+                    provider.stop()
+                    return written
+        flush_bytes()
+        provider.check_stream_ok()
+        return written
+
+    bridge = EnvelopeBridge()
+    buf: list[str] = []
 
     def flush_shard():
         nonlocal shard_idx
         if not buf:
             return
-        if fmt == "parquet":
-            table = bridge.to_table(buf)
-            path = os.path.join(feed_dir, f"{shard_prefix}-{shard_idx:06d}.parquet")
-            pq.write_table(table, path + ".tmp")
-        else:
-            path = os.path.join(feed_dir, f"{shard_prefix}-{shard_idx:06d}.ndjson")
-            with open(path + ".tmp", "w") as fh:
-                fh.write("\n".join(buf))
-                fh.write("\n")
+        table = bridge.to_table(buf)
+        path = os.path.join(feed_dir, f"{shard_prefix}-{shard_idx:06d}.parquet")
+        pq.write_table(table, path + ".tmp")
         os.replace(path + ".tmp", path)  # readers never see partial shards
         written.append(path)
         shard_idx += 1
@@ -308,3 +369,39 @@ def provider_to_feed(
     flush_shard()
     provider.check_stream_ok()
     return written
+
+
+def main(argv=None):  # pragma: no cover - CLI drive path
+    """Standalone relay daemon: spawn a provider binary and tail it into
+    engine feed shards — the deployment shape where the relay runs beside
+    the provider (one process per monitored stream, out of the engine
+    driver's GIL) and the engine follows the feed directory."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="dstream_ray provider relay (provider binary -> feed shards)"
+    )
+    p.add_argument("--feed-dir", required=True)
+    p.add_argument("--fmt", default="ndjson", choices=["ndjson", "parquet"])
+    p.add_argument("--rows-per-shard", type=int, default=50_000)
+    p.add_argument("--shard-prefix", default="provider")
+    p.add_argument("--ready-timeout", type=float, default=30.0)
+    p.add_argument("--max-shards", type=int, default=None)
+    p.add_argument("command", nargs=argparse.REMAINDER,
+                   help="provider argv (prefix with --)")
+    a = p.parse_args(argv)
+    cmd = a.command[1:] if a.command[:1] == ["--"] else a.command
+    prov = ProviderProcess(cmd, config={}, ready_timeout_s=a.ready_timeout)
+    shards = provider_to_feed(
+        prov,
+        a.feed_dir,
+        rows_per_shard=a.rows_per_shard,
+        fmt=a.fmt,
+        shard_prefix=a.shard_prefix,
+        max_shards=a.max_shards,
+    )
+    print(json.dumps({"shards": len(shards)}))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -150,14 +150,26 @@ def _relay_by_key(
     # width is sized from the batch AND carried state so a key wider than
     # the historical norm is never silently truncated (a truncated key
     # aliasing an 80-byte prefix used to drop rows as duplicates)
-    key_list = new_rows["cdc_key"].to_pylist()
+    from dstream_ray.common import utf8_view
+
+    kdata, kstarts, kends = utf8_view(new_rows["cdc_key"])
+    klens = kends - kstarts
     thr_list = [last_key.get(nm, "").encode() for nm in names]
-    width = max(
-        1,
-        max((len(k) for k in key_list), default=1),
-        max((len(t) for t in thr_list), default=1),
+    width = int(
+        max(
+            1,
+            klens.max(initial=1),
+            max((len(t) for t in thr_list), default=1),
+        )
     )
-    keys = np.array(key_list, dtype=f"S{width}")
+    if len(klens) and (klens == klens[0]).all() and klens[0] == width:
+        # uniform-width keys over a contiguous buffer (the normal
+        # zero-padded hex case): one reshape+view, no per-row Python
+        keys = np.ascontiguousarray(
+            kdata[kstarts[0] : kends[-1]].reshape(len(klens), width)
+        ).view(f"S{width}")[:, 0]
+    else:
+        keys = np.array(new_rows["cdc_key"].to_pylist(), dtype=f"S{width}")
     order = np.lexsort((keys, codes))
     codes_s, keys_s = codes[order], keys[order]
     thr = np.array(thr_list, dtype=f"S{width}")

@@ -173,3 +173,68 @@ def test_envelope_continuation_shards_flow_through(ray_session, tmp_path):
     assert ev["turn_idx"].tolist() == list(range(10))
     assert [json.loads(t)["v"] for t in ev["text"]] == list(range(10))
     assert ev["ts"].is_monotonic_increasing
+
+
+def test_raw_payload_parse_matches_canonical_routing():
+    """parse_envelope_bytes_raw == parse_envelope_lines on every routing
+    column (conv/turn/role/tool/ts/cdc_key); text differs by design (raw
+    line vs canonical re-serialization)."""
+    import json as _json
+
+    from dstream_ray.sources.envelopes import (
+        parse_envelope_bytes_raw,
+        parse_envelope_lines,
+    )
+
+    lines = []
+    for i in range(50):
+        lines.append(_json.dumps({
+            "data": {"z": i, "a": "x" * (i % 5)},
+            "metadata": {"TableName": f"t{i % 3}", "LSN": f"{i:016x}",
+                         "Seq": "0", "OperationType": "iu"[i % 2]},
+        }))
+    # missing metadata fields and an extra field
+    lines.append('{"data":{"v":1},"metadata":{"TableName":"t9"}}')
+    lines.append('{"data":{"v":1},"metadata":{"LSN":"ff"},"extra":3}')
+    raw = ("\n".join(lines) + "\n").encode()
+    fast = parse_envelope_bytes_raw(raw).to_pandas()
+    slow = parse_envelope_lines(lines).to_pandas()
+    for col in ["conv_id", "turn_idx", "role", "tool", "ts", "cdc_key"]:
+        assert fast[col].tolist() == slow[col].tolist(), col
+    assert fast["text"].tolist() == lines  # raw byte fidelity
+    # unterminated final line + malformed JSON fallback
+    raw2 = raw + b'{"not json'
+    fb = parse_envelope_bytes_raw(raw2).to_pandas()
+    assert len(fb) == len(lines) + 1
+    assert (fb["role"] == "invalid").sum() == 2  # t-less + malformed
+    assert fb["text"].tolist()[-1] == '{"not json'
+
+
+def test_raw_payload_through_engine(tmp_path, ray_session):
+    """fmt=raw NDJSON feed through the full engine: same delivered row
+    count and per-table cursors as canonical mode, text = raw lines."""
+    import json as _json
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    lines = [
+        _json.dumps({"data": {"v": i}, "metadata": {
+            "TableName": f"t{i % 4}", "LSN": f"{i:016x}", "Seq": "0",
+            "OperationType": "i"}})
+        for i in range(200)
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "s-00.ndjson").write_text("\n".join(lines[:120]) + "\n")
+    (feed / "s-01.ndjson").write_text("\n".join(lines[120:]) + "\n")
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=1, operators={},
+        envelope_payload="raw",
+    ))
+    job.run()
+    events = job.sink.read_op("events").to_pandas()
+    assert len(events) == 200
+    per = events.groupby("conv_id")["turn_idx"].agg(["count", "min", "max"])
+    assert (per["count"] == 50).all() and (per["max"] == 49).all()
+    assert set(events["text"]) == set(lines)  # byte-verbatim payloads

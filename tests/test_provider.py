@@ -183,7 +183,9 @@ def test_raw_relay_mode_through_engine(ray_session, tmp_path):
     feed = str(tmp_path / "feed")
     p = spawn("counter", {"limit": 40, "tables": ["persons", "cars"]})
     shards = provider_to_feed(p, feed, rows_per_shard=16, fmt="ndjson")
-    assert all(s.endswith(".ndjson") for s in shards) and len(shards) == 5
+    # rows_per_shard is a lower bound (chunk-granularity sharding): a fast
+    # provider whose whole stream fits one buffered chunk yields one shard
+    assert all(s.endswith(".ndjson") for s in shards) and 1 <= len(shards) <= 5
     cfg = StreamingConfig(
         feed_dir=feed, out_dir=str(tmp_path / "out"), num_partitions=2,
         files_per_epoch=2, operators={},
