@@ -135,8 +135,11 @@ def minhash_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
     is one vectorized call per partition, then pairs are deduplicated across
     bands the same way (coarse key over the pair id — never one Python call
     per bucket, never a driver-side set)."""
+    # MinHasher state = 128 permutation constants: ship the INSTANCE in the
+    # task closure instead of spawning an actor pool (actor startup was the
+    # dominant driver-cold cost of this query — BENCH_r02 3.2s cold/1.6s warm)
     bands = docs.map_batches(
-        dedup.MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=2
+        dedup.MinHasher(), batch_format="pyarrow", batch_size=2048
     )
 
     def add_bucket_part(b: pa.Table) -> pa.Table:
@@ -402,9 +405,10 @@ def q_embedding_neardup_lsh(sf_dir: str):
     split by a single hyperplane. Rows-only (float hyperplanes aren't
     SQL-reproducible); pytest checks recall against the label-blocked
     oracle-gated variant."""
+    # LSH state = a 6x64 integer plane matrix: task closure, no actor pool
     ds = _read_embeddings(sf_dir).map_batches(
-        ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
-        fn_constructor_kwargs={"dim": 64, "n_planes": 6},
+        ann.HyperplaneLSH(dim=64, n_planes=6), batch_format="pyarrow",
+        batch_size=4096,
     )
 
     def fanout(b: pa.Table) -> pa.Table:
@@ -521,10 +525,7 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     topk = ann.ProbedTopK(q, probes, bucket_col="bucket", k=KNN_K)
     partials = (
         _read_embeddings(sf_dir)
-        .map_batches(
-            ann.HyperplaneLSH, batch_format="pyarrow", batch_size=4096, concurrency=2,
-            fn_constructor_kwargs={"dim": q["vecs"].shape[1]},
-        )
+        .map_batches(lsh, batch_format="pyarrow", batch_size=4096)
         .map_batches(
             lambda b: b.filter(
                 pa.array(np.isin(b["bucket"].to_numpy(zero_copy_only=False), wanted))
