@@ -154,21 +154,15 @@ def minhash_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
         .map_groups(dedup.candidate_pairs_from_band_partition, batch_format="pandas")
     )
 
-    def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
-        key = b["doc_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b[
-            "doc_b"
-        ].to_numpy(np.uint64)
-        b = b.assign(pair_part=(key % np.uint64(32)).astype(np.int32))
-        return b
+    # per-block dedupe only (no second all-to-all): a pair colliding in k
+    # bands appears at most k times across blocks; the survivors cost at
+    # most n_bands x verification for that pair and collapse to one edge in
+    # the components step, so cross-block duplicates are harmless — and
+    # dropping the pair-keyed shuffle removes one exchange per run
+    def dedupe_block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
-    def dedupe_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
-
-    return (
-        cands.map_batches(add_pair_part, batch_format="pandas")
-        .groupby("pair_part")
-        .map_groups(dedupe_part, batch_format="pandas")
-    )
+    return cands.map_batches(dedupe_block, batch_format="pandas")
 
 
 def components_min_label_distributed(
