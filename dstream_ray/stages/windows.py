@@ -351,6 +351,8 @@ def sliding_kernel(
     width_s: int,
     slide_s: int,
     flush: bool,
+    closure: str = "conv",
+    watermark_us: int | None = None,
 ) -> tuple[pa.Table, dict]:
     """Overlapping windows [b*slide, b*slide+width); each row joins
     k = width/slide windows. Emits (conv_id, window_id=b, counts).
@@ -359,10 +361,17 @@ def sliding_kernel(
     per-conv ``emitted_below`` cursor so recomputation never re-emits a closed
     window (the analog of the dual LSN+seqval dedup cursor,
     /root/reference/docs/capability-inventory.md:133).
+
+    ``closure="watermark"``: a window closes for ALL convs once its end ≤
+    the partition watermark (idle convs emit without waiting for flush) —
+    the cursor becomes one global ``wm_below`` int; rows whose newest
+    window is already emitted are late-dropped (exact on globally
+    ts-ordered feeds, same contract as the tumbling/session wm modes).
     """
     assert width_s % slide_s == 0, "width must be a multiple of slide"
     k = width_s // slide_s
     s_us = slide_s * US
+    w_us = width_s * US
     data = _concat_residual(state.get("residual"), new_rows)
     cols = prep(data)
     emitted_below: dict = dict(state.get("emitted_below", {}))
@@ -370,6 +379,11 @@ def sliding_kernel(
     if n == 0:
         return _SLIDING_EMPTY, state
     b = cols.ts // s_us
+    if closure == "watermark":
+        return _sliding_watermark(
+            cols, b, state, k=k, s_us=s_us, w_us=w_us, flush=flush,
+            watermark_us=watermark_us,
+        )
     # fan out each row to its k windows
     rep_idx = np.repeat(np.arange(n), k)
     offs = np.tile(np.arange(k, dtype=np.int64), n)
@@ -423,6 +437,64 @@ def sliding_kernel(
     keep_thresh = np.repeat(maxb_per_conv - k + 1, cols.ends - cols.starts)
     residual = _take(cols, b >= keep_thresh)
     return out, {"residual": residual, "emitted_below": emitted_below}
+
+
+def _sliding_watermark(
+    cols, b, state, *, k, s_us, w_us, flush, watermark_us
+) -> tuple[pa.Table, dict]:
+    """Watermark closure for the sliding window: one GLOBAL ``wm_below``
+    cursor; window w = [w*slide, w*slide+width) closes once its end ≤ the
+    partition watermark, for every conv at once."""
+    late_drops = int(state.get("late_drops", 0))
+    lo = state.get("wm_below")
+    lo_v = int(lo) if lo is not None else _I64MIN
+    # late protection: a row whose NEWEST window (its own bucket) is already
+    # emitted cannot contribute to any still-open window
+    keep = b >= lo_v
+    if not keep.all():
+        late_drops += int((~keep).sum())
+        cols = prep(_take(cols, keep))
+        if len(cols.codes) == 0:
+            return _SLIDING_EMPTY, {
+                "residual": None, "wm_below": lo, "late_drops": late_drops,
+            }
+        b = cols.ts // s_us
+    n = len(cols.codes)
+    rep_idx = np.repeat(np.arange(n), k)
+    offs = np.tile(np.arange(k, dtype=np.int64), n)
+    win = b[rep_idx] - offs
+    codes_r = cols.codes[rep_idx]
+    order = np.lexsort((win, codes_r))
+    rep_idx, win, codes_r = rep_idx[order], win[order], codes_r[order]
+    change = np.zeros(len(win), dtype=bool)
+    change[0] = True
+    change[1:] = (codes_r[1:] != codes_r[:-1]) | (win[1:] != win[:-1])
+    rstarts = np.flatnonzero(change)
+    n_turns = np.add.reduceat(np.ones(len(win), dtype=np.int64), rstarts)
+    n_chars = np.add.reduceat(cols.n_chars[rep_idx], rstarts)
+    run_codes = codes_r[rstarts]
+    run_win = win[rstarts]
+    if flush:
+        close_hi = np.iinfo(np.int64).max
+        new_lo = int(win.max()) + 1
+        residual = None
+    else:
+        wm = watermark_us if watermark_us is not None else -1
+        close_hi = int((wm - w_us) // s_us) + 1  # end(w) <= wm  <=>  w < close_hi
+        new_lo = max(lo_v, close_hi) if lo is not None else close_hi
+        residual = _take(cols, b >= close_hi)
+    emit_run = (run_win < close_hi) & (run_win >= lo_v)
+    out = pa.table(
+        {
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(run_codes[emit_run].astype(np.int32)), cols.uniq
+            ).cast(pa.string()),
+            "window_id": pa.array(run_win[emit_run]),
+            "n_turns": pa.array(n_turns[emit_run]),
+            "n_chars": pa.array(n_chars[emit_run]),
+        }
+    )
+    return out, {"residual": residual, "wm_below": int(new_lo), "late_drops": late_drops}
 
 
 # ---------------------------------------------------------------------------

@@ -243,3 +243,49 @@ def test_multiple_instances_of_one_kernel(ray_session, tmp_path, feed_dir):
              CAST(sum(length(text)) AS BIGINT) AS n_chars
       FROM transcripts GROUP BY 1,2""")
     sorted_eq(w5, exp5, ["conv_id", "window_id"])
+
+
+def test_engine_sliding_watermark_closure(ray_session, tmp_path):
+    """sliding@wm through the full engine (multi-epoch, exactly-once sink)
+    over a globally ts-ordered feed == the batch sliding oracle, with early
+    (pre-flush) emission."""
+    import duckdb
+
+    from dstream_ray.sources.transcripts import generate_transcripts
+
+    feed_tbl = generate_transcripts(n_convs=40, mean_turns=10, seed=33)
+    order = pa.compute.sort_indices(feed_tbl, sort_keys=[("ts", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")])
+    feed_tbl = feed_tbl.take(order)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    n = feed_tbl.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        import pyarrow.parquet as pq
+        pq.write_table(feed_tbl.slice(lo, hi - lo), str(feed / f"f-{i:02d}.parquet"))
+    W, S = 300, 150
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=4,
+        files_per_epoch=1,
+        operators={"sliding@wm": {"width_s": W, "slide_s": S, "closure": "watermark"}},
+    ))
+    job.run(flush_at_end=False, pipeline_depth=1)
+    early = job.sink.read_op("sliding@wm")
+    assert early is not None and early.num_rows > 0  # emitted before flush
+    job2 = StreamingJob(job.cfg)
+    job2.run()
+    got = job2.sink.read_op("sliding@wm").to_pandas()
+    con = duckdb.connect()
+    con.register("transcripts", feed_tbl)
+    exp = con.execute(f"""
+        WITH fan AS (
+          SELECT conv_id, CAST(floor(epoch(ts)/{S}) AS BIGINT) AS window_id, length(text) AS lc FROM transcripts
+          UNION ALL
+          SELECT conv_id, CAST(floor(epoch(ts)/{S}) AS BIGINT) - 1 AS window_id, length(text) AS lc FROM transcripts
+        )
+        SELECT conv_id, window_id, count(*) AS n_turns, CAST(sum(lc) AS BIGINT) AS n_chars
+        FROM fan GROUP BY 1, 2
+    """).fetch_df()
+    keys = ["conv_id", "window_id"]
+    got = got.sort_values(keys).reset_index(drop=True)[sorted(got.columns)]
+    exp = exp.sort_values(keys).reset_index(drop=True)[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -241,3 +241,58 @@ def test_tumbling_watermark_closure_drops_late_rows():
     assert state["late_drops"] == 3
     all_convs = set(pa.concat_tables([out1, out2])["conv_id"].to_pylist())
     assert "late" not in all_convs
+
+
+def test_sliding_watermark_closure():
+    """Sliding watermark closure: on a globally ts-ordered feed, multi-epoch
+    output == the batch oracle, windows emit before the flush, and nothing
+    is late-dropped."""
+    feed = generate_transcripts(n_convs=40, mean_turns=10, seed=31)
+    rows = to_residual_rows(feed)
+    order = np.argsort(rows["ts_us"].to_numpy(zero_copy_only=False), kind="stable")
+    rows = rows.take(pa.array(order))
+
+    bounds = np.linspace(0, rows.num_rows, 5).astype(int)
+    state: dict = {}
+    outs = []
+    emitted_before_flush = 0
+    wm = -1
+    for i in range(4):
+        chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+        if chunk.num_rows:
+            wm = max(wm, int(chunk["ts_us"].to_numpy(zero_copy_only=False).max()))
+        out, state = sliding_kernel(
+            chunk, state, width_s=WIDTH_S, slide_s=SLIDE_S, flush=(i == 3),
+            closure="watermark", watermark_us=wm,
+        )
+        if i < 3:
+            emitted_before_flush += out.num_rows
+        outs.append(out)
+    got = pa.concat_tables(outs)
+    assert state.get("late_drops", 0) == 0
+    assert emitted_before_flush > 0
+    assert_same(got, oracle(feed, SLIDING_SQL), ["conv_id", "window_id"])
+
+
+def test_sliding_watermark_drops_late_rows():
+    t0 = 1_700_000_000_000_000
+
+    def rows_at(conv, turns, base):
+        return pa.table({
+            "conv_id": pa.array([conv] * turns),
+            "turn_idx": pa.array(range(turns), type=pa.int32()),
+            "role": pa.array(["user"] * turns),
+            "tool": pa.array([""] * turns),
+            "ts_us": pa.array([base + i * 1_000_000 for i in range(turns)]),
+            "n_chars": pa.array([1] * turns),
+        })
+
+    state: dict = {}
+    out1, state = sliding_kernel(
+        rows_at("a", 3, t0 + 10_000_000_000), state, width_s=300, slide_s=150,
+        flush=False, closure="watermark", watermark_us=t0 + 10_002_000_000)
+    out2, state = sliding_kernel(
+        rows_at("late", 3, t0), state, width_s=300, slide_s=150,
+        flush=True, closure="watermark", watermark_us=t0 + 10_002_000_000)
+    assert state["late_drops"] == 3
+    assert "late" not in set(pa.concat_tables([out1, out2])["conv_id"].to_pylist())
