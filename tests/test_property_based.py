@@ -229,3 +229,39 @@ def test_key_relay_dual_cursor_property(data):
         assert g["turn_idx"].tolist() == list(range(len(ks))), t
         assert [json.loads(x)["v"] for x in g["text"]] == ks, t
         assert g["ts"].is_monotonic_increasing
+
+
+@settings(max_examples=40, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_watermark_kernels(data):
+    """Watermark-closure modes: on a globally ts-ordered feed with the
+    watermark = running max event time, any epoch split's accumulated
+    emissions equal the single-pass result (and nothing is late-dropped)."""
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    order = np.argsort(rows["ts_us"].to_numpy(zero_copy_only=False), kind="stable")
+    rows = rows.take(pa.array(order))
+
+    def run_wm(kernel, bounds_, **kw):
+        state: dict = {}
+        outs = []
+        wm = -1
+        for i in range(len(bounds_) - 1):
+            chunk = rows.slice(bounds_[i], bounds_[i + 1] - bounds_[i])
+            if chunk.num_rows:
+                wm = max(wm, int(chunk["ts_us"].to_numpy(zero_copy_only=False).max()))
+            out, state = kernel(
+                chunk, state, flush=(i == len(bounds_) - 2),
+                closure="watermark", watermark_us=wm, **kw,
+            )
+            outs.append(out)
+        assert state.get("late_drops", 0) == 0
+        return pa.concat_tables(outs).to_pandas()
+
+    for kernel, kw in [
+        (tumbling_kernel, {"width_s": WIDTH_S}),
+        (sliding_kernel, {"width_s": WIDTH_S, "slide_s": WIDTH_S // 2}),
+    ]:
+        single = run_wm(kernel, [0, rows.num_rows], **kw)
+        multi = run_wm(kernel, bounds, **kw)
+        pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
