@@ -289,3 +289,37 @@ def test_engine_sliding_watermark_closure(ray_session, tmp_path):
     got = got.sort_values(keys).reset_index(drop=True)[sorted(got.columns)]
     exp = exp.sort_values(keys).reset_index(drop=True)[sorted(exp.columns)]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cross_mode_resume_actor_to_task_and_back(ray_session, tmp_path, feed_dir):
+    """Execution mode is not part of the state contract: epochs run by the
+    actor-mode keyed state store resume correctly under task-mode reduces
+    (and vice versa), because both snapshot identical per-partition state
+    every epoch."""
+    ref = StreamingJob(make_cfg(tmp_path / "ref", feed_dir))
+    ref.run()
+
+    # actor epochs -> task resume
+    cfg_at = make_cfg(tmp_path / "at", feed_dir)
+    StreamingJob(
+        make_cfg(tmp_path / "at", feed_dir, use_state_actors=True)
+    ).run(max_epochs=1, flush_at_end=False)
+    job_at = StreamingJob(cfg_at)  # task mode finishes the stream
+    job_at.run()
+
+    # task epochs -> actor resume
+    cfg_ta = make_cfg(tmp_path / "ta", feed_dir, use_state_actors=True)
+    StreamingJob(make_cfg(tmp_path / "ta", feed_dir)).run(
+        max_epochs=1, flush_at_end=False
+    )
+    job_ta = StreamingJob(cfg_ta)
+    job_ta.run()
+
+    for op, keys in [
+        ("events", ["conv_id", "turn_idx"]),
+        ("tumbling", ["conv_id", "window_id"]),
+        ("session", ["conv_id", "session_id"]),
+        ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
+    ]:
+        sorted_eq(read_sink(job_at, op), read_sink(ref, op), keys)
+        sorted_eq(read_sink(job_ta, op), read_sink(ref, op), keys)
