@@ -14,6 +14,12 @@ import pyarrow as pa
 FNV_OFFSET = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
 
+# two independent polynomial bases -> 128-bit effective content key for
+# exact dedup-by-hash (a single 64-bit hash starts colliding around 10^10
+# docs; the pair does not). Shared by the batch dedup family and the
+# streaming content-dedup kernel.
+DEDUP_HASH_BASES = (1000003, 1000033)
+
 
 def fnv1a_u64(strings: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     """Vectorized FNV-1a 64-bit hash of a string array.

@@ -89,11 +89,9 @@ def q_doc_fingerprint_rolling(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-# two independent polynomial bases -> 128-bit effective content key: a
-# single 64-bit hash collides around 10^10 docs (birthday), which a 100 TB
-# corpus reaches; the PAIR does not. The oracle groups by raw text, so only
-# key injectivity matters, not the hash values.
-DEDUP_HASH_BASES = (1000003, 1000033)
+# 128-bit content key (see common.DEDUP_HASH_BASES): the oracle groups by
+# raw text, so only key injectivity matters, not the hash values.
+from dstream_ray.common import DEDUP_HASH_BASES  # noqa: E402
 
 
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:

@@ -44,7 +44,7 @@ from dstream_ray.common import partition_ids
 from dstream_ray.sinks.parquet_sink import ExactlyOnceParquetSink
 from dstream_ray.sinks.registry import create_sink
 from dstream_ray.sources.envelopes import read_envelope_file
-from dstream_ray.stages.capture import relay_kernel
+from dstream_ray.stages.capture import content_dedup_kernel, relay_kernel
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.windows import (
     session_join_kernel,
@@ -69,7 +69,13 @@ WINDOW_OPERATORS = {
     "session_with_join": session_with_join_kernel,
     # streaming CEP: pattern-match counts per conv, state = unmatched suffix
     "cep": cep_kernel,
+    # per-conv streaming content dedup (suppress repeated identical texts)
+    "dedup": content_dedup_kernel,
 }
+
+# kernels that consume the FULL relay output (text and all) instead of the
+# projected residual layout — content-identity operators need the bytes
+RAW_INPUT_OPERATORS = {"dedup"}
 
 
 @dataclass
@@ -249,11 +255,17 @@ def process_partition(
 
     # 2. window/join kernels over the residual row layout
     residual_rows = to_residual_rows(relay_out)
+    raw_rows = (
+        relay_out.drop_columns(["partition_id"])
+        if "partition_id" in relay_out.column_names
+        else relay_out
+    )
     for op_name, params in cfg.operators.items():
         # "kernel" or "kernel@variant": the part before '@' picks the kernel,
         # the full key names the sink output + state slot — so several
         # instances of one kernel (e.g. hourly AND daily tumbling) coexist
-        kernel = WINDOW_OPERATORS[op_name.split("@")[0]]
+        op_base = op_name.split("@")[0]
+        kernel = WINDOW_OPERATORS[op_base]
         call_params = dict(params)
         if call_params.get("closure") == "watermark":
             # the engine supplies the partition watermark for textbook
@@ -264,7 +276,8 @@ def process_partition(
             # the partition watermark to judge idleness
             call_params["evict_idle_us"] = int(call_params.pop("evict_idle_s")) * 1_000_000
             call_params["watermark_us"] = wm
-        out, op_state = kernel(residual_rows, state.get(op_name, {}), flush=flush, **call_params)
+        op_input = raw_rows if op_base in RAW_INPUT_OPERATORS else residual_rows
+        out, op_state = kernel(op_input, state.get(op_name, {}), flush=flush, **call_params)
         state[op_name] = op_state
         # a kernel may emit one table or a dict of output-name -> table
         outputs = out if isinstance(out, dict) else {op_name: out}

@@ -13,7 +13,10 @@ pandas object coercion).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+
+from dstream_ray.common import DEDUP_HASH_BASES, FNV_PRIME, poly_hash_strings
 
 
 def relay_kernel(
@@ -96,6 +99,88 @@ def relay_kernel(
             del last_ts[nm]
             next_turn.pop(nm, None)
     return out, _state()
+
+
+def content_dedup_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+    evict_idle_us: int | None = None,
+    watermark_us: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """Streaming CONTENT dedup: emit a turn iff its text was not seen
+    earlier in the same conversation — suppression of repeated identical
+    messages (retry storms, copy-paste loops), a standard pre-training
+    feed cleaner, as an engine operator over the FULL feed rows.
+
+    Keyed by (conv_id, content); content identity is a 64-bit mix of the
+    two vectorized polynomial hashes (collision odds within one conv's
+    seen-set are ~2^-64-scale — document-corpus-level dedup uses the full
+    128 bits, see dataops.DEDUP_HASH_BASES). State = per-conv sorted hash
+    array; ``evict_idle_us`` drops idle convs' sets against the partition
+    watermark (same replay tradeoff as the relay cursor). Emissions keep
+    arrival order and the full row schema; multi-epoch output == one pass
+    (first occurrence is stable under any epoch split).
+    """
+    seen: dict = dict(state.get("seen", {}))
+    track = evict_idle_us is not None
+    last_ts: dict = dict(state.get("last_ts", {})) if track else {}
+    wm = int(watermark_us) if watermark_us is not None else -1
+
+    if new_rows.num_rows == 0:
+        out = new_rows
+    else:
+        h1, h2 = poly_hash_strings(new_rows["text"], bases=DEDUP_HASH_BASES)
+        with np.errstate(over="ignore"):
+            combined = (h1 * FNV_PRIME) ^ h2
+        conv = new_rows["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        enc = conv.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = enc.dictionary.to_pylist()
+        # first occurrence within the batch, arrival order (pandas C path)
+        dup_in_batch = pd.DataFrame({"c": codes, "h": combined}).duplicated().to_numpy()
+        accept = ~dup_in_batch
+        if track:
+            ts_np = new_rows["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # membership vs carried per-conv seen-sets + state update, one
+        # contiguous segment per conv (stable sort by code, not a scan
+        # per conv)
+        seg_order = np.argsort(codes, kind="stable")
+        codes_s = codes[seg_order]
+        seg_starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(codes_s)]
+        for s, e in zip(seg_starts, seg_ends):
+            rows_c = seg_order[s:e]
+            nm = names[codes_s[s]]
+            vals = combined[rows_c]
+            prev = seen.get(nm)
+            if prev is not None and len(prev):
+                idx = np.searchsorted(prev, vals)
+                idx[idx >= len(prev)] = len(prev) - 1
+                accept[rows_c] &= prev[idx] != vals
+            new_vals = np.unique(vals[accept[rows_c]])
+            if prev is not None and len(prev):
+                seen[nm] = np.union1d(prev, new_vals) if len(new_vals) else prev
+            else:
+                seen[nm] = new_vals
+            if track:
+                last_ts[nm] = max(int(ts_np[rows_c].max()), last_ts.get(nm, -1))
+        out = new_rows.filter(pa.array(accept))
+    if track and last_ts and not flush:
+        cutoff = wm - evict_idle_us
+        for nm in [n for n, t in last_ts.items() if t < cutoff]:
+            del last_ts[nm]
+            seen.pop(nm, None)
+    # flush is NON-terminal by design: dedup emissions are immediate, so
+    # there is nothing to force-close — the seen-sets persist and a
+    # post-flush continuation keeps suppressing duplicates
+    new_state: dict = {"seen": seen}
+    if track:
+        new_state["last_ts"] = last_ts
+    return out, new_state
 
 
 TS_BASE_US = 1_700_000_000_000_000

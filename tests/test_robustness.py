@@ -7,6 +7,7 @@ import os
 import time
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -430,3 +431,130 @@ def test_lateness_rejected_on_envelope_feeds():
     )
     with _pytest.raises(ValueError, match="incompatible with envelope"):
         process_partition(t, 0, 0, {}, cfg, flush=False)
+
+
+def test_content_dedup_kernel_matches_qualify_oracle():
+    """Streaming per-conv content dedup == SQL first-occurrence
+    (QUALIFY row_number() OVER (PARTITION BY conv_id, text...) = 1), under
+    any epoch split."""
+    import duckdb
+
+    from dstream_ray.stages.capture import content_dedup_kernel
+
+    t0 = 1_700_000_000_000_000
+    convs, turns, texts = [], [], []
+    for c in range(6):
+        for t in range(30):
+            convs.append(f"c{c}")
+            turns.append(t)
+            texts.append(f"msg-{t % 7}" if t % 3 else "retry retry")  # heavy dups
+    tbl = pa.table({
+        "conv_id": pa.array(convs),
+        "turn_idx": pa.array(turns, type=pa.int32()),
+        "role": pa.array(["user"] * len(convs)),
+        "text": pa.array(texts),
+        "tool": pa.array([""] * len(convs)),
+        "ts": pa.array([t0 + i * 1_000_000 for i in range(len(convs))],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    con = duckdb.connect()
+    con.register("feed", tbl)
+    exp = con.execute("""
+        SELECT conv_id, turn_idx FROM feed
+        QUALIFY row_number() OVER (PARTITION BY conv_id, text ORDER BY turn_idx) = 1
+        ORDER BY conv_id, turn_idx
+    """).fetch_df()
+    for n_epochs in (1, 4):
+        bounds = np.linspace(0, tbl.num_rows, n_epochs + 1).astype(int)
+        state: dict = {}
+        outs = []
+        for i in range(n_epochs):
+            out, state = content_dedup_kernel(
+                tbl.slice(bounds[i], bounds[i + 1] - bounds[i]), state,
+                flush=(i == n_epochs - 1),
+            )
+            outs.append(out)
+        got = (
+            pa.concat_tables(outs).to_pandas()[["conv_id", "turn_idx"]]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # flush is non-terminal: a post-flush duplicate is still suppressed
+    post, state = content_dedup_kernel(tbl.slice(0, 10), state)
+    assert post.num_rows == 0
+
+
+def test_content_dedup_eviction_bounds_state():
+    from dstream_ray.stages.capture import content_dedup_kernel
+
+    t0 = 1_700_000_000_000_000
+
+    def rows(conv, base, texts):
+        n = len(texts)
+        return pa.table({
+            "conv_id": pa.array([conv] * n),
+            "turn_idx": pa.array(range(n), type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([base + i * 1_000_000 for i in range(n)],
+                           type=pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    state: dict = {}
+    out, state = content_dedup_kernel(
+        rows("old", t0, ["a", "b"]), state,
+        evict_idle_us=5_000_000, watermark_us=t0 + 1_000_000)
+    assert out.num_rows == 2
+    # much later activity on another conv advances the watermark -> 'old'
+    # conv's seen-set is evicted
+    out, state = content_dedup_kernel(
+        rows("fresh", t0 + 100_000_000, ["x"]), state,
+        evict_idle_us=5_000_000, watermark_us=t0 + 100_000_000)
+    assert "old" not in state["seen"] and "fresh" in state["seen"]
+
+
+def test_content_dedup_in_engine(ray_session, tmp_path):
+    """'dedup' operator through the full engine (raw-input routing): the
+    committed sink equals SQL first-occurrence over the feed."""
+    import duckdb
+
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    t0 = 1_700_000_000_000_000
+    rows = []
+    for c in range(8):
+        for t in range(40):
+            rows.append((f"c{c}", t, "user", f"m{t % 5}", "", t0 + (c * 40 + t) * 1_000_000))
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+        "tool": pa.array([r[4] for r in rows]),
+        "ts": pa.array([r[5] for r in rows], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    n = tbl.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        pq_mod.write_table(tbl.slice(lo, hi - lo), str(feed / f"f-{i}.parquet"))
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"), num_partitions=2,
+        files_per_epoch=1, operators={"dedup": {}},
+    ))
+    job.run()
+    got = (
+        job.sink.read_op("dedup").to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("feed", tbl)
+    exp = con.execute("""
+        SELECT * FROM feed
+        QUALIFY row_number() OVER (PARTITION BY conv_id, text ORDER BY turn_idx) = 1
+        ORDER BY conv_id, turn_idx
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
