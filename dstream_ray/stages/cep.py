@@ -60,13 +60,38 @@ def _conv_seq(sym_u8: np.ndarray, s: int, e: int) -> str:
     return seg.tobytes().decode("latin-1")
 
 
+def _count_matches(rx, seq: str, ts_seq, within_us: int | None) -> tuple[int, int]:
+    """(n matches passing the time constraint, end of last scanned match).
+
+    The scan is the plain leftmost non-overlapping regex pass; ``within_us``
+    filters COUNTING to matches whose first→last event-time span fits the
+    budget (the CEP 'pattern completes WITHIN T' constraint). ``ts_seq``
+    aligns 1:1 with ``seq``'s symbols."""
+    n = 0
+    last_end = 0
+    for m in rx.finditer(seq):
+        last_end = m.end()
+        if within_us is None or (
+            m.end() > m.start()
+            and ts_seq[m.end() - 1] - ts_seq[m.start()] <= within_us
+        ):
+            n += 1
+    return n, last_end
+
+
 def cep_pattern_kernel(
-    transcripts: pa.Table, *, pattern: str = DEFAULT_PATTERN
+    transcripts: pa.Table,
+    *,
+    pattern: str = DEFAULT_PATTERN,
+    within_s: int | None = None,
 ) -> pa.Table:
     """One partition's transcripts -> (conv_id, n_matches) for the pattern.
 
     Vectorized up to the per-conv symbol strings; the regex scan is C via
-    ``re`` over one short string per conversation."""
+    ``re`` over one short string per conversation. ``within_s``: only count
+    matches whose first→last event-time span is ≤ the budget (time-
+    constrained CEP; pytest-validated — per-match timing is not
+    SQL-expressible in one query)."""
     rows = to_residual_rows(transcripts)
     cols = prep(rows)
     if len(cols.codes) == 0:
@@ -80,9 +105,16 @@ def cep_pattern_kernel(
     rx = re.compile(pattern)
     names = cols.conv_names()
     counts = np.zeros(len(names), dtype=np.int64)
+    within_us = within_s * 1_000_000 if within_s is not None else None
     for code, (s, e) in zip(cols.codes[cols.starts], zip(cols.starts, cols.ends)):
-        seq = _conv_seq(sym_u8, s, e)
-        counts[code] = len(rx.findall(seq))
+        seg = sym_u8[s:e]
+        keep = seg != 0
+        seq = seg[keep].tobytes().decode("latin-1")
+        if within_us is None:
+            counts[code] = len(rx.findall(seq))
+        else:
+            ts_seq = cols.ts[s:e][keep]
+            counts[code], _ = _count_matches(rx, seq, ts_seq, within_us)
     return pa.table(
         {
             "conv_id": pa.array(names, type=pa.string()),
@@ -98,6 +130,7 @@ def cep_kernel(
     pattern: str = DEFAULT_PATTERN,
     flush: bool = False,
     max_suffix: int = 4096,
+    within_s: int | None = None,
     evict_idle_us: int | None = None,
     watermark_us: int | None = None,
 ) -> tuple[pa.Table, dict]:
@@ -131,27 +164,43 @@ def cep_kernel(
     suffix: dict = dict(state.get("suffix", {}))
     track_ts = evict_idle_us is not None
     last_ts: dict = dict(state.get("last_ts", {})) if track_ts else {}
+    within_us = within_s * 1_000_000 if within_s is not None else None
+    # per-symbol event times aligned with each conv's carried suffix — only
+    # kept when the time constraint is active
+    suffix_ts: dict = (
+        dict(state.get("suffix_ts", {})) if within_us is not None else {}
+    )
     rx = re.compile(pattern)
 
     if new_rows.num_rows:
         rows = to_residual_rows(new_rows) if "ts" in new_rows.column_names else new_rows
         cols = prep(rows)
         sym_u8 = _symbols_u8(cols)
-        if track_ts:
-            ts_sorted = cols.ts  # residual-layout µs, already sort-permuted
+        ts_sorted = cols.ts  # residual-layout µs, already sort-permuted
         names = cols.conv_names()
         for code, (s, e) in zip(
             cols.codes[cols.starts], zip(cols.starts, cols.ends)
         ):
             nm = names[code]
-            seq = suffix.get(nm, "") + _conv_seq(sym_u8, s, e)
-            last_end = 0
-            n = 0
-            for m in rx.finditer(seq):
-                n += 1
-                last_end = m.end()
+            seg = sym_u8[s:e]
+            keep = seg != 0
+            new_seq = seg[keep].tobytes().decode("latin-1")
+            seq = suffix.get(nm, "") + new_seq
+            ts_seq = None
+            if within_us is not None:
+                prev_ts = suffix_ts.get(nm)
+                ts_seq = np.concatenate(
+                    [
+                        prev_ts if prev_ts is not None else np.empty(0, np.int64),
+                        ts_sorted[s:e][keep],
+                    ]
+                )
+            n, last_end = _count_matches(rx, seq, ts_seq, within_us)
             counts[nm] = counts.get(nm, 0) + n
-            suffix[nm] = seq[last_end:][-max_suffix:]
+            tail = seq[last_end:][-max_suffix:]
+            suffix[nm] = tail
+            if within_us is not None:
+                suffix_ts[nm] = ts_seq[len(seq) - len(tail):]
             if track_ts:
                 last_ts[nm] = max(int(ts_sorted[s:e].max()), last_ts.get(nm, -1))
 
@@ -163,12 +212,13 @@ def cep_kernel(
             emit_names.append(nm)
             emit_counts.append(counts.pop(nm, 0))
             suffix.pop(nm, None)
+            suffix_ts.pop(nm, None)
             del last_ts[nm]
 
     if flush:
         emit_names.extend(counts.keys())
         emit_counts.extend(counts.values())
-        counts, suffix, last_ts = {}, {}, {}
+        counts, suffix, last_ts, suffix_ts = {}, {}, {}, {}
     out = pa.table(
         {
             "conv_id": pa.array(emit_names, type=pa.string()),
@@ -178,4 +228,6 @@ def cep_kernel(
     new_state = {"counts": counts, "suffix": suffix}
     if track_ts:
         new_state["last_ts"] = last_ts
+    if within_us is not None:
+        new_state["suffix_ts"] = suffix_ts
     return out, new_state

@@ -706,3 +706,50 @@ def test_pack_nobreak_matches_naive_greedy(ray_session, tmp_path):
     assert got["doc_id"].is_unique
     per_bin = got.groupby("bin_id")["n_tokens_in_bin"].sum()
     assert (per_bin <= ctx).all()
+
+
+def test_cep_within_time_constraint():
+    """Time-constrained CEP: a match counts only when its first->last event
+    span fits within_s; batch kernel and multi-epoch streaming kernel agree
+    with a scalar reference."""
+    from dstream_ray.stages.cep import cep_kernel, cep_pattern_kernel
+
+    t0 = 1_700_000_000_000_000
+    # c1: two 'ua*t' shapes — one spanning 2s (fast), one spanning 2h (slow)
+    rows = [
+        ("c1", 0, "user",      t0),
+        ("c1", 1, "assistant", t0 + 1_000_000),
+        ("c1", 2, "tool",      t0 + 2_000_000),          # fast match: 2 s
+        ("c1", 3, "user",      t0 + 10_000_000),
+        ("c1", 4, "assistant", t0 + 3_600_000_000),
+        ("c1", 5, "tool",      t0 + 7_200_000_000),      # slow match: ~2 h
+        ("c2", 0, "user",      t0),
+        ("c2", 1, "tool",      t0 + 100_000_000),        # 100 s
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array(["x"] * len(rows)),
+        "tool": pa.array([""] * len(rows)),
+        "ts": pa.array([r[3] for r in rows], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    # no constraint: c1 has 2 matches, c2 has 1
+    base = cep_pattern_kernel(tbl, pattern="ua*t").to_pandas().set_index("conv_id")
+    assert base.loc["c1", "n_matches"] == 2 and base.loc["c2", "n_matches"] == 1
+    # within 60 s: only the fast c1 match survives
+    got = cep_pattern_kernel(tbl, pattern="ua*t", within_s=60).to_pandas().set_index("conv_id")
+    assert got.loc["c1", "n_matches"] == 1 and got.loc["c2", "n_matches"] == 0
+    # streaming kernel, any epoch split, same totals
+    for n_epochs in (1, 3):
+        bounds = np.linspace(0, tbl.num_rows, n_epochs + 1).astype(int)
+        state: dict = {}
+        outs = []
+        for i in range(n_epochs):
+            out, state = cep_kernel(
+                tbl.slice(bounds[i], bounds[i + 1] - bounds[i]), state,
+                pattern="ua*t", within_s=60, flush=(i == n_epochs - 1),
+            )
+            outs.append(out)
+        s = pa.concat_tables(outs).to_pandas().groupby("conv_id")["n_matches"].sum()
+        assert s["c1"] == 1 and s["c2"] == 0
