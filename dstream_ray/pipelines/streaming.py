@@ -473,30 +473,54 @@ class StreamingJob:
         last = self.store.last_committed()
         return int(last[1]["file_cursor"]) if last else 0
 
-    def _pending_files(self) -> list[str]:
-        """Files not yet consumed, tracked BY NAME, not by position.
+    @staticmethod
+    def _shard_stream(path: str) -> str:
+        """A shard's STREAM = its filename prefix before the trailing
+        ``-<digits>.<ext>`` (one stream per relay daemon / producer). Files
+        without the pattern form the '' stream."""
+        import re as _re
 
-        The manifest records both the consumed count and the last consumed
-        filename. A shard appearing later with a name that sorts BEFORE the
+        m = _re.match(r"(.+)-\d+\.\w+$", os.path.basename(path))
+        return m.group(1) if m else ""
+
+    def _pending_files(self) -> list[str]:
+        """Files not yet consumed, tracked BY NAME **per stream**.
+
+        Each stream (shard-name prefix ≙ one relay daemon) carries its own
+        (count, high-water name) cursor in the manifest, so N parallel
+        producers can interleave arrivals freely — only ordering WITHIN a
+        stream is a contract. A shard sorting at or before its stream's
         committed high-water name (out-of-order producer, retry, backfill)
-        would silently shift a positional slice — here it makes the
-        consumed-count check fail loudly instead of dropping data."""
+        makes the per-stream count check fail loudly instead of silently
+        dropping data. A brand-new stream appearing mid-job is simply all
+        pending."""
         all_files = self.discover_files()
-        cursor = self._file_cursor()
         last = self.store.last_committed()
-        last_file = last[1].get("last_file") if last else None
-        if cursor == 0 or last_file is None:
-            return all_files[cursor:]
-        consumed = [f for f in all_files if os.path.basename(f) <= last_file]
-        if len(consumed) != cursor:
-            raise RuntimeError(
-                f"feed shard ordering violation: {len(consumed)} files sort at or "
-                f"before committed high-water shard {last_file!r} but {cursor} were "
-                "consumed — a shard was added out of lexicographic order (backfill "
-                "or non-monotonic producer); re-shard it after the high-water name "
-                "or destroy() and re-run"
-            )
-        return all_files[cursor:]
+        streams = last[1].get("streams") if last else None
+        if last is None or not streams:
+            return all_files
+        by_stream: dict[str, list[str]] = {}
+        for f in all_files:
+            by_stream.setdefault(self._shard_stream(f), []).append(f)
+        pending: list[str] = []
+        for prefix, files in by_stream.items():
+            st = streams.get(prefix)
+            if st is None:
+                pending.extend(files)
+                continue
+            consumed = [f for f in files if os.path.basename(f) <= st["last"]]
+            if len(consumed) != st["count"]:
+                raise RuntimeError(
+                    f"feed shard ordering violation in stream {prefix!r}: "
+                    f"{len(consumed)} files sort at or before the committed "
+                    f"high-water shard {st['last']!r} but {st['count']} were "
+                    "consumed — a shard was added out of lexicographic order "
+                    "within its stream (backfill or non-monotonic producer); "
+                    "re-shard it after the high-water name or destroy() and "
+                    "re-run"
+                )
+            pending.extend(f for f in files if os.path.basename(f) > st["last"])
+        return sorted(pending)
 
     def _prev_partitions(self) -> dict[str, dict]:
         last = self.store.last_committed()
@@ -579,6 +603,14 @@ class StreamingJob:
         last_file = max(
             [os.path.basename(f) for f in files] + ([prev_last_file] if prev_last_file else [])
         ) if (files or prev_last_file) else None
+        # per-stream cursors (one per shard-name prefix ≙ producer)
+        streams = {
+            k: dict(v) for k, v in (last[1].get("streams", {}) if last else {}).items()
+        }
+        for f in files:
+            st = streams.setdefault(self._shard_stream(f), {"count": 0, "last": ""})
+            st["count"] += 1
+            st["last"] = max(st["last"], os.path.basename(f))
         prev_parts = self._prev_partitions()
         all_files = [f for r in results for f in r["files"] if f]
         ExactlyOnceParquetSink.promote(all_files)
@@ -622,6 +654,7 @@ class StreamingJob:
             },
             "file_cursor": self._file_cursor() + n_files,
             "last_file": last_file,
+            "streams": streams,
             "flushed": flush,
             "wall_s": round(time.time() - t0, 3),
             "partitions": partitions,

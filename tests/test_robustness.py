@@ -558,3 +558,82 @@ def test_content_dedup_in_engine(ray_session, tmp_path):
         ORDER BY conv_id, turn_idx
     """).fetch_df()
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+
+def test_multi_stream_shards_interleave_freely(ray_session, tmp_path):
+    """Per-stream cursors: shards from two producers (distinct prefixes)
+    may arrive in any cross-stream name order; only WITHIN-stream ordering
+    is a contract. All rows are delivered exactly once."""
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    a = generate_transcripts(n_convs=6, mean_turns=4, seed=51)
+    b = generate_transcripts(n_convs=6, mean_turns=4, seed=52)
+    # rename conv ids so the two streams don't collide
+    b = b.set_column(
+        b.column_names.index("conv_id"), "conv_id",
+        pa.array([f"x{c}" for c in b["conv_id"].to_pylist()]),
+    )
+    pq.write_table(a.slice(0, a.num_rows // 2), str(feed / "provA-0001.parquet"))
+    pq.write_table(b.slice(0, b.num_rows // 2), str(feed / "provB-0007.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=4, operators={},
+    )
+    StreamingJob(cfg).run(flush_at_end=False)
+    # provA's next shard sorts BEFORE provB's committed high-water name —
+    # legal across streams (the old global cursor raised here)
+    pq.write_table(a.slice(a.num_rows // 2), str(feed / "provA-0002.parquet"))
+    pq.write_table(b.slice(b.num_rows // 2), str(feed / "provB-0008.parquet"))
+    job = StreamingJob(cfg)
+    job.run()
+    events = job.sink.read_op("events").to_pandas()
+    assert len(events) == a.num_rows + b.num_rows
+    # within-stream violations still fail loudly
+    pq.write_table(a, str(feed / "provA-0000.parquet"))
+    with pytest.raises(RuntimeError, match="stream 'provA'"):
+        StreamingJob(cfg).plan()
+
+
+def test_two_live_relay_daemons_one_job(ray_session, tmp_path):
+    """Two provider relays (separate processes, distinct shard prefixes)
+    feeding ONE engine job concurrently — the multi-stream ingestion shape
+    for parallel CDC sources."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    corpus = {}
+    for name, tables in [("A", ["t1", "t2"]), ("B", ["t3"])]:
+        lines = [
+            _json.dumps({"data": {"v": i}, "metadata": {
+                "TableName": tables[i % len(tables)], "LSN": f"{i:016x}",
+                "Seq": "0", "OperationType": "i"}})
+            for i in range(300)
+        ]
+        p = tmp_path / f"corpus{name}.ndjson"
+        p.write_text("\n".join(lines) + "\n")
+        corpus[name] = str(p)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    relays = [
+        subprocess.Popen(
+            [_sys.executable, "-m", "dstream_ray.sources.provider",
+             "--feed-dir", str(feed), "--fmt", "ndjson",
+             "--rows-per-shard", "100", "--shard-prefix", f"prov{name}",
+             "--", "cat", corpus[name]],
+            env=env, cwd="/root/repo", stdout=subprocess.DEVNULL,
+        )
+        for name in ("A", "B")
+    ]
+    for r in relays:
+        assert r.wait(timeout=60) == 0
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=3, operators={},
+    ))
+    job.run()
+    events = job.sink.read_op("events").to_pandas()
+    assert len(events) == 600
+    per = events.groupby("conv_id")["turn_idx"].agg(["count", "min"])
+    assert set(per.index) == {"t1", "t2", "t3"} and (per["min"] == 0).all()
