@@ -207,26 +207,33 @@ def single_run() -> dict:
 
 PROVIDER_LINES = int(os.environ.get("RAY_GRAFT_BENCH_PROVIDER_LINES", "2000000"))
 PROVIDER_TABLES = 64
+# parallel provider streams (one relay daemon each, distinct shard prefixes
+# and disjoint table sets) — the multi-stream ingestion scale path; 1
+# reproduces the single-pipe reference shape
+N_PROVIDERS = int(os.environ.get("RAY_GRAFT_BENCH_PROVIDERS", "4"))
 
 
-def prepare_provider_corpus() -> str:
-    """Pre-serialized envelope NDJSON (cached, untimed): the provider child
-    just emits these bytes, like a real CDC source that produces lines
-    natively — the timed section measures OUR relay + engine, not corpus
-    serialization."""
-    path = f"/tmp/dstream_bench_provider_{PROVIDER_LINES}_{PROVIDER_TABLES}.ndjson"
-    if os.path.exists(path):
-        return path
-    tmp = path + ".tmp"
-    with open(tmp, "w", buffering=1 << 22) as fh:
-        for i in range(PROVIDER_LINES):
-            fh.write(
-                '{"data":{"id":%d,"v":%d},"metadata":{"TableName":"tbl%02d",'
-                '"LSN":"%016x","Seq":"0000000000000000","OperationType":"i"}}\n'
-                % (i, (i * 7) % 1000, i % PROVIDER_TABLES, i)
-            )
-    os.replace(tmp, path)
-    return path
+def prepare_provider_corpus() -> list[str]:
+    """Pre-serialized envelope NDJSON, one file per provider stream
+    (cached, untimed): each provider owns a disjoint table subset, like
+    real per-table CDC sources. The timed section measures OUR relay +
+    engine, not corpus serialization."""
+    base = f"/tmp/dstream_bench_provider_{PROVIDER_LINES}_{PROVIDER_TABLES}_{N_PROVIDERS}"
+    paths = [f"{base}.p{p}.ndjson" for p in range(N_PROVIDERS)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    handles = [open(p + ".tmp", "w", buffering=1 << 22) for p in paths]
+    for i in range(PROVIDER_LINES):
+        tbl = i % PROVIDER_TABLES
+        handles[tbl % N_PROVIDERS].write(
+            '{"data":{"id":%d,"v":%d},"metadata":{"TableName":"tbl%02d",'
+            '"LSN":"%016x","Seq":"0000000000000000","OperationType":"i"}}\n'
+            % (i, (i * 7) % 1000, tbl, i)
+        )
+    for h, p in zip(handles, paths):
+        h.close()
+        os.replace(p + ".tmp", p)
+    return paths
 
 
 def provider_run() -> dict:
@@ -255,13 +262,13 @@ def provider_run() -> dict:
     from dstream_ray.pipelines.queries import SESSION_GAP_S, TUMBLING_S
     from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
 
-    corpus = prepare_provider_corpus()
+    corpora = prepare_provider_corpus()
     warmup()
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     reps = int(os.environ.get("RAY_GRAFT_BENCH_REPS", "2"))
     best, rows = None, 0
     for rep in range(max(1, reps)):
-        wall_i, rows_i = _provider_run_once(base, corpus)
+        wall_i, rows_i = _provider_run_once(base, corpora)
         rows = rows_i
         best = wall_i if best is None else min(best, wall_i)
     wall = best
@@ -271,6 +278,7 @@ def provider_run() -> dict:
         "unit": "sec",
         "rows": rows,
         "lines_emitted": PROVIDER_LINES,
+        "n_providers": N_PROVIDERS,
         "num_cpus": NUM_CPUS,
         "turns_per_sec": round(rows / wall, 1),
     }
@@ -278,7 +286,7 @@ def provider_run() -> dict:
     return result
 
 
-def _provider_run_once(base: str, corpus: str) -> tuple[float, int]:
+def _provider_run_once(base: str, corpora: list[str]) -> tuple[float, int]:
     from dstream_ray.pipelines.queries import SESSION_GAP_S, TUMBLING_S
     from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
 
@@ -302,24 +310,29 @@ def _provider_run_once(base: str, corpus: str) -> tuple[float, int]:
     )
     job.init()
     t0 = time.time()
-    # the relay runs in its OWN process (python -m dstream_ray.sources.
-    # provider), as it would beside a real provider: in-driver threading
-    # would share the GIL with the epoch loop and serialize the two.
-    relay = subprocess.Popen(
-        [
-            sys.executable, "-m", "dstream_ray.sources.provider",
-            "--feed-dir", feed_dir, "--fmt", "ndjson",
-            "--rows-per-shard", "50000", "--", "cat", corpus,
-        ],
-        cwd="/root/repo",
-        env=dict(os.environ, PYTHONPATH="/root/repo"),
-        stdout=subprocess.DEVNULL,
-    )
+    # one relay daemon PER PROVIDER STREAM, each its own process (python -m
+    # dstream_ray.sources.provider) with its own shard prefix: in-driver
+    # threading would share the GIL with the epoch loop, and the per-stream
+    # feed cursors let the daemons interleave shard arrivals freely.
+    relays = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "dstream_ray.sources.provider",
+                "--feed-dir", feed_dir, "--fmt", "ndjson",
+                "--rows-per-shard", "50000", "--shard-prefix", f"prov{p:02d}",
+                "--", "cat", corpus,
+            ],
+            cwd="/root/repo",
+            env=dict(os.environ, PYTHONPATH="/root/repo"),
+            stdout=subprocess.DEVNULL,
+        )
+        for p, corpus in enumerate(corpora)
+    ]
     while True:
         if job._pending_files():
             job.run(flush_at_end=False)
             continue
-        if relay.poll() is None:
+        if any(r.poll() is None for r in relays):
             time.sleep(0.02)
             continue
         if job._pending_files():  # shards flushed after our last look
@@ -327,8 +340,9 @@ def _provider_run_once(base: str, corpus: str) -> tuple[float, int]:
         break
     job.run(flush_at_end=True)
     wall = time.time() - t0
-    if relay.returncode != 0:
-        raise RuntimeError(f"relay exited with {relay.returncode}")
+    for r in relays:
+        if r.returncode != 0:
+            raise RuntimeError(f"relay exited with {r.returncode}")
     last = job.store.last_committed()[1]
     rows = sum(p["rows_in_total"] for p in last["partitions"].values())
     shutil.rmtree(workdir, ignore_errors=True)
