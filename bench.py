@@ -328,25 +328,36 @@ def _provider_run_once(base: str, corpora: list[str]) -> tuple[float, int]:
         )
         for p, corpus in enumerate(corpora)
     ]
-    while True:
-        if job._pending_files():
-            job.run(flush_at_end=False)
-            continue
-        if any(r.poll() is None for r in relays):
-            time.sleep(0.02)
-            continue
-        if job._pending_files():  # shards flushed after our last look
-            continue
-        break
-    job.run(flush_at_end=True)
-    wall = time.time() - t0
-    for r in relays:
-        if r.returncode != 0:
-            raise RuntimeError(f"relay exited with {r.returncode}")
-    last = job.store.last_committed()[1]
-    rows = sum(p["rows_in_total"] for p in last["partitions"].values())
-    shutil.rmtree(workdir, ignore_errors=True)
-    return wall, rows
+    try:
+        while True:
+            if job._pending_files():
+                job.run(flush_at_end=False)
+                continue
+            if any(r.poll() is None for r in relays):
+                time.sleep(0.02)
+                continue
+            if job._pending_files():  # shards flushed after our last look
+                continue
+            break
+        job.run(flush_at_end=True)
+        wall = time.time() - t0
+        for r in relays:
+            if r.returncode != 0:
+                raise RuntimeError(f"relay exited with {r.returncode}")
+        last = job.store.last_committed()[1]
+        rows = sum(p["rows_in_total"] for p in last["partitions"].values())
+        return wall, rows
+    finally:
+        # never leak relay daemons or the tmpfs workdir on an exception
+        for r in relays:
+            if r.poll() is None:
+                r.terminate()
+        for r in relays:
+            try:
+                r.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                r.kill()
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def scaling_run() -> dict:

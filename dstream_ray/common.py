@@ -168,25 +168,39 @@ def poly_hash_spans(
     outs = [np.zeros(n, dtype=np.uint64) for _ in bases]
     if n == 0:
         return outs
-    ne = lengths > 0
-    if not ne.any():
+    ne_idx = np.flatnonzero(lengths > 0)
+    if len(ne_idx) == 0:
         return outs
-    s_ne = starts[ne].astype(np.int64)
-    l_ne = lengths[ne].astype(np.int64)
+    s_ne = starts[ne_idx].astype(np.int64)
+    l_ne = lengths[ne_idx].astype(np.int64)
     maxlen = int(l_ne.max())
-    seg_off = np.zeros(len(l_ne) + 1, dtype=np.int64)
-    np.cumsum(l_ne, out=seg_off[1:])
-    intra = np.arange(seg_off[-1], dtype=np.int64) - np.repeat(seg_off[:-1], l_ne)
-    byte_vals = data[np.repeat(s_ne, l_ne) + intra].astype(np.uint64)
-    exp = np.repeat(l_ne, l_ne) - 1 - intra
+    W_by_base = []
     with np.errstate(over="ignore"):
-        for bi, base in enumerate(bases):
+        for base in bases:
             W = np.ones(maxlen, dtype=np.uint64)
             if maxlen > 1:
                 W[1:] = np.uint64(base)
                 np.multiply.accumulate(W, out=W)  # [1, B, B^2, ...] mod 2^64
-            vals = byte_vals * W[exp]
-            outs[bi][ne] = np.add.reduceat(vals, seg_off[:-1])
+            W_by_base.append(W)
+        # chunk spans so the O(bytes) temporaries stay bounded (~8 MB of
+        # payload per pass → tens of MB transient, regardless of block size)
+        CHUNK_BYTES = 8 << 20
+        cum = np.zeros(len(l_ne) + 1, dtype=np.int64)
+        np.cumsum(l_ne, out=cum[1:])
+        lo = 0
+        while lo < len(l_ne):
+            hi = int(np.searchsorted(cum, cum[lo] + CHUNK_BYTES, side="left"))
+            hi = max(hi, lo + 1)
+            s_c, l_c = s_ne[lo:hi], l_ne[lo:hi]
+            seg_off = np.zeros(len(l_c) + 1, dtype=np.int64)
+            np.cumsum(l_c, out=seg_off[1:])
+            intra = np.arange(seg_off[-1], dtype=np.int64) - np.repeat(seg_off[:-1], l_c)
+            byte_vals = data[np.repeat(s_c, l_c) + intra].astype(np.uint64)
+            exp = np.repeat(l_c, l_c) - 1 - intra
+            for bi, W in enumerate(W_by_base):
+                vals = byte_vals * W[exp]
+                outs[bi][ne_idx[lo:hi]] = np.add.reduceat(vals, seg_off[:-1])
+            lo = hi
     return outs
 
 

@@ -394,9 +394,10 @@ def q_embedding_neardup_lsh(sf_dir: str):
     """Embedding-cosine near-dup pairs with NO natural blocking key: block
     by hyperplane-LSH bucket instead of label — the scale path when labels
     don't exist. Multi-bucket union (bucket + one-bit flips) recovers pairs
-    split by a single hyperplane. Rows-only (float hyperplanes aren't
-    SQL-reproducible); pytest checks recall against the label-blocked
-    oracle-gated variant."""
+    split by a single hyperplane. SQL-GATED: buckets are integer-exact
+    (ann.HyperplaneLSH), so the oracle recomputes them bit-for-bit and
+    pairs co-locate iff hamming(buckets) <= 2; pytest additionally checks
+    recall against the label-blocked variant."""
     # LSH state = a 6x64 integer plane matrix: task closure, no actor pool
     ds = _read_embeddings(sf_dir).map_batches(
         ann.HyperplaneLSH(dim=64, n_planes=6), batch_format="pyarrow",

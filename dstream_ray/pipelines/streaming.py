@@ -496,9 +496,25 @@ class StreamingJob:
         pending."""
         all_files = self.discover_files()
         last = self.store.last_committed()
-        streams = last[1].get("streams") if last else None
-        if last is None or not streams:
+        if last is None:
             return all_files
+        streams = last[1].get("streams")
+        if not streams:
+            # manifest predates per-stream cursors (or consumed nothing):
+            # apply the legacy single-cursor rule so an old checkpoint never
+            # silently re-ingests consumed shards
+            cursor = int(last[1].get("file_cursor", 0))
+            last_file = last[1].get("last_file")
+            if cursor == 0 or last_file is None:
+                return all_files
+            consumed = [f for f in all_files if os.path.basename(f) <= last_file]
+            if len(consumed) != cursor:
+                raise RuntimeError(
+                    f"feed shard ordering violation: {len(consumed)} files sort "
+                    f"at or before committed high-water shard {last_file!r} but "
+                    f"{cursor} were consumed (legacy single-stream manifest)"
+                )
+            return all_files[cursor:]
         by_stream: dict[str, list[str]] = {}
         for f in all_files:
             by_stream.setdefault(self._shard_stream(f), []).append(f)

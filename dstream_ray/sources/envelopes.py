@@ -123,6 +123,10 @@ def parse_envelope_bytes_raw(raw: bytes) -> pa.Table:
         return parse_envelope_lines([])
     schema = pa.schema(
         [
+            # the empty struct captures data's PRESENCE (null when the key
+            # is missing) while its inner fields are skipped — an envelope
+            # without "data" must quarantine exactly as in the scalar path
+            pa.field("data", pa.struct([])),
             pa.field(
                 "metadata",
                 pa.struct(
@@ -133,7 +137,7 @@ def parse_envelope_bytes_raw(raw: bytes) -> pa.Table:
                         ("OperationType", pa.string()),
                     ]
                 ),
-            )
+            ),
         ]
     )
     try:
@@ -144,8 +148,13 @@ def parse_envelope_bytes_raw(raw: bytes) -> pa.Table:
             ),
         )
     except pa.ArrowInvalid:
-        # malformed line(s): scalar fallback, raw payload semantics
-        lines = raw.decode("utf-8", errors="replace").splitlines()
+        # malformed line(s): scalar fallback, raw payload semantics.
+        # split on \n ONLY — str.splitlines() would also break on
+        # U+2028/U+2029/U+0085, which are legal unescaped inside JSON
+        # strings and must not fragment a valid line.
+        lines = raw.decode("utf-8", errors="replace").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
         slow = parse_envelope_lines(lines)
         idx = slow.column_names.index("text")
         return slow.set_column(idx, "text", pa.array(lines, type=pa.string()))
@@ -181,7 +190,11 @@ def parse_envelope_bytes_raw(raw: bytes) -> pa.Table:
         "|",
     )
     op = pc.fill_null(pc.struct_field(meta, "OperationType"), "")
-    valid = pc.is_valid(tn)
+    data_col = tbl["data"]
+    if isinstance(data_col, pa.ChunkedArray):
+        data_col = data_col.combine_chunks()
+    # valid ⇔ BOTH keys present, matching the scalar parser's KeyError path
+    valid = pc.and_(pc.is_valid(tn), pc.is_valid(data_col))
     valid_np = valid.to_numpy(zero_copy_only=False)
     n = n_lines
     turn = np.zeros(n, dtype=np.int32)

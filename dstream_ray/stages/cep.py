@@ -71,9 +71,10 @@ def _count_matches(rx, seq: str, ts_seq, within_us: int | None) -> tuple[int, in
     last_end = 0
     for m in rx.finditer(seq):
         last_end = m.end()
-        if within_us is None or (
-            m.end() > m.start()
-            and ts_seq[m.end() - 1] - ts_seq[m.start()] <= within_us
+        if (
+            within_us is None
+            or m.end() == m.start()  # zero-width: no span, always within
+            or ts_seq[m.end() - 1] - ts_seq[m.start()] <= within_us
         ):
             n += 1
     return n, last_end

@@ -66,3 +66,25 @@ def test_poly_hash_strings_matches_scalar_horner():
     sl = arr.slice(2, 3)
     (g,) = poly_hash_strings(sl, bases=(1000003,))
     assert [int(x) for x in g] == [horner(s, 1000003) for s in strings[2:5]]
+
+
+def test_poly_hash_chunked_large_batch_matches_scalar():
+    """Batches past the internal 8 MB chunking threshold hash identically
+    (chunk boundaries must not perturb per-span Horner results)."""
+    from dstream_ray.common import poly_hash_strings
+
+    def horner(s: str, base: int) -> int:
+        h = 0
+        for b in s.encode():
+            h = (h * base + b) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    rng = np.random.default_rng(7)
+    # ~12 MB total across mixed span sizes, incl. one span > 8 MB
+    strings = ["x" * int(n) for n in rng.integers(1, 2000, 1500)]
+    strings += ["", "y" * (9 << 20), "tail"]
+    arr = pa.array(strings)
+    (h,) = poly_hash_strings(arr, bases=(1000003,))
+    check_idx = [0, 1, 700, len(strings) - 3, len(strings) - 2, len(strings) - 1]
+    for i in check_idx:
+        assert int(h[i]) == horner(strings[i], 1000003), i

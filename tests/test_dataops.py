@@ -753,3 +753,24 @@ def test_cep_within_time_constraint():
             outs.append(out)
         s = pa.concat_tables(outs).to_pandas().groupby("conv_id")["n_matches"].sum()
         assert s["c1"] == 1 and s["c2"] == 0
+
+
+def test_cep_within_infinite_budget_equals_unconstrained():
+    """within_s=<huge> must count exactly like within_s=None, including
+    zero-width matches (code-review fix)."""
+    from dstream_ray.stages.cep import cep_pattern_kernel
+
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table({
+        "conv_id": pa.array(["c1"] * 3),
+        "turn_idx": pa.array([0, 1, 2], type=pa.int32()),
+        "role": pa.array(["user", "tool", "user"]),
+        "text": pa.array(["x"] * 3),
+        "tool": pa.array([""] * 3),
+        "ts": pa.array([t0, t0 + 10**6, t0 + 2 * 10**6],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    for pattern in ("a*", "u", "ut?"):
+        base = cep_pattern_kernel(tbl, pattern=pattern).to_pandas()
+        inf = cep_pattern_kernel(tbl, pattern=pattern, within_s=10**9).to_pandas()
+        assert base["n_matches"].tolist() == inf["n_matches"].tolist(), pattern

@@ -238,3 +238,38 @@ def test_raw_payload_through_engine(tmp_path, ray_session):
     per = events.groupby("conv_id")["turn_idx"].agg(["count", "min", "max"])
     assert (per["count"] == 50).all() and (per["max"] == 49).all()
     assert set(events["text"]) == set(lines)  # byte-verbatim payloads
+
+
+def test_raw_parse_quarantines_missing_data_key():
+    """An envelope without 'data' (or without metadata.TableName) must
+    quarantine identically in raw and canonical modes (code-review fix:
+    raw mode used to accept it as a valid row)."""
+    from dstream_ray.sources.envelopes import (
+        parse_envelope_bytes_raw,
+        parse_envelope_lines,
+    )
+
+    lines = [
+        '{"data":{"v":1},"metadata":{"TableName":"t1","LSN":"01","Seq":"0"}}',
+        '{"metadata":{"TableName":"t1","LSN":"02","Seq":"0"}}',  # no data
+        '{"data":{"v":2},"metadata":{"LSN":"03","Seq":"0"}}',  # no TableName
+        '{"data":{"v":3},"metadata":{"TableName":"t1","LSN":"04","Seq":"0"}}',
+    ]
+    raw = ("\n".join(lines) + "\n").encode()
+    fast = parse_envelope_bytes_raw(raw).to_pandas()
+    slow = parse_envelope_lines(lines).to_pandas()
+    assert fast["role"].tolist() == slow["role"].tolist() == [
+        "change", "invalid", "invalid", "change"]
+    assert fast["turn_idx"].tolist() == slow["turn_idx"].tolist()
+
+
+def test_raw_fallback_preserves_u2028_lines():
+    """The malformed-JSON fallback splits on \\n only: a valid line whose
+    payload contains unescaped U+2028 (legal JSON) must survive intact."""
+    from dstream_ray.sources.envelopes import parse_envelope_bytes_raw
+
+    good = '{"data":{"s":"a b"},"metadata":{"TableName":"t1","LSN":"01","Seq":"0"}}'
+    raw = (good + "\n" + '{"not json' + "\n").encode()
+    out = parse_envelope_bytes_raw(raw).to_pandas()
+    assert len(out) == 2
+    assert out["role"].tolist() == ["change", "invalid"]

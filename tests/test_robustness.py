@@ -637,3 +637,34 @@ def test_two_live_relay_daemons_one_job(ray_session, tmp_path):
     assert len(events) == 600
     per = events.groupby("conv_id")["turn_idx"].agg(["count", "min"])
     assert set(per.index) == {"t1", "t2", "t3"} and (per["min"] == 0).all()
+
+
+def test_legacy_manifest_without_streams_resumes_correctly(ray_session, tmp_path):
+    """A checkpoint committed before per-stream cursors (manifest lacks
+    'streams') must resume under the legacy single-cursor rule — never
+    silently re-ingest consumed shards (code-review fix)."""
+    import json as _json
+
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    t = generate_transcripts(n_convs=5, mean_turns=3, seed=43)
+    pq.write_table(t, str(feed / "feed-0001.parquet"))
+    cfg = StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=2, operators={},
+    )
+    job = StreamingJob(cfg)
+    job.run()
+    # rewrite the committed manifest to the pre-streams format
+    epoch, manifest = job.store.last_committed()
+    manifest.pop("streams")
+    with open(job.store._commit_path(epoch), "w") as fh:
+        _json.dump(manifest, fh)
+    job2 = StreamingJob(cfg)
+    assert job2.plan()["pending_files"] == []  # nothing re-ingested
+    job2.run()
+    assert job2.sink.read_op("events").num_rows == t.num_rows  # no dups
+    # and the legacy ordering protection still fires
+    pq.write_table(t, str(feed / "feed-0000.parquet"))
+    with pytest.raises(RuntimeError, match="ordering violation"):
+        StreamingJob(cfg).plan()
