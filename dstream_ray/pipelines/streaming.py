@@ -445,6 +445,7 @@ class StreamingJob:
         return {
             "committed_epochs": epoch + 1,
             "file_cursor": manifest["file_cursor"],
+            "streams": manifest.get("streams", {}),  # per-producer cursors
             "flushed": manifest.get("flushed", False),
             "totals": manifest.get("totals", {}),  # LAST epoch only
             "cumulative": {
