@@ -46,6 +46,7 @@ from dstream_ray.sinks.registry import create_sink
 from dstream_ray.sources.envelopes import read_envelope_file
 from dstream_ray.stages.capture import content_dedup_kernel, relay_kernel
 from dstream_ray.stages.cep import cep_kernel
+from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
     session_join_kernel,
     session_kernel,
@@ -71,11 +72,14 @@ WINDOW_OPERATORS = {
     "cep": cep_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)
     "dedup": content_dedup_kernel,
+    # stream-table dimension enrichment (broadcast-small-side left join)
+    "enrich": enrich_kernel,
 }
 
 # kernels that consume the FULL relay output (text and all) instead of the
-# projected residual layout — content-identity operators need the bytes
-RAW_INPUT_OPERATORS = {"dedup"}
+# projected residual layout — content-identity / passthrough operators need
+# the payload bytes
+RAW_INPUT_OPERATORS = {"dedup", "enrich"}
 
 
 @dataclass

@@ -323,3 +323,56 @@ def test_cross_mode_resume_actor_to_task_and_back(ray_session, tmp_path, feed_di
     ]:
         sorted_eq(read_sink(job_at, op), read_sink(ref, op), keys)
         sorted_eq(read_sink(job_ta, op), read_sink(ref, op), keys)
+
+
+def test_enrich_operator_matches_left_join(ray_session, tmp_path, feed_dir):
+    """'enrich' engine operator == DuckDB LEFT JOIN of the feed against the
+    dimension parquet; unmatched keys keep nulls; broadcast side loaded
+    once per worker."""
+    import pyarrow.parquet as pq_mod
+
+    dim = pa.table({
+        "tool": pa.array(["tool_0", "tool_1", "tool_2"]),
+        "category": pa.array(["search", "code", "math"]),
+        "cost_ms": pa.array([10, 20, 30], type=pa.int64()),
+    })
+    dim_path = str(tmp_path / "tools_dim.parquet")
+    pq_mod.write_table(dim, dim_path)
+    job = StreamingJob(make_cfg(
+        tmp_path, feed_dir,
+        operators={"enrich": {
+            "dim_path": dim_path, "dim_key": "tool", "key_col": "tool",
+        }},
+    ))
+    job.run()
+    got = read_sink(job, "enrich")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{feed_dir}/*.parquet')"
+    )
+    con.execute(f"CREATE VIEW dim AS SELECT * FROM read_parquet('{dim_path}')")
+    exp = con.execute("""
+        SELECT t.*, d.category AS dim_category, d.cost_ms AS dim_cost_ms
+        FROM transcripts t LEFT JOIN dim d ON t.tool = d.tool
+    """).fetch_df()
+    sorted_eq(got, exp, ["conv_id", "turn_idx"])
+    # non-tool rows (tool='') are unmatched -> nulls
+    assert got.loc[got["tool"] == "", "dim_category"].isna().all()
+
+
+def test_enrich_rejects_duplicate_dim_keys(tmp_path):
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.stages.enrich import enrich_kernel
+
+    dim = pa.table({"tool": pa.array(["a", "a"]), "v": pa.array([1, 2])})
+    p = str(tmp_path / "dup.parquet")
+    pq_mod.write_table(dim, p)
+    rows = pa.table({
+        "conv_id": pa.array(["c"]), "turn_idx": pa.array([0], type=pa.int32()),
+        "role": pa.array(["tool"]), "text": pa.array(["x"]),
+        "tool": pa.array(["a"]),
+        "ts": pa.array([0], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="duplicate keys"):
+        enrich_kernel(rows, {}, dim_path=p, dim_key="tool")
