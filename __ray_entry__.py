@@ -69,8 +69,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     every oracle-gated query (all have an oracle_sql() entry) comes first —
     exactly 50 of them — and the rows-only ones (approximate / stub ops
     whose semantics are pytest-validated instead) sit after the window.
-    q_doc_fingerprint / q_embedding_norms remain in the library + local
-    parity tooling but ceded their grading slots to richer gated queries."""
+    q_doc_fingerprint / q_embedding_norms / q_text_normalize / q_dedup_exact
+    remain in the library + local parity tooling but ceded their grading
+    slots to richer gated queries (the latter two are still driver-gated
+    compositionally inside curation_pipeline; the new slots gate the
+    'dedup' and 'enrich' ENGINE operators end-to-end)."""
     from dstream_ray.pipelines import dataops as d
     from dstream_ray.pipelines import queries as q
 
@@ -98,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_tumbling_wm": q.q_streaming_tumbling_wm,  # watermark-closure engine run
         "streaming_session_wm": q.q_streaming_session_wm,  # watermark-closure engine run
         "streaming_join_wm": q.q_streaming_join_wm,  # fused join under watermark closure
+        "streaming_dedup": q.q_streaming_dedup,  # per-conv content dedup operator (QUALIFY oracle)
+        "streaming_enrich": q.q_streaming_enrich,  # stream-table dimension enrichment (LEFT-join oracle)
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -113,8 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_markers": d.q_langid_markers,
         "lang_stats": d.q_lang_stats,
         "doc_fingerprint_rolling": d.q_doc_fingerprint_rolling,  # SQL-gated (HUGEINT rolling hash)
-        # corpus curation
-        "text_normalize": d.q_text_normalize,
+        # corpus curation (text_normalize / dedup_exact are library-only:
+        # both stages are gated end-to-end inside curation_pipeline, and
+        # their standalone oracles stay in ORACLE_SQL for local parity)
         "sample_balanced": d.q_sample_balanced,  # deterministic stratum-balanced downsample
         "pack_sequences": d.q_pack_sequences,  # distributed prefix-sum sequence packing
         "pack_nobreak": d.q_pack_nobreak,  # greedy first-fit, no doc breaking
@@ -122,7 +128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles": d.q_len_quantiles,  # exact distributed-histogram quantiles
         "top_tokens": d.q_top_tokens,  # exact vocabulary heavy hitters
         # training-data ops: dedup family
-        "dedup_exact": d.q_dedup_exact,
         "minhash_dedup": d.q_minhash_dedup,  # full pipeline SQL-gated (recursive-CTE components)
         "simhash": d.q_simhash,  # SQL-gated (exact FNV+majority-bit recomputation)
         "ngram_jaccard": d.q_ngram_jaccard,

@@ -364,6 +364,27 @@ ORACLE_SQL["streaming_join"] = ORACLE_SQL["stream_join"]
 ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["sliding_window"]
 ORACLE_SQL["streaming_cep"] = ORACLE_SQL["cep_pattern"]
 
+# streaming per-conv content dedup == SQL first-occurrence semantics
+# (dstream_ray.stages.capture.content_dedup_kernel through the engine)
+ORACLE_SQL["streaming_dedup"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM transcripts
+QUALIFY row_number() OVER (PARTITION BY conv_id, text ORDER BY turn_idx) = 1
+"""
+
+# stream-table enrichment == LEFT join against the deterministic tools dim
+# written by queries._run_streaming (3 of 5 tool ids; unmatched rows null)
+ORACLE_SQL["streaming_enrich"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CASE tool WHEN 'tool_0' THEN 'search' WHEN 'tool_2' THEN 'code'
+                 WHEN 'tool_4' THEN 'math' END AS dim_category,
+       CASE tool WHEN 'tool_0' THEN 'basic' WHEN 'tool_2' THEN 'pro'
+                 WHEN 'tool_4' THEN 'pro' END AS dim_tier
+FROM transcripts
+"""
+
 ORACLE_SQL["range_join"] = """
 SELECT s.event_id, s.user_id,
        CAST(count(p.event_id) AS BIGINT) AS n_purchases_7d

@@ -505,6 +505,20 @@ def _run_streaming(sf_dir: str):
             tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
             os.path.join(feed_dir, f"feed-{i:02d}.parquet"),
         )
+    # small dimension side for the 'enrich' operator: a deterministic
+    # tool-attribute table (3 of the 5 tool ids -> unmatched rows keep
+    # nulls, exercising the LEFT semantics under the driver's hash gate)
+    dim_path = os.path.join(workdir, "tools_dim.parquet")
+    pq_mod.write_table(
+        pa.table(
+            {
+                "tool": pa.array(["tool_0", "tool_2", "tool_4"]),
+                "category": pa.array(["search", "code", "math"]),
+                "tier": pa.array(["basic", "pro", "pro"]),
+            }
+        ),
+        dim_path,
+    )
     job = StreamingJob(
         StreamingConfig(
             feed_dir=feed_dir,
@@ -516,6 +530,14 @@ def _run_streaming(sf_dir: str):
                 "sliding": {"width_s": SLIDING_W_S, "slide_s": SLIDING_S_S},
                 "session_with_join": {"gap_s": SESSION_GAP_S},
                 "cep": {"pattern": "ua*t"},
+                # per-conv streaming content dedup over the full raw rows
+                "dedup": {},
+                # broadcast-small-side stream-table enrichment
+                "enrich": {
+                    "dim_path": dim_path,
+                    "dim_key": "tool",
+                    "key_col": "tool",
+                },
             },
             # the keyed-state-store ACTOR path (partition-owner actors hold
             # state in memory between epochs) runs under the driver's oracle
@@ -614,6 +636,22 @@ def q_streaming_join(sf_dir: str) -> pa.Table:
 
 def q_streaming_sliding(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("sliding")
+
+
+def q_streaming_dedup(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'dedup' engine operator (streaming per-conv
+    content dedup): first occurrence of each (conv_id, text) in turn order,
+    full row schema, gated against a SQL QUALIFY first-occurrence oracle
+    through the real multi-epoch exactly-once run."""
+    return _run_streaming(sf_dir).sink.read_op("dedup")
+
+
+def q_streaming_enrich(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'enrich' engine operator (stream-table
+    dimension enrichment): the feed LEFT-joined against the broadcast
+    tools dimension, unmatched keys null — gated against a SQL CASE
+    reconstruction of the deterministic dim table."""
+    return _run_streaming(sf_dir).sink.read_op("enrich")
 
 
 def q_streaming_cep(sf_dir: str) -> pa.Table:

@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -79,8 +78,10 @@ def enrich_kernel(
         hit = np.zeros(len(vals), dtype=bool)
     out = new_rows
     for cname, cvals in dim["cols"].items():
-        joined = pd.Series(cvals[idx_c]).where(pd.Series(hit), other=None)
+        # dtype-preserving LEFT join: build the Arrow column with a null
+        # mask so an int64 dim column stays int64-with-nulls (a pandas
+        # .where(None) detour would coerce to float64)
         out = out.append_column(
-            f"dim_{cname}", pa.Array.from_pandas(joined)
+            f"dim_{cname}", pa.array(cvals[idx_c], mask=~hit)
         )
     return out, {}

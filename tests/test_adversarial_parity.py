@@ -50,6 +50,8 @@ def _queries_and_oracles():
     qs = dict(entry.queries())
     qs.setdefault("doc_fingerprint", dataops.q_doc_fingerprint)
     qs.setdefault("embedding_norms", dataops.q_embedding_norms)
+    qs.setdefault("text_normalize", dataops.q_text_normalize)
+    qs.setdefault("dedup_exact", dataops.q_dedup_exact)
     return qs, dict(ORACLE_SQL)
 
 

@@ -70,6 +70,20 @@ def main() -> int:
 
     assert_oracle_ascii_contract(sf_dir)  # byte-level oracles are ASCII-only
     qs, sqls = entry.queries(), entry.oracle_sql()
+    # library-only oracle-checked queries (ceded their driver grading slots
+    # but keep full local parity; see __ray_entry__.queries docstring)
+    from dstream_ray.pipelines import dataops as _d
+    from dstream_ray.pipelines.oracles import ORACLE_SQL as _ALL_SQL
+
+    for _name, _fn in [
+        ("doc_fingerprint", _d.q_doc_fingerprint),
+        ("embedding_norms", _d.q_embedding_norms),
+        ("text_normalize", _d.q_text_normalize),
+        ("dedup_exact", _d.q_dedup_exact),
+    ]:
+        qs.setdefault(_name, _fn)
+        if _name in _ALL_SQL:
+            sqls.setdefault(_name, _ALL_SQL[_name])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
