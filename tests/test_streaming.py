@@ -376,3 +376,27 @@ def test_enrich_rejects_duplicate_dim_keys(tmp_path):
     })
     with pytest.raises(ValueError, match="duplicate keys"):
         enrich_kernel(rows, {}, dim_path=p, dim_key="tool")
+
+
+def test_many_partitions_epoch_loop(ray_session, tmp_path, feed_dir):
+    """The epoch exchange at a cluster-scale partition count (128, vs the
+    4-8 the other tests use): split fan-out (num_returns=P), per-partition
+    reduce tasks, manifest bookkeeping, state snapshots and the
+    partition-directory sink layout all hold, and the committed sinks are
+    IDENTICAL to a narrow run — partition count is an execution knob, not
+    part of the semantics (SCALE.md sizes P~thousands on a real cluster)."""
+    ref = StreamingJob(make_cfg(tmp_path / "ref", feed_dir))
+    ref.run()
+    job = StreamingJob(
+        make_cfg(tmp_path / "many", feed_dir, num_partitions=128, files_per_epoch=3)
+    )
+    job.run()
+    for op, keys in [
+        ("events", ["conv_id", "turn_idx"]),
+        ("tumbling", ["conv_id", "window_id"]),
+        ("session", ["conv_id", "session_id"]),
+        ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
+    ]:
+        sorted_eq(read_sink(job, op), read_sink(ref, op), keys)
+    st = job.status()
+    assert st["flushed"] and st["committed_epochs"] == 2  # 6 files / 3 per epoch
