@@ -751,6 +751,37 @@ def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return top.reset_index(drop=True).astype({"cnt": "int64"})
 
 
+def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch of the corpus token-frequency distribution — the
+    mergeable frequency sketch next to HLL's distinct sketch: per-batch
+    nonzero-cell partials (`stages.sketches.cms_cells_batch`, vectorized
+    double hashing over the dedup family's FNV + polynomial kernels), one
+    cell-bounded groupby (≤ depth×width = 4096 groups regardless of corpus
+    size). Output = the sketch itself, so the oracle recomputes every cell
+    exactly in HUGEINT (library-only slot; estimate error bounds are
+    pytest-gated in test_sketches)."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.stages.sketches import cms_cells_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        cells, counts = cms_cells_batch(b["text"])
+        return pa.table({"cell": cells, "cnt": counts})
+
+    out = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    return (
+        out.astype({"cell": "int64", "cnt": "int64"})
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+
+
 def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """The composed training-data curation flow as ONE Dataset pipeline:
     normalize → quality filter → exact dedup (survivor = min doc_id per

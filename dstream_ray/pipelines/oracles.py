@@ -488,6 +488,31 @@ _TOKS_TH = f"""toks AS (
   SELECT doc_id, list_transform(ts, t -> {_FNV_TOKEN}) AS hs FROM toks
 )"""
 
+# Count-min sketch over corpus tokens, recomputed cell-for-cell: h1 = the
+# FNV-1a token hash, h2 = the base-1000003 polynomial hash, cell(d) =
+# d*1024 + (h1 + d*h2) mod 1024. Width is a power of two, so the engine's
+# mod-2^64 wraparound drops out of the SQL side: 2^64 ≡ 0 (mod 1024).
+ORACLE_SQL["cms_tokens"] = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS t
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+), h AS (
+  SELECT {_FNV_TOKEN} AS h1,
+         list_reduce(
+           list_prepend(0::HUGEINT,
+                        list_transform(split(t, ''), c -> ord(c)::HUGEINT)),
+           (a, b) -> (a * 1000003 + b) % (1::HUGEINT << 64)) AS h2
+  FROM tok
+), cells AS (
+  SELECT CAST(d.d * 1024 + CAST((h1 + d.d::HUGEINT * h2) % 1024 AS BIGINT) AS BIGINT) AS cell
+  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(d)
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY cell ORDER BY cell
+"""
+
 ORACLE_SQL["simhash"] = f"""
 WITH {_TOKS_TH}, sh AS (
   SELECT doc_id,

@@ -36,6 +36,7 @@ ADVERSARIAL_QUERIES = [
     "len_quantiles",
     "curation_pipeline",
     "top_tokens",
+    "cms_tokens",  # library-only (count-min cells, HUGEINT double hashing)
 ]
 
 
@@ -52,6 +53,7 @@ def _queries_and_oracles():
     qs.setdefault("embedding_norms", dataops.q_embedding_norms)
     qs.setdefault("text_normalize", dataops.q_text_normalize)
     qs.setdefault("dedup_exact", dataops.q_dedup_exact)
+    qs.setdefault("cms_tokens", dataops.q_cms_tokens)
     return qs, dict(ORACLE_SQL)
 
 

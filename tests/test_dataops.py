@@ -774,3 +774,77 @@ def test_cep_within_infinite_budget_equals_unconstrained():
         base = cep_pattern_kernel(tbl, pattern=pattern).to_pandas()
         inf = cep_pattern_kernel(tbl, pattern=pattern, within_s=10**9).to_pandas()
         assert base["n_matches"].tolist() == inf["n_matches"].tolist(), pattern
+
+
+def test_cms_overestimate_and_merge():
+    """Count-min invariants: estimates never undercount; splitting the
+    stream into partials and summing cells equals one pass; the error of
+    any point query is bounded by e/width * total_tokens (Markov bound
+    holds with margin on random text)."""
+    import pyarrow as pa
+
+    from dstream_ray.stages.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_cells_batch,
+        cms_estimate,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(3000)]
+    # zipf-ish frequencies
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 40), p=weights))
+        for _ in range(2000)
+    ]
+    texts = pa.array(docs)
+    dense = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    cells, counts = cms_cells_batch(texts)
+    dense[cells] += counts
+
+    # merge of split partials == single pass
+    dense2 = np.zeros_like(dense)
+    for lo in range(0, len(docs), 257):
+        c, n = cms_cells_batch(pa.array(docs[lo : lo + 257]))
+        dense2[c] += n
+    assert (dense == dense2).all()
+
+    from collections import Counter
+
+    truth = Counter(t for d in docs for t in d.split())
+    total = sum(truth.values())
+    probe = vocab[:50] + vocab[1000:1020]
+    est = cms_estimate(dense, probe)
+    exact = np.array([truth.get(t, 0) for t in probe])
+    assert (est >= exact).all()  # one-sided
+    assert (est - exact).max() <= np.ceil(np.e / CMS_WIDTH * total)
+
+
+def test_cms_tokens_query(ray_session, sf_tiny):
+    """The distributed sketch equals a driver-side single pass over the
+    same documents, and its point estimates cover the exact top tokens."""
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines import dataops
+
+    sf_dir = sf_tiny
+
+    from dstream_ray.stages.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_cells_batch,
+        cms_estimate,
+    )
+
+    out = dataops.q_cms_tokens(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    cells, counts = cms_cells_batch(tbl["text"])
+    assert out["cell"].tolist() == cells.tolist()
+    assert out["cnt"].tolist() == counts.tolist()
+    dense = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    dense[cells] = counts
+    top = dataops.q_top_tokens(sf_dir)
+    est = cms_estimate(dense, top["token"].tolist())
+    assert (est >= top["cnt"].to_numpy()).all()

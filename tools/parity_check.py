@@ -80,6 +80,7 @@ def main() -> int:
         ("embedding_norms", _d.q_embedding_norms),
         ("text_normalize", _d.q_text_normalize),
         ("dedup_exact", _d.q_dedup_exact),
+        ("cms_tokens", _d.q_cms_tokens),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
