@@ -44,6 +44,9 @@ def _load_dim(dim_path: str, dim_key: str, dim_cols: list[str] | None):
     entry = {
         "keys": df[dim_key].to_numpy(),
         "cols": {c: df[c].to_numpy() for c in out_cols},
+        # pin Arrow output types from the dim schema: a batch whose rows all
+        # miss would otherwise infer type `null` and break sink concat
+        "types": {c: tbl.schema.field(c).type for c in out_cols},
     }
     _DIM_CACHE[cache_key] = entry
     return entry
@@ -82,6 +85,7 @@ def enrich_kernel(
         # mask so an int64 dim column stays int64-with-nulls (a pandas
         # .where(None) detour would coerce to float64)
         out = out.append_column(
-            f"dim_{cname}", pa.array(cvals[idx_c], mask=~hit)
+            f"dim_{cname}",
+            pa.array(cvals[idx_c], type=dim["types"][cname], mask=~hit),
         )
     return out, {}

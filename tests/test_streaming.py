@@ -400,3 +400,32 @@ def test_many_partitions_epoch_loop(ray_session, tmp_path, feed_dir):
         sorted_eq(read_sink(job, op), read_sink(ref, op), keys)
     st = job.status()
     assert st["flushed"] and st["committed_epochs"] == 2  # 6 files / 3 per epoch
+
+
+def test_enrich_all_miss_batch_keeps_dim_types(tmp_path):
+    """A batch where NO key matches must still emit dim columns with the
+    dim table's types (an unmasked all-null build would infer `null` and
+    break the sink's cross-partition concat)."""
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.stages.enrich import enrich_kernel
+
+    dim = pa.table({
+        "tool": pa.array(["a"]),
+        "name": pa.array(["x"]),
+        "cost": pa.array([7], type=pa.int64()),
+    })
+    p = str(tmp_path / "dim.parquet")
+    pq_mod.write_table(dim, p)
+    rows = pa.table({
+        "conv_id": pa.array(["c", "c"]),
+        "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["t0", "t1"]),
+        "tool": pa.array(["", "zz"]),  # nothing matches
+        "ts": pa.array([0, 1], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out, _ = enrich_kernel(rows, {}, dim_path=p, dim_key="tool")
+    assert out.schema.field("dim_name").type == pa.string()
+    assert out.schema.field("dim_cost").type == pa.int64()
+    assert out["dim_name"].null_count == 2 and out["dim_cost"].null_count == 2
