@@ -429,3 +429,60 @@ def test_enrich_all_miss_batch_keeps_dim_types(tmp_path):
     assert out.schema.field("dim_name").type == pa.string()
     assert out.schema.field("dim_cost").type == pa.int64()
     assert out["dim_name"].null_count == 2 and out["dim_cost"].null_count == 2
+
+
+def test_enrich_asof_matches_duckdb_asof_join(ray_session, tmp_path, feed_dir):
+    """Temporal (SCD-2 / as-of) enrichment: each stream row joins the
+    LATEST dim version with effective ts <= the row's event time — equal
+    to DuckDB's ASOF LEFT JOIN over the same feed + versioned dim,
+    through the full multi-epoch engine."""
+    import pyarrow.parquet as pq_mod
+
+    feed = oracle_on_feed(feed_dir, "SELECT min(ts) AS lo, max(ts) AS hi FROM transcripts")
+    lo = feed["lo"].iloc[0].value // 1000  # ns -> us
+    hi = feed["hi"].iloc[0].value // 1000
+    mid = (lo + hi) // 2
+    tools, effs, rates = [], [], []
+    for i, t in enumerate(["tool_0", "tool_1", "tool_2"]):
+        tools += [t, t]            # two versions per key
+        effs += [lo - 1_000_000, mid]
+        rates += [10 * (i + 1), 10 * (i + 1) + 1]
+    tools.append("tool_3")         # version that only starts mid-stream
+    effs.append(mid)
+    rates.append(99)
+    dim = pa.table({
+        "tool": pa.array(tools),
+        "eff_ts": pa.array(effs, type=pa.int64()).cast(pa.timestamp("us")),
+        "rate": pa.array(rates, type=pa.int64()),
+    })
+    dim_path = str(tmp_path / "rates_dim.parquet")
+    pq_mod.write_table(dim, dim_path)
+
+    job = StreamingJob(make_cfg(
+        tmp_path, feed_dir,
+        operators={"enrich": {
+            "dim_path": dim_path, "dim_key": "tool", "key_col": "tool",
+            "dim_effective_col": "eff_ts",
+        }},
+    ))
+    job.run()
+    got = read_sink(job, "enrich")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{feed_dir}/*.parquet')"
+    )
+    con.execute(f"CREATE VIEW dim AS SELECT * FROM read_parquet('{dim_path}')")
+    exp = con.execute("""
+        SELECT t.*, d.rate AS dim_rate
+        FROM transcripts t ASOF LEFT JOIN dim d
+          ON t.tool = d.tool AND t.ts >= d.eff_ts
+    """).fetch_df()
+    sorted_eq(got, exp, ["conv_id", "turn_idx"])
+    # the mid-stream version actually flips: both rates of tool_0 appear
+    assert set(got.loc[got["tool"] == "tool_0", "dim_rate"].dropna()) == {10, 11}
+    # tool_3 rows before mid are unmatched
+    t3 = got[got["tool"] == "tool_3"]
+    if len(t3):
+        assert t3["dim_rate"].isna().eq(
+            t3["ts"].astype("datetime64[us]").astype("int64") < mid
+        ).all()
