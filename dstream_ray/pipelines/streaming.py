@@ -122,6 +122,12 @@ class StreamingConfig:
     # bytes verbatim and parses metadata with Arrow's C++ NDJSON reader —
     # the reference's byte-relay semantics and ~5x the parse bandwidth.
     envelope_payload: str = "canonical"
+    # State-snapshot retention: resume only ever reads the LATEST committed
+    # snapshot, so 2 bounds checkpoint disk in follow mode; raise it (or set
+    # None = keep all) to enable rewind() to older epochs — each retained
+    # epoch is one full keyed-state snapshot (the Kafka/Flink
+    # retained-checkpoints trade-off).
+    state_keep_last: int | None = 2
     # CPUs reserved per split/reduce task. The kernels are memory-bandwidth
     # heavy; on wide nodes reserving >1 cpu per task caps concurrent memory
     # streams (and leaves headroom for raylet/driver) — size
@@ -683,8 +689,10 @@ class StreamingJob:
         }
         self.store.commit(epoch, manifest)
         # bound checkpoint disk: only the latest committed snapshot is ever
-        # read on resume (older epochs' state is pure growth in follow mode)
-        self.store.prune_state(keep_last=2)
+        # read on RESUME (older epochs' state is pure growth in follow mode);
+        # retention beyond 2 exists solely to give rewind() targets
+        if self.cfg.state_keep_last is not None:
+            self.store.prune_state(keep_last=max(2, self.cfg.state_keep_last))
         return manifest
 
     def run_epoch(self, files: list[str], *, flush: bool = False) -> dict:
@@ -772,6 +780,96 @@ class StreamingJob:
             )
         finally:
             lease.release()
+
+    def rewind(self, to_epoch: int) -> dict:
+        """Reset the job to the state as of committed epoch ``to_epoch``
+        (inclusive) — the Kafka seek / Flink restore-from-retained-checkpoint
+        analog, and the "resume mid-stream from ANY checkpoint" half of the
+        north-star contract (the reference's resume-from-offset behavior,
+        docs/capability-inventory.md:179-199, generalized from "latest" to
+        "any retained").
+
+        Requires the target epoch's keyed-state snapshot to still be on disk
+        (``StreamingConfig.state_keep_last``; default 2 keeps only the last
+        two — raise it or set None before the run for deeper rewinds).
+
+        Un-commits every epoch after the target, newest first, then sweeps
+        the sink tree of every file whose name carries a newer epoch
+        (epoch is part of the sink naming contract). Crash-safe: commit
+        records are removed BEFORE files, so ``last_committed`` only moves
+        backwards and a half-deleted epoch is either re-swept by retrying
+        rewind() or regenerated byte-identically by the replay. After rewind,
+        ``run()`` re-consumes the feed from the target's per-stream cursors
+        and — same input shards, same state — emits the same rows
+        exactly-once."""
+        from dstream_ray.state.lease import Lease
+
+        lease = Lease(
+            os.path.join(self.cfg.out_dir, "_locks", "job.lock"),
+            owner=f"rewind-pid-{os.getpid()}",
+            ttl_s=self.cfg.lease_ttl_s,
+        )
+        if not lease.acquire():
+            raise RuntimeError("rewind refused: job lease held by a running driver")
+        try:
+            epochs = self.store.committed_epochs()
+            if not epochs:
+                raise ValueError("rewind: no committed epochs")
+            if to_epoch not in epochs:
+                raise ValueError(
+                    f"rewind: epoch {to_epoch} is not committed (have {epochs[0]}..{epochs[-1]})"
+                )
+            target = self.store.manifest(to_epoch)
+            # the target snapshot must be complete before we destroy anything
+            missing = [
+                k
+                for k, p in target.get("partitions", {}).items()
+                if p.get("state_path") and not os.path.exists(p["state_path"])
+            ]
+            if missing:
+                raise ValueError(
+                    f"rewind: state snapshot for epoch {to_epoch} was pruned for "
+                    f"partitions {sorted(missing)}; run with state_keep_last high "
+                    "enough (or None) to retain rewind targets"
+                )
+            undone = [e for e in epochs if e > to_epoch]
+            for e in sorted(undone, reverse=True):
+                self.store.delete_commit(e)
+                self.store.delete_state_epoch(e)
+            # sweep sink files by the epoch embedded in their name rather
+            # than by manifest lineage: this also clears orphans from a
+            # crashed rewind (commit record already gone) and staged .tmp
+            # files from a crashed epoch, making rewind retry-healing
+            removed_files = self._sweep_sink_after(to_epoch)
+            return {
+                "status": "rewound",
+                "to_epoch": to_epoch,
+                "epochs_undone": len(undone),
+                "sink_files_removed": removed_files,
+                "file_cursor": int(target["file_cursor"]),
+            }
+        finally:
+            lease.release()
+
+    def _sweep_sink_after(self, to_epoch: int) -> int:
+        """Remove every sink file (and .tmp stage) whose name carries an
+        epoch newer than ``to_epoch``. Epoch is part of the sink-file naming
+        contract (`ExactlyOnceParquetSink.file_path`), so this needs no
+        manifest lineage and heals orphans from crashed epochs/rewinds."""
+        import re as _re
+
+        pat = _re.compile(r"^epoch-(\d+)-wm-")
+        removed = 0
+        for dirpath, _dirs, files in os.walk(self.cfg.sink_dir):
+            for f in files:
+                m = pat.match(f)
+                if m and int(m.group(1)) > to_epoch:
+                    try:
+                        os.remove(os.path.join(dirpath, f))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+        return removed
 
     def _run_locked(
         self,
@@ -864,12 +962,17 @@ def main(argv=None):  # pragma: no cover - CLI drive path
     import argparse
 
     p = argparse.ArgumentParser(description="dstream_ray streaming epoch runner")
-    p.add_argument("verb", choices=["run", "init", "plan", "status", "destroy"])
+    p.add_argument("verb", choices=["run", "init", "plan", "status", "destroy", "rewind"])
     p.add_argument("--feed-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--partitions", type=int, default=8)
     p.add_argument("--files-per-epoch", type=int, default=2)
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--to-epoch", type=int, default=None, help="rewind target epoch")
+    p.add_argument(
+        "--state-keep-last", type=int, default=2,
+        help="retained state snapshots (0 = keep all, enabling deep rewind)",
+    )
     args = p.parse_args(argv)
     if not ray.is_initialized():
         ray.init(
@@ -885,11 +988,17 @@ def main(argv=None):  # pragma: no cover - CLI drive path
             out_dir=args.out_dir,
             num_partitions=args.partitions,
             files_per_epoch=args.files_per_epoch,
+            state_keep_last=(args.state_keep_last or None),
         )
     )
-    out = getattr(job, args.verb)() if args.verb != "run" else job.run(
-        max_epochs=args.max_epochs
-    )
+    if args.verb == "run":
+        out = job.run(max_epochs=args.max_epochs)
+    elif args.verb == "rewind":
+        if args.to_epoch is None:
+            p.error("rewind requires --to-epoch")
+        out = job.rewind(args.to_epoch)
+    else:
+        out = getattr(job, args.verb)()
     print(json.dumps(out, indent=1, default=str))
     ray.shutdown()
 

@@ -58,15 +58,20 @@ class CheckpointStore:
     def _commit_path(self, epoch: int) -> str:
         return os.path.join(self.commits_dir, f"epoch-{epoch:06d}.json")
 
-    def last_committed(self) -> tuple[int, dict[str, Any]] | None:
-        """Highest committed epoch and its manifest, or None."""
+    def committed_epochs(self) -> list[int]:
+        """All committed epoch numbers, ascending (commit records are never
+        pruned — they are the per-epoch lineage the north-star asks for)."""
         if not os.path.isdir(self.commits_dir):
-            return None
-        epochs = sorted(
+            return []
+        return sorted(
             int(f[len("epoch-") : -len(".json")])
             for f in os.listdir(self.commits_dir)
             if f.startswith("epoch-") and f.endswith(".json")
         )
+
+    def last_committed(self) -> tuple[int, dict[str, Any]] | None:
+        """Highest committed epoch and its manifest, or None."""
+        epochs = self.committed_epochs()
         if not epochs:
             return None
         e = epochs[-1]
@@ -88,6 +93,25 @@ class CheckpointStore:
     def manifest(self, epoch: int) -> dict[str, Any]:
         with open(self._commit_path(epoch)) as fh:
             return json.load(fh)
+
+    def delete_commit(self, epoch: int) -> None:
+        """Un-commit an epoch (rewind). Removing the record FIRST makes the
+        rewind crash-safe: ``last_committed`` can only ever move backwards,
+        and any sink files the crash leaves behind are either overwritten
+        byte-identically on replay (idempotent sink) or swept by the next
+        rewind attempt."""
+        try:
+            os.remove(self._commit_path(epoch))
+        except FileNotFoundError:
+            pass
+        fsync_dir(self.commits_dir)
+
+    def delete_state_epoch(self, epoch: int) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.state_dir, f"epoch-{epoch:06d}"), ignore_errors=True
+        )
 
     # -- per-partition kernel state ---------------------------------------
     def state_path(self, epoch: int, partition: int) -> str:
