@@ -44,7 +44,11 @@ from dstream_ray.common import partition_ids
 from dstream_ray.sinks.parquet_sink import ExactlyOnceParquetSink
 from dstream_ray.sinks.registry import create_sink
 from dstream_ray.sources.envelopes import read_envelope_file
-from dstream_ray.stages.capture import content_dedup_kernel, relay_kernel
+from dstream_ray.stages.capture import (
+    content_dedup_bloom_kernel,
+    content_dedup_kernel,
+    relay_kernel,
+)
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
@@ -72,6 +76,8 @@ WINDOW_OPERATORS = {
     "cep": cep_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)
     "dedup": content_dedup_kernel,
+    # bounded-memory variant: generational Bloom filter, fixed bytes/partition
+    "dedup_bloom": content_dedup_bloom_kernel,
     # stream-table dimension enrichment (broadcast-small-side left join)
     "enrich": enrich_kernel,
 }
@@ -79,7 +85,7 @@ WINDOW_OPERATORS = {
 # kernels that consume the FULL relay output (text and all) instead of the
 # projected residual layout — content-identity / passthrough operators need
 # the payload bytes
-RAW_INPUT_OPERATORS = {"dedup", "enrich"}
+RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "enrich"}
 
 
 @dataclass

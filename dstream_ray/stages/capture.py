@@ -183,6 +183,120 @@ def content_dedup_kernel(
     return out, new_state
 
 
+def _bloom_row_hashes(new_rows: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (H1, H2) double-hash pair over (conv_id, text) — the bloom
+    identity key. H2 is forced odd so the k probe positions cycle the whole
+    filter."""
+    h1, h2 = poly_hash_strings(new_rows["text"], bases=DEDUP_HASH_BASES)
+    c1, c2 = poly_hash_strings(new_rows["conv_id"], bases=DEDUP_HASH_BASES)
+    with np.errstate(over="ignore"):
+        H1 = (h1 * FNV_PRIME) ^ c2
+        H2 = ((h2 * FNV_PRIME) ^ c1) | np.uint64(1)
+    return H1, H2
+
+
+def content_dedup_bloom_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+    bits: int = 1 << 23,
+    hashes: int = 6,
+    rotate_rows: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """Bounded-memory streaming content dedup: a generational Bloom filter
+    per partition instead of the exact kernel's per-conv seen-sets.
+
+    Why it exists: at 10^12 turns the exact kernel's state grows ~8 B per
+    unique (conv, text) — unbounded on an endless stream. This variant holds
+    a FIXED ``2 × bits/8`` bytes per partition forever. The trade is
+    one-sided and tunable: a false POSITIVE (unique row suppressed) happens
+    at the classic Bloom rate ((1-e^{-kn/m})^k — pick ``bits`` for the
+    retention you want); a false NEGATIVE (duplicate re-emitted) happens
+    only for rows older than two rotations when ``rotate_rows`` is set
+    (Kafka-Streams / Flink "windowed dedup" semantics: exact within the
+    retention window, forgetful beyond it).
+
+    Sequential semantics, vectorized: a row is a duplicate iff ALL of its k
+    probe bits were set before it — by the carried filter OR by an EARLIER
+    row of the same epoch. The "earlier row" part is computed without a
+    Python loop: ``np.unique(..., return_inverse)`` compacts the touched
+    positions, ``np.minimum.at`` records each position's earliest toucher,
+    and a row tests ``first_touch < own_index``. Output is therefore
+    identical for ANY epoch split of the same stream (property-tested),
+    because insertion is order-independent (OR) and the test reconstructs
+    the exact one-row-at-a-time order.
+
+    Rotation, when enabled, happens at deterministic PROCESSED-ROW counts
+    (every ``rotate_rows`` rows through the partition), never at epoch
+    boundaries — epoch splits cannot move a rotation. Membership tests the
+    current AND previous generation; inserts go to the current one.
+
+    ``flush`` is non-terminal like the exact kernel's: emissions are
+    immediate, the filter persists.
+    """
+    if bits & (bits - 1):
+        raise ValueError(f"dedup_bloom bits must be a power of two, got {bits}")
+    if rotate_rows is not None and rotate_rows <= 0:
+        raise ValueError("dedup_bloom rotate_rows must be positive")
+    n_words = bits >> 6
+    cur = state.get("cur")
+    cur = cur.copy() if cur is not None else np.zeros(n_words, dtype=np.uint64)
+    prev_g = state.get("prev")
+    processed = int(state.get("processed", 0))
+
+    n = new_rows.num_rows
+    if n == 0:
+        out = new_rows
+    else:
+        H1, H2 = _bloom_row_hashes(new_rows)
+        k = np.arange(hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            pos = (H1[:, None] + k[None, :] * H2[:, None]) % np.uint64(bits)  # (n, k)
+        accept = np.zeros(n, dtype=bool)
+        # segment the batch at rotation boundaries so a mid-batch rotation
+        # behaves exactly like the sequential stream: rotate before the
+        # absolute row whose ordinal is a positive multiple of rotate_rows —
+        # including relative row 0 when the previous epoch ended exactly on
+        # a boundary (rotation is a property of the ROW STREAM, not of
+        # epoch framing)
+        rot_at: set[int] = set()
+        if rotate_rows is not None:
+            m = max(rotate_rows, ((processed + rotate_rows - 1) // rotate_rows) * rotate_rows)
+            while m < processed + n:
+                rot_at.add(m - processed)
+                m += rotate_rows
+        bounds = sorted({0, n} | rot_at)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s in rot_at:
+                prev_g, cur = cur, np.zeros(n_words, dtype=np.uint64)
+            seg = slice(s, e)
+            # exact first-occurrence within the segment on the 128-bit pair
+            dup_in_seg = pd.DataFrame({"a": H1[seg], "b": H2[seg]}).duplicated().to_numpy()
+            first = np.flatnonzero(~dup_in_seg)
+            if not len(first):
+                continue
+            p = pos[s:e][first]  # (f, k) positions of segment-first rows
+            u, inv = np.unique(p, return_inverse=True)
+            inv = inv.reshape(p.shape)
+            word = (u >> np.uint64(6)).astype(np.int64)
+            bit = np.uint64(1) << (u & np.uint64(63))
+            pre_set = (cur[word] & bit) != 0
+            if prev_g is not None:
+                pre_set |= (prev_g[word] & bit) != 0
+            first_touch = np.full(len(u), n, dtype=np.int64)
+            np.minimum.at(first_touch, inv, np.broadcast_to(first[:, None], inv.shape))
+            set_before = pre_set[inv] | (first_touch[inv] < first[:, None])
+            accept[s + first] = ~set_before.all(axis=1)
+            np.bitwise_or.at(cur, word, bit)  # insert every processed row's bits
+        out = new_rows.filter(pa.array(accept))
+        processed += n
+    new_state: dict = {"cur": cur, "processed": processed}
+    if prev_g is not None:
+        new_state["prev"] = prev_g
+    return out, new_state
+
+
 TS_BASE_US = 1_700_000_000_000_000
 
 

@@ -265,3 +265,18 @@ def test_epoch_split_invariance_watermark_kernels(data):
         single = run_wm(kernel, [0, rows.num_rows], **kw)
         multi = run_wm(kernel, bounds, **kw)
         pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds(), st.integers(5, 60))
+def test_epoch_split_invariance_bloom_dedup(data, rotate_rows):
+    """Generational-Bloom dedup: for ANY feed (incl. unicode texts), ANY
+    epoch split, and ANY rotation period, accumulated emissions equal the
+    single pass — rotation points are fixed in the row stream."""
+    from dstream_ray.stages.capture import content_dedup_bloom_kernel
+
+    tbl, bounds = data
+    kw = dict(bits=1 << 13, hashes=4, rotate_rows=rotate_rows)
+    single = run_split(content_dedup_bloom_kernel, tbl, [0, tbl.num_rows], **kw)
+    multi = run_split(content_dedup_bloom_kernel, tbl, bounds, **kw)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
