@@ -52,6 +52,7 @@ from dstream_ray.stages.capture import (
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
+    interval_join_kernel,
     session_join_kernel,
     session_kernel,
     session_with_join_kernel,
@@ -74,6 +75,9 @@ WINDOW_OPERATORS = {
     "session_with_join": session_with_join_kernel,
     # streaming CEP: pattern-match counts per conv, state = unmatched suffix
     "cep": cep_kernel,
+    # interval join: user/tool turn pairs within +/- within_s, emitted on
+    # later-side arrival (Flink interval-join shape)
+    "interval_join": interval_join_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)
     "dedup": content_dedup_kernel,
     # bounded-memory variant: generational Bloom filter, fixed bytes/partition

@@ -749,6 +749,135 @@ def session_join_kernel(
     return out, {"residual": residual, "closed_count": new_closed}
 
 
+_INTERVAL_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "user_turn_idx": pa.array([], type=pa.int64()),
+        "tool_turn_idx": pa.array([], type=pa.int64()),
+        "dt_us": pa.array([], type=pa.int64()),
+    }
+)
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def interval_join_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    within_s: int,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Streaming interval join (the Flink interval-join shape): every
+    (user turn u, tool turn t) of the same conv with ``|t.ts - u.ts| <=
+    within_s`` pairs exactly once, emitted in the epoch where the LATER
+    side arrives — no window closure to wait for, so emissions are
+    immediate and ``flush`` is non-terminal.
+
+    State per conv = the trailing ``within_s`` of user rows and tool rows
+    (ts-sorted (turn, ts) arrays). Pruning keeps rows with
+    ``ts >= conv_max_ts - within_s``: per-conv event time is monotone in
+    the relay's feed contract, so anything older can never match a future
+    row. That bounds state by arrival-rate × within_s per conv — the
+    interval join's natural retention — independent of stream length.
+
+    Epoch-split invariance: each epoch emits new×(old ∪ new) + old×new
+    pairs; "old" is exactly the set already paired among itself in earlier
+    epochs, so the union over any split is all qualifying pairs, each once
+    (property-tested). SQL oracle shape: a self-join on conv_id with
+    ``abs(dt) <= within_s`` between role='user' and role='tool' rows.
+    """
+    W = int(within_s) * US
+    u_buf: dict = dict(state.get("u", {}))
+    t_buf: dict = dict(state.get("t", {}))
+    if new_rows.num_rows == 0:
+        return _INTERVAL_EMPTY, {"u": u_buf, "t": t_buf}
+    cols = prep(new_rows)
+    names = cols.conv_names()
+    em_code, em_u, em_t, em_dt = [], [], [], []
+
+    def _pairs(u_turn, u_ts, t_turn, t_ts):
+        """All (u, t) with |t.ts - u.ts| <= W; t side must be ts-sorted."""
+        if not len(u_turn) or not len(t_turn):
+            return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+        lo = np.searchsorted(t_ts, u_ts - W, side="left")
+        hi = np.searchsorted(t_ts, u_ts + W, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+        # ragged arange: for each u, indices lo[i] .. hi[i]
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        t_idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64) - off)
+        u_rep = np.repeat(np.arange(len(u_turn), dtype=np.int64), cnt)
+        return (
+            np.repeat(u_turn, cnt),
+            t_turn[t_idx],
+            t_ts[t_idx] - u_ts[u_rep],
+        )
+
+    for s, e in zip(cols.starts, cols.ends):
+        code = int(cols.codes[s])
+        nm = names[code]
+        seg = slice(s, e)
+        seg_user, seg_tool = cols.is_user[seg], cols.is_tool[seg]
+        ou_turn, ou_ts = u_buf.get(nm, (_EMPTY_I64, _EMPTY_I64))
+        ot_turn, ot_ts = t_buf.get(nm, (_EMPTY_I64, _EMPTY_I64))
+        for new_mask, old_opp, swap in (
+            # new user rows probe ALL tool rows (old + new)...
+            (seg_user, (ot_turn, ot_ts), False),
+            # ...new tool rows probe only OLD user rows (new×new done above)
+            (seg_tool, (ou_turn, ou_ts), True),
+        ):
+            n_turn = cols.turn[seg][new_mask]
+            n_ts = cols.ts[seg][new_mask]
+            if swap:
+                a_turn, a_ts = old_opp
+            else:
+                # old ∪ new tool side, ts-sorted (buffer sorted, segment
+                # ts-monotone -> one merge-sort pass)
+                nt_turn, nt_ts = cols.turn[seg][seg_tool], cols.ts[seg][seg_tool]
+                a_ts = np.concatenate([old_opp[1], nt_ts])
+                a_turn = np.concatenate([old_opp[0], nt_turn])
+                srt = np.argsort(a_ts, kind="stable")
+                a_ts, a_turn = a_ts[srt], a_turn[srt]
+            p_u, p_t, p_dt = _pairs(n_turn, n_ts, a_turn, a_ts)
+            if swap:
+                # probe side was the TOOL rows: dt = t.ts - u.ts flips sign
+                p_u, p_t, p_dt = p_t, p_u, -p_dt
+            if len(p_u):
+                em_code.append(np.full(len(p_u), code, dtype=np.int64))
+                em_u.append(p_u)
+                em_t.append(p_t)
+                em_dt.append(p_dt)
+        # update + prune buffers against the conv's advanced clock
+        conv_max = int(cols.ts[e - 1])
+        cut = conv_max - W
+        for buf, mask in ((u_buf, seg_user), (t_buf, seg_tool)):
+            o_turn, o_ts = buf.get(nm, (_EMPTY_I64, _EMPTY_I64))
+            m_ts = np.concatenate([o_ts, cols.ts[seg][mask]])
+            m_turn = np.concatenate([o_turn, cols.turn[seg][mask]])
+            srt = np.argsort(m_ts, kind="stable")
+            m_ts, m_turn = m_ts[srt], m_turn[srt]
+            keep = m_ts >= cut
+            buf[nm] = (m_turn[keep], m_ts[keep])
+
+    if not em_code:
+        return _INTERVAL_EMPTY, {"u": u_buf, "t": t_buf}
+    codes = np.concatenate(em_code)
+    out = pa.table(
+        {
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(codes.astype(np.int32)), cols.uniq
+            ).cast(pa.string()),
+            "user_turn_idx": pa.array(np.concatenate(em_u)),
+            "tool_turn_idx": pa.array(np.concatenate(em_t)),
+            "dt_us": pa.array(np.concatenate(em_dt)),
+        }
+    )
+    return out, {"u": u_buf, "t": t_buf}
+
+
 # ---------------------------------------------------------------------------
 # Fused session + join (one prep, one session assignment, shared residual)
 # ---------------------------------------------------------------------------

@@ -280,3 +280,18 @@ def test_epoch_split_invariance_bloom_dedup(data, rotate_rows):
     single = run_split(content_dedup_bloom_kernel, tbl, [0, tbl.num_rows], **kw)
     multi = run_split(content_dedup_bloom_kernel, tbl, bounds, **kw)
     pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds(), st.integers(10, 300))
+def test_epoch_split_invariance_interval_join(data, within_s):
+    """Interval join: for ANY feed, ANY epoch split, ANY window width, the
+    accumulated pair set equals the single pass (later-arrival emission +
+    ts-window pruning never lose or duplicate a pair)."""
+    from dstream_ray.stages.windows import interval_join_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    single = run_split(interval_join_kernel, rows, [0, rows.num_rows], within_s=within_s)
+    multi = run_split(interval_join_kernel, rows, bounds, within_s=within_s)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
