@@ -53,6 +53,7 @@ from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
     interval_join_kernel,
+    tumbling_distinct_kernel,
     session_join_kernel,
     session_kernel,
     session_with_join_kernel,
@@ -67,6 +68,8 @@ from dstream_ray.state.checkpoint import CheckpointStore
 # the (new_rows, state, *, flush, **params) contract and register it".
 WINDOW_OPERATORS = {
     "tumbling": tumbling_kernel,
+    # windowed count(DISTINCT value_col) per (conv, tumbling window)
+    "tumbling_distinct": tumbling_distinct_kernel,
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,

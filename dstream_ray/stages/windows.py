@@ -330,6 +330,130 @@ def _tumbling_emit(cols, bucket, starts, agg, emit_run) -> pa.Table:
     )
 
 
+_TUMBLING_DISTINCT_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "window_id": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_distinct": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def tumbling_distinct_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    flush: bool,
+    value_col: str = "tool",
+    skip_empty: bool = True,
+) -> tuple[pa.Table, dict]:
+    """Per-(conv, tumbling window) EXACT distinct count of ``value_col``
+    (default: distinct tools used in the window) — the streaming
+    ``count(DISTINCT ...)`` windowed aggregate.
+
+    Distinctness is exact because the conv-closure residual already carries
+    every open window's rows (same retention as :func:`tumbling_kernel`);
+    the count happens at close over the complete window. Vectorized: one
+    extra lexsort pass ``(value, window, conv)`` turns per-window distinct
+    into a run-boundary sum (``np.add.reduceat`` over first-in-run |
+    value-change flags) — no per-group Python.
+
+    ``skip_empty`` ignores ''-valued rows (non-tool turns carry tool='').
+    Closure/flush/late semantics are the conv-closure tumbling rules:
+    a conv's window closes when a later row of that conv arrives; flush
+    force-closes and advances per-conv cursors (non-terminal); post-flush
+    rows behind a published window are dropped as late.
+
+    Oracle SQL shape: ``GROUP BY conv_id, floor(epoch(ts)/width)`` with
+    ``count(DISTINCT CASE WHEN tool <> '' THEN tool END)``.
+    """
+    w_us = width_s * US
+    data = _concat_residual(state.get("residual"), new_rows)
+    cols = prep(data)
+    n = len(cols.codes)
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below_conv: dict = dict(state.get("emitted_below_conv", {}))
+    if n == 0:
+        return _TUMBLING_DISTINCT_EMPTY, state
+    bucket = cols.ts // w_us
+    if emitted_below_conv:
+        names = cols.conv_names()
+        lo_by_code = np.array(
+            [emitted_below_conv.get(nm, _I64MIN) for nm in names], dtype=np.int64
+        )
+        keep = bucket >= lo_by_code[cols.codes]
+        if not keep.all():
+            late_drops += int((~keep).sum())
+            cols = prep(_take(cols, keep))
+            n = len(cols.codes)
+            if n == 0:
+                return _TUMBLING_DISTINCT_EMPTY, {
+                    "residual": None,
+                    "emitted_below_conv": emitted_below_conv,
+                    "late_drops": late_drops,
+                }
+            bucket = cols.ts // w_us
+
+    vals = cols.origin[value_col]
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    venc = vals.dictionary_encode()
+    vcode = venc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[cols.order]
+    if skip_empty:
+        empty_mask = pc.equal(venc.dictionary, "").to_numpy(zero_copy_only=False)
+        is_counted = ~empty_mask[vcode]
+    else:
+        is_counted = np.ones(n, dtype=bool)
+
+    # per-(conv, bucket) distinct: runs in (conv, bucket) order with values
+    # sorted inside — a value is "new" at its first appearance in the run
+    ord2 = np.lexsort((vcode, bucket, cols.codes))
+    c2, b2, v2 = cols.codes[ord2], bucket[ord2], vcode[ord2]
+    run_change = np.r_[True, (c2[1:] != c2[:-1]) | (b2[1:] != b2[:-1])]
+    val_new = np.r_[True, v2[1:] != v2[:-1]] | run_change
+    contrib = (val_new & is_counted[ord2]).astype(np.int64)
+    run_starts = np.flatnonzero(run_change)
+    n_distinct = np.add.reduceat(contrib, run_starts)
+    n_turns = np.add.reduceat(np.ones(n, dtype=np.int64), run_starts)
+    run_conv = c2[run_starts]
+    run_bucket = b2[run_starts]
+
+    conv_last_bucket = _conv_last(bucket, cols)
+    if flush:
+        emit_run = np.ones(len(run_starts), dtype=bool)
+        residual = None
+        names = cols.conv_names()
+        for s, b_last in zip(cols.starts, conv_last_bucket):
+            emitted_below_conv[names[cols.codes[s]]] = int(b_last) + 1
+    else:
+        # a conv's LAST bucket stays open (same rule/order as _group_agg:
+        # both sorts produce runs in ascending (conv, bucket) order)
+        last_by_code = np.empty(int(cols.codes.max()) + 1, dtype=np.int64)
+        last_by_code[cols.codes[cols.starts]] = conv_last_bucket
+        open_run = run_bucket == last_by_code[run_conv]
+        emit_run = ~open_run
+        row_open = bucket == np.repeat(conv_last_bucket, cols.ends - cols.starts)
+        residual = _take(cols, row_open)
+    em = emit_run
+    out = pa.table(
+        {
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(run_conv[em].astype(np.int32)), cols.uniq
+            ).cast(pa.string()),
+            "window_id": pa.array(run_bucket[em]),
+            "n_turns": pa.array(n_turns[em]),
+            "n_distinct": pa.array(n_distinct[em]),
+        }
+    )
+    return out, {
+        "residual": residual,
+        "emitted_below_conv": emitted_below_conv,
+        "late_drops": late_drops,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Sliding window
 # ---------------------------------------------------------------------------

@@ -295,3 +295,18 @@ def test_epoch_split_invariance_interval_join(data, within_s):
     single = run_split(interval_join_kernel, rows, [0, rows.num_rows], within_s=within_s)
     multi = run_split(interval_join_kernel, rows, bounds, within_s=within_s)
     pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_tumbling_distinct(data):
+    """Windowed distinct-count: any feed, any epoch split — accumulated
+    emissions equal the single pass (the conv-closure residual carries
+    complete open windows, so distinctness is exact at close)."""
+    from dstream_ray.stages.windows import tumbling_distinct_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    single = run_split(tumbling_distinct_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
+    multi = run_split(tumbling_distinct_kernel, rows, bounds, width_s=WIDTH_S)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
