@@ -385,6 +385,33 @@ SELECT conv_id, turn_idx, role, text, tool, ts,
 FROM transcripts
 """
 
+# streaming interval join == SQL self-join within +/-43200 s (IJ_WITHIN_S);
+# the engine emits each pair once, in the later-arriving side's epoch
+# (dstream_ray.stages.windows.interval_join_kernel through the engine)
+ORACLE_SQL["streaming_interval_join"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT u.conv_id AS conv_id,
+       CAST(u.turn_idx AS BIGINT) AS user_turn_idx,
+       CAST(t.turn_idx AS BIGINT) AS tool_turn_idx,
+       epoch_us(t.ts) - epoch_us(u.ts) AS dt_us
+FROM transcripts u JOIN transcripts t ON u.conv_id = t.conv_id
+WHERE u.role = 'user' AND t.role = 'tool'
+  AND abs(epoch_us(t.ts) - epoch_us(u.ts)) <= CAST(43200 AS BIGINT) * 1000000
+"""
+
+# windowed exact distinct-count == GROUP BY count(DISTINCT ...) (''-valued
+# tool rows don't count; dstream_ray.stages.windows.tumbling_distinct_kernel)
+ORACLE_SQL["streaming_distinct"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(floor(epoch(ts)/86400) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT)
+         AS n_distinct
+FROM transcripts
+GROUP BY 1, 2
+"""
+
 ORACLE_SQL["range_join"] = """
 SELECT s.event_id, s.user_id,
        CAST(count(p.event_id) AS BIGINT) AS n_purchases_7d

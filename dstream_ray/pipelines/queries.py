@@ -44,6 +44,7 @@ TUMBLING_S = 86_400
 SLIDING_W_S = 172_800
 SLIDING_S_S = 86_400
 SESSION_GAP_S = 43_200
+IJ_WITHIN_S = 43_200  # interval join: user/tool turn pairs within +/-12 h
 
 
 # ---------------------------------------------------------------------------
@@ -530,6 +531,11 @@ def _run_streaming(sf_dir: str):
                 "sliding": {"width_s": SLIDING_W_S, "slide_s": SLIDING_S_S},
                 "session_with_join": {"gap_s": SESSION_GAP_S},
                 "cep": {"pattern": "ua*t"},
+                # Flink-shape interval join: (user, tool) turn pairs within
+                # +/-IJ_WITHIN_S, emitted once in the later side's epoch
+                "interval_join": {"within_s": IJ_WITHIN_S},
+                # windowed exact count(DISTINCT tool) per (conv, day)
+                "tumbling_distinct": {"width_s": TUMBLING_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
                 # broadcast-small-side stream-table enrichment
@@ -656,6 +662,22 @@ def q_streaming_enrich(sf_dir: str) -> pa.Table:
 
 def q_streaming_cep(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("cep")
+
+
+def q_streaming_interval_join(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'interval_join' engine operator (Flink-shape
+    streaming interval join): every (user turn, tool turn) pair of the same
+    conv within +/-IJ_WITHIN_S, emitted exactly once in the epoch where the
+    LATER side arrives — gated against a SQL self-join oracle through the
+    real multi-epoch exactly-once run."""
+    return _run_streaming(sf_dir).sink.read_op("interval_join")
+
+
+def q_streaming_distinct(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_distinct' engine operator (windowed
+    exact count(DISTINCT tool) per conv/day) — the streaming distinct
+    aggregate, gated against a GROUP BY count(DISTINCT ...) oracle."""
+    return _run_streaming(sf_dir).sink.read_op("tumbling_distinct")
 
 
 def q_range_join(sf_dir: str) -> rd.Dataset:

@@ -73,6 +73,7 @@ def main() -> int:
     # library-only oracle-checked queries (ceded their driver grading slots
     # but keep full local parity; see __ray_entry__.queries docstring)
     from dstream_ray.pipelines import dataops as _d
+    from dstream_ray.pipelines import queries as _q
     from dstream_ray.pipelines.oracles import ORACLE_SQL as _ALL_SQL
 
     for _name, _fn in [
@@ -81,6 +82,8 @@ def main() -> int:
         ("text_normalize", _d.q_text_normalize),
         ("dedup_exact", _d.q_dedup_exact),
         ("cms_tokens", _d.q_cms_tokens),
+        ("streaming_interval_join", _q.q_streaming_interval_join),
+        ("streaming_distinct", _q.q_streaming_distinct),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
