@@ -412,6 +412,19 @@ FROM transcripts
 GROUP BY 1, 2
 """
 
+# windowed exact discrete quantiles == quantile_disc (value at sorted
+# position ceil(q*n); dstream_ray.stages.windows.tumbling_quantile_kernel)
+ORACLE_SQL["streaming_quantile"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(floor(epoch(ts)/86400) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50_len,
+       CAST(quantile_disc(length(text), 0.90) AS BIGINT) AS p90_len
+FROM transcripts
+GROUP BY 1, 2
+"""
+
 ORACLE_SQL["range_join"] = """
 SELECT s.event_id, s.user_id,
        CAST(count(p.event_id) AS BIGINT) AS n_purchases_7d

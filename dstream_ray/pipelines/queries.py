@@ -536,6 +536,8 @@ def _run_streaming(sf_dir: str):
                 "interval_join": {"within_s": IJ_WITHIN_S},
                 # windowed exact count(DISTINCT tool) per (conv, day)
                 "tumbling_distinct": {"width_s": TUMBLING_S},
+                # windowed exact p50/p90 of turn length per (conv, day)
+                "tumbling_quantile": {"width_s": TUMBLING_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
                 # broadcast-small-side stream-table enrichment
@@ -678,6 +680,13 @@ def q_streaming_distinct(sf_dir: str) -> pa.Table:
     exact count(DISTINCT tool) per conv/day) — the streaming distinct
     aggregate, gated against a GROUP BY count(DISTINCT ...) oracle."""
     return _run_streaming(sf_dir).sink.read_op("tumbling_distinct")
+
+
+def q_streaming_quantile(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_quantile' engine operator (windowed
+    exact p50/p90 turn-length order statistics per conv/day) — gated
+    against a GROUP BY quantile_disc oracle."""
+    return _run_streaming(sf_dir).sink.read_op("tumbling_quantile")
 
 
 def q_range_join(sf_dir: str) -> rd.Dataset:

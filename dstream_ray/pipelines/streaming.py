@@ -54,6 +54,7 @@ from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
     interval_join_kernel,
     tumbling_distinct_kernel,
+    tumbling_quantile_kernel,
     session_join_kernel,
     session_kernel,
     session_with_join_kernel,
@@ -70,6 +71,8 @@ WINDOW_OPERATORS = {
     "tumbling": tumbling_kernel,
     # windowed count(DISTINCT value_col) per (conv, tumbling window)
     "tumbling_distinct": tumbling_distinct_kernel,
+    # windowed exact discrete quantiles of turn length (quantile_disc)
+    "tumbling_quantile": tumbling_quantile_kernel,
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,

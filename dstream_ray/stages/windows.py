@@ -454,6 +454,107 @@ def tumbling_distinct_kernel(
     }
 
 
+def _quantile_empty(qs: tuple[int, ...]) -> pa.Table:
+    cols = {
+        "conv_id": pa.array([], type=pa.string()),
+        "window_id": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+    }
+    for q in qs:
+        cols[f"p{q}_len"] = pa.array([], type=pa.int64())
+    return pa.table(cols)
+
+
+def tumbling_quantile_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    flush: bool,
+    qs: tuple[int, ...] = (50, 90),
+) -> tuple[pa.Table, dict]:
+    """Per-(conv, tumbling window) EXACT discrete quantiles of the turn
+    text length — streaming order statistics over complete windows, with
+    DuckDB ``quantile_disc`` semantics (value at sorted position
+    ``ceil(q*n/100)``, 1-indexed).
+
+    Exact because the conv-closure residual carries every open window's
+    rows (same retention/closure/flush/late rules as
+    :func:`tumbling_distinct_kernel`); the quantile is read at close over
+    the full window. Vectorized: one ``(len, window, conv)`` lexsort makes
+    values ascending inside each contiguous (conv, window) run, so each
+    requested quantile is a single integer gather at
+    ``run_start + ceil(q*n/100) - 1`` — no per-group Python.
+    """
+    w_us = width_s * US
+    qs = tuple(int(q) for q in qs)
+    data = _concat_residual(state.get("residual"), new_rows)
+    cols = prep(data)
+    n = len(cols.codes)
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below_conv: dict = dict(state.get("emitted_below_conv", {}))
+    if n == 0:
+        return _quantile_empty(qs), state
+    bucket = cols.ts // w_us
+    if emitted_below_conv:
+        names = cols.conv_names()
+        lo_by_code = np.array(
+            [emitted_below_conv.get(nm, _I64MIN) for nm in names], dtype=np.int64
+        )
+        keep = bucket >= lo_by_code[cols.codes]
+        if not keep.all():
+            late_drops += int((~keep).sum())
+            cols = prep(_take(cols, keep))
+            n = len(cols.codes)
+            if n == 0:
+                return _quantile_empty(qs), {
+                    "residual": None,
+                    "emitted_below_conv": emitted_below_conv,
+                    "late_drops": late_drops,
+                }
+            bucket = cols.ts // w_us
+
+    # runs in ascending (conv, bucket) order with lengths ascending inside
+    ord2 = np.lexsort((cols.n_chars, bucket, cols.codes))
+    c2, b2, v2 = cols.codes[ord2], bucket[ord2], cols.n_chars[ord2]
+    run_change = np.r_[True, (c2[1:] != c2[:-1]) | (b2[1:] != b2[:-1])]
+    run_starts = np.flatnonzero(run_change)
+    run_len = np.diff(np.r_[run_starts, n])
+    quants = {q: v2[run_starts + (-(-q * run_len // 100)) - 1] for q in qs}
+    run_conv = c2[run_starts]
+    run_bucket = b2[run_starts]
+
+    conv_last_bucket = _conv_last(bucket, cols)
+    if flush:
+        emit_run = np.ones(len(run_starts), dtype=bool)
+        residual = None
+        names = cols.conv_names()
+        for s, b_last in zip(cols.starts, conv_last_bucket):
+            emitted_below_conv[names[cols.codes[s]]] = int(b_last) + 1
+    else:
+        # a conv's LAST bucket stays open (same rule as tumbling_distinct)
+        last_by_code = np.empty(int(cols.codes.max()) + 1, dtype=np.int64)
+        last_by_code[cols.codes[cols.starts]] = conv_last_bucket
+        emit_run = run_bucket != last_by_code[run_conv]
+        row_open = bucket == np.repeat(conv_last_bucket, cols.ends - cols.starts)
+        residual = _take(cols, row_open)
+    em = emit_run
+    out_cols = {
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(run_conv[em].astype(np.int32)), cols.uniq
+        ).cast(pa.string()),
+        "window_id": pa.array(run_bucket[em]),
+        "n_turns": pa.array(run_len[em]),
+    }
+    for q in qs:
+        out_cols[f"p{q}_len"] = pa.array(quants[q][em])
+    return pa.table(out_cols), {
+        "residual": residual,
+        "emitted_below_conv": emitted_below_conv,
+        "late_drops": late_drops,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Sliding window
 # ---------------------------------------------------------------------------

@@ -310,3 +310,18 @@ def test_epoch_split_invariance_tumbling_distinct(data):
     single = run_split(tumbling_distinct_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
     multi = run_split(tumbling_distinct_kernel, rows, bounds, width_s=WIDTH_S)
     pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_tumbling_quantile(data):
+    """Windowed exact quantiles: any feed, any epoch split — accumulated
+    emissions equal the single pass (order statistics read over complete
+    windows at close)."""
+    from dstream_ray.stages.windows import tumbling_quantile_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    single = run_split(tumbling_quantile_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
+    multi = run_split(tumbling_quantile_kernel, rows, bounds, width_s=WIDTH_S)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)

@@ -84,6 +84,7 @@ def main() -> int:
         ("cms_tokens", _d.q_cms_tokens),
         ("streaming_interval_join", _q.q_streaming_interval_join),
         ("streaming_distinct", _q.q_streaming_distinct),
+        ("streaming_quantile", _q.q_streaming_quantile),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
