@@ -373,6 +373,43 @@ FROM transcripts
 QUALIFY row_number() OVER (PARTITION BY conv_id, text ORDER BY turn_idx) = 1
 """
 
+# GLOBAL windowed aggregate == plain GROUP BY over the whole feed; the
+# engine emits P mergeable partials per window, summed consumer-side
+# (dstream_ray.stages.windows.tumbling_global_kernel through the engine)
+ORACLE_SQL["streaming_global"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role='user') AS BIGINT) AS n_user_turns,
+       CAST(count(*) FILTER (WHERE role='tool') AS BIGINT) AS n_tool_turns,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM transcripts
+GROUP BY 1
+"""
+
+# GLOBAL windowed exact top-k == QUALIFY rank over summed value counts
+# (dstream_ray.stages.windows.tumbling_counts_kernel through the engine)
+ORACLE_SQL["streaming_topk"] = f"""
+WITH {TRANSCRIPTS_CTE}, counts AS (
+  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS window_id,
+         tool AS value, CAST(count(*) AS BIGINT) AS n
+  FROM transcripts WHERE tool <> ''
+  GROUP BY 1, 2
+)
+SELECT window_id, value, n FROM counts
+QUALIFY row_number() OVER (PARTITION BY window_id ORDER BY n DESC, value) <= 3
+"""
+
+# latest-per-key compaction == keep-last per (conv_id, role); the engine
+# feed is per-conv turn-ordered (relay contract), so arrival-latest == max
+# turn_idx (dstream_ray.stages.capture.upsert_kernel through the engine)
+ORACLE_SQL["streaming_upsert"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM transcripts
+QUALIFY row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx DESC) = 1
+"""
+
 # stream-table enrichment == LEFT join against the deterministic tools dim
 # written by queries._run_streaming (3 of 5 tool ids; unmatched rows null)
 ORACLE_SQL["streaming_enrich"] = f"""

@@ -538,8 +538,14 @@ def _run_streaming(sf_dir: str):
                 "tumbling_distinct": {"width_s": TUMBLING_S},
                 # windowed exact p50/p90 of turn length per (conv, day)
                 "tumbling_quantile": {"width_s": TUMBLING_S},
+                # GLOBAL (cross-conv) daily aggregate — per-partition partials
+                "tumbling_global": {"width_s": TUMBLING_S},
+                # GLOBAL windowed tool counts — exact top-k feeder
+                "tumbling_counts": {"width_s": TUMBLING_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
+                # latest-per-key compaction (CDC materialized view)
+                "upsert": {},
                 # broadcast-small-side stream-table enrichment
                 "enrich": {
                     "dim_path": dim_path,
@@ -687,6 +693,42 @@ def q_streaming_quantile(sf_dir: str) -> pa.Table:
     exact p50/p90 turn-length order statistics per conv/day) — gated
     against a GROUP BY quantile_disc oracle."""
     return _run_streaming(sf_dir).sink.read_op("tumbling_quantile")
+
+
+def q_streaming_upsert(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'upsert' engine operator (latest-per-key
+    compaction, the CDC consumer-side materialized view): newest turn per
+    (conv_id, role) — gated against a keep-last QUALIFY oracle."""
+    return _run_streaming(sf_dir).sink.read_op("upsert")
+
+
+def q_streaming_global(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_global' engine operator (cross-conv
+    daily aggregate): each partition emits mergeable partial sums per
+    window; the consumer-side merge below is bounded by windows × P rows
+    (never by stream length) — gated against a global GROUP BY oracle."""
+    partials = _run_streaming(sf_dir).sink.read_op("tumbling_global").to_pandas()
+    merged = (
+        partials.groupby("window_id", as_index=False)
+        .sum()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def q_streaming_topk(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_counts' engine operator ranked into
+    exact per-window top-k: partials (window, tool, n) summed across
+    partitions (bounded by windows × vocabulary), then the top 3 tools per
+    day by count (ties broken by value) — gated against a QUALIFY oracle."""
+    partials = _run_streaming(sf_dir).sink.read_op("tumbling_counts").to_pandas()
+    merged = (
+        partials.groupby(["window_id", "value"], as_index=False)["n"].sum()
+        .sort_values(["window_id", "n", "value"], ascending=[True, False, True])
+    )
+    topk = merged.groupby("window_id").head(3).reset_index(drop=True)
+    return pa.Table.from_pandas(topk, preserve_index=False)
 
 
 def q_range_join(sf_dir: str) -> rd.Dataset:

@@ -48,12 +48,15 @@ from dstream_ray.stages.capture import (
     content_dedup_bloom_kernel,
     content_dedup_kernel,
     relay_kernel,
+    upsert_kernel,
 )
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
     interval_join_kernel,
+    tumbling_counts_kernel,
     tumbling_distinct_kernel,
+    tumbling_global_kernel,
     tumbling_quantile_kernel,
     session_join_kernel,
     session_kernel,
@@ -73,6 +76,10 @@ WINDOW_OPERATORS = {
     "tumbling_distinct": tumbling_distinct_kernel,
     # windowed exact discrete quantiles of turn length (quantile_disc)
     "tumbling_quantile": tumbling_quantile_kernel,
+    # GLOBAL (cross-conv) tumbling aggregate — per-partition mergeable partials
+    "tumbling_global": tumbling_global_kernel,
+    # GLOBAL windowed value counts — exact top-k / heavy-hitters feeder
+    "tumbling_counts": tumbling_counts_kernel,
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,
@@ -90,12 +97,14 @@ WINDOW_OPERATORS = {
     "dedup_bloom": content_dedup_bloom_kernel,
     # stream-table dimension enrichment (broadcast-small-side left join)
     "enrich": enrich_kernel,
+    # latest-per-key compaction (Kafka compacted-topic / CDC materialization)
+    "upsert": upsert_kernel,
 }
 
 # kernels that consume the FULL relay output (text and all) instead of the
 # projected residual layout — content-identity / passthrough operators need
 # the payload bytes
-RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "enrich"}
+RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "enrich", "upsert"}
 
 
 @dataclass

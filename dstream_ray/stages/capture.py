@@ -297,6 +297,64 @@ def content_dedup_bloom_kernel(
     return out, new_state
 
 
+def upsert_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+    key_cols: tuple = ("conv_id", "role"),
+) -> tuple[pa.Table, dict]:
+    """Latest-per-key compaction over the raw feed — the consumer-side
+    materialization of a CDC change stream (Kafka compacted-topic / Flink
+    "deduplicate keep-last" semantics). dstream's ingester delivers SQL
+    Server CDC insert/update/delete events per primary key in LSN order
+    (/root/reference/test/e2e/e2e_test.go:54-79 drives exactly this feed);
+    the compacted table — newest version of each key, older versions
+    dropped — is the canonical downstream of that contract.
+
+    "Latest" is ARRIVAL order (the relay's per-conv delivery order, ==
+    turn_idx order within a conversation), tracked by a global sequence
+    counter carried in state so the winner is identical under any epoch
+    split. State is the compacted table itself — one row per distinct key,
+    i.e. exactly the materialized view (bounded by key cardinality, not
+    stream length). Compaction per epoch is one vectorized
+    ``duplicated(keep='last')`` pass over (state ++ batch).
+
+    Emission is at FLUSH, as a DELTA: every key whose winning version
+    arrived since the previous flush, in arrival order, full row schema.
+    A single-flush run therefore emits the complete compacted snapshot
+    (what the engine's oracle gate compares), while periodic flushes give
+    a changelog of upserts whose keep-last union is always that snapshot.
+    """
+    tbl: pa.Table | None = state.get("table")
+    next_seq = int(state.get("next_seq", 0))
+    emit_floor = int(state.get("emit_floor", 0))
+
+    n = new_rows.num_rows
+    if n:
+        seq = pa.array(np.arange(next_seq, next_seq + n, dtype=np.int64))
+        batch = new_rows.append_column("_seq", seq)
+        next_seq += n
+        tbl = pa.concat_tables([tbl, batch]) if tbl is not None else batch
+        keys = pd.DataFrame({c: tbl[c].to_pandas() for c in key_cols})
+        keep = ~keys.duplicated(keep="last").to_numpy()
+        if not keep.all():
+            tbl = tbl.filter(pa.array(keep))  # stays in _seq (arrival) order
+
+    if flush and tbl is not None:
+        seqs = tbl["_seq"].to_numpy(zero_copy_only=False)
+        delta = tbl.filter(pa.array(seqs >= emit_floor))
+        out = delta.drop_columns(["_seq"])
+        emit_floor = next_seq
+    else:
+        out = new_rows.slice(0, 0)
+
+    new_state: dict = {"next_seq": next_seq, "emit_floor": emit_floor}
+    if tbl is not None:
+        new_state["table"] = tbl
+    return out, new_state
+
+
 TS_BASE_US = 1_700_000_000_000_000
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1238,4 +1239,213 @@ def session_with_join_kernel(
     if closure == "watermark":
         new_state["late_drops"] = late_drops
         new_state["emitted_through"] = emitted_through
+    return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# Global (cross-conversation) tumbling aggregates — per-partition partials
+# ---------------------------------------------------------------------------
+
+_TUMBLING_GLOBAL_EMPTY = pa.table(
+    {
+        "window_id": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_user_turns": pa.array([], type=pa.int64()),
+        "n_tool_turns": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def tumbling_global_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    flush: bool,
+    closure: str = "flush",
+    watermark_us: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """GLOBAL tumbling aggregate (no key): counts per fixed ``width_s``
+    bucket across ALL conversations — the classic two-phase distributed
+    aggregate. Every other window operator here is conv-keyed, so the
+    consistent-hash exchange co-locates each group on one partition; a
+    global group spans every partition, so each partition emits a PARTIAL
+    row per window (mergeable sums) and the consumer adds P partials per
+    window — windows × P rows total, independent of stream length. State is
+    one int64[4] per open window (bounded by time range / width, never by
+    row count).
+
+    Closure: ``"flush"`` (default) holds all partials until the flush epoch
+    — exact on any feed ordering; ``"watermark"`` emits a window's partial
+    once the partition watermark passes its end (exact on globally
+    ts-ordered feeds; rows behind the emission cursor count into
+    ``late_drops`` and are excluded, like the keyed tumbling kernel).
+
+    Oracle SQL shape: ``GROUP BY CAST(floor(epoch(ts)/width) AS BIGINT)``
+    after summing the P partials per window.
+    """
+    w_us = width_s * US
+    win = state.get("win")
+    acc = state.get("agg")
+    if win is None:
+        win = np.empty(0, np.int64)
+        acc = np.zeros((0, 4), np.int64)
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below = state.get("emitted_below")
+
+    n = new_rows.num_rows
+    if n:
+        ts = new_rows["ts_us"].to_numpy(zero_copy_only=False)
+        bucket = ts // w_us
+        if emitted_below is not None:
+            keep = bucket >= emitted_below
+            if not keep.all():
+                late_drops += int((~keep).sum())
+                new_rows = new_rows.filter(pa.array(keep))
+                bucket = bucket[keep]
+                n = new_rows.num_rows
+    if n:
+        role = new_rows["role"]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_tool = pc.equal(role, "tool").to_numpy(zero_copy_only=False)
+        n_chars = new_rows["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bucket, kind="stable")
+        b_s = bucket[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        part = np.column_stack(
+            [
+                np.add.reduceat(np.ones(n, np.int64), starts),
+                np.add.reduceat(is_user[order].astype(np.int64), starts),
+                np.add.reduceat(is_tool[order].astype(np.int64), starts),
+                np.add.reduceat(n_chars[order], starts),
+            ]
+        )
+        b_u = b_s[starts]
+        merged = np.union1d(win, b_u)
+        out_acc = np.zeros((len(merged), 4), np.int64)
+        out_acc[np.searchsorted(merged, win)] += acc
+        out_acc[np.searchsorted(merged, b_u)] += part
+        win, acc = merged, out_acc
+
+    if flush:
+        emit_mask = np.ones(len(win), dtype=bool)
+        next_below = int(win.max()) + 1 if len(win) else emitted_below
+    elif closure == "watermark":
+        wm_bucket = (watermark_us if watermark_us is not None else -1) // w_us
+        emit_mask = win < wm_bucket
+        next_below = int(wm_bucket)
+    else:
+        emit_mask = np.zeros(len(win), dtype=bool)
+        next_below = emitted_below
+
+    out = pa.table(
+        {
+            "window_id": pa.array(win[emit_mask]),
+            "n_turns": pa.array(acc[emit_mask, 0]),
+            "n_user_turns": pa.array(acc[emit_mask, 1]),
+            "n_tool_turns": pa.array(acc[emit_mask, 2]),
+            "n_chars": pa.array(acc[emit_mask, 3]),
+        }
+    ) if emit_mask.any() else _TUMBLING_GLOBAL_EMPTY
+    new_state: dict = {
+        "win": win[~emit_mask],
+        "agg": acc[~emit_mask],
+        "late_drops": late_drops,
+    }
+    if next_below is not None:
+        new_state["emitted_below"] = next_below
+    return out, new_state
+
+
+_TUMBLING_COUNTS_EMPTY = pa.table(
+    {
+        "window_id": pa.array([], type=pa.int64()),
+        "value": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def tumbling_counts_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    flush: bool,
+    value_col: str = "tool",
+    skip_empty: bool = True,
+    closure: str = "flush",
+    watermark_us: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """GLOBAL windowed value counts — the exact top-k / heavy-hitters
+    feeder: per tumbling window, the count of every distinct ``value_col``
+    value across ALL conversations, emitted as per-partition partials
+    (window_id, value, n). Top-k per window is NOT mergeable from per-
+    partition top-k lists (a value can be k+1-th everywhere yet 1st
+    globally), so the exact scheme ships full per-window value counts —
+    bounded by windows × vocabulary, never by row count — and the consumer
+    sums partials then ranks. State = one pandas groupby frame per
+    partition of the same bound.
+
+    Closure semantics identical to :func:`tumbling_global_kernel`.
+    """
+    w_us = width_s * US
+    cur: pd.DataFrame | None = state.get("counts")
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below = state.get("emitted_below")
+
+    n = new_rows.num_rows
+    if n:
+        ts = new_rows["ts_us"].to_numpy(zero_copy_only=False)
+        bucket = ts // w_us
+        if emitted_below is not None:
+            keep = bucket >= emitted_below
+            if not keep.all():
+                late_drops += int((~keep).sum())
+                new_rows = new_rows.filter(pa.array(keep))
+                bucket = bucket[keep]
+                n = new_rows.num_rows
+    if n:
+        val = new_rows[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        df = pd.DataFrame(
+            {"window_id": bucket, "value": val.to_pandas(), "n": np.int64(1)}
+        )
+        if skip_empty:
+            df = df[df["value"] != ""]
+        frames = [cur, df] if cur is not None else [df]
+        cur = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_id", "value"], sort=True, as_index=False)["n"]
+            .sum()
+        )
+    if cur is None:
+        cur = _TUMBLING_COUNTS_EMPTY.to_pandas()
+
+    if flush:
+        emit_mask = np.ones(len(cur), dtype=bool)
+        next_below = (
+            int(cur["window_id"].max()) + 1 if len(cur) else emitted_below
+        )
+    elif closure == "watermark":
+        wm_bucket = (watermark_us if watermark_us is not None else -1) // w_us
+        emit_mask = (cur["window_id"] < wm_bucket).to_numpy()
+        next_below = int(wm_bucket)
+    else:
+        emit_mask = np.zeros(len(cur), dtype=bool)
+        next_below = emitted_below
+
+    out = (
+        pa.Table.from_pandas(cur[emit_mask], preserve_index=False)
+        .cast(_TUMBLING_COUNTS_EMPTY.schema)
+        if emit_mask.any()
+        else _TUMBLING_COUNTS_EMPTY
+    )
+    new_state: dict = {"counts": cur[~emit_mask], "late_drops": late_drops}
+    if next_below is not None:
+        new_state["emitted_below"] = next_below
     return out, new_state

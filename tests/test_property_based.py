@@ -283,6 +283,45 @@ def test_epoch_split_invariance_bloom_dedup(data, rotate_rows):
 
 
 @settings(max_examples=30, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_global_windows(data):
+    """Global (cross-conv) windowed aggregates: for ANY feed and ANY epoch
+    split ending in one flush, accumulated partial emissions equal the
+    single pass (each window's partial is emitted exactly once)."""
+    from dstream_ray.stages.windows import (
+        tumbling_counts_kernel,
+        tumbling_global_kernel,
+    )
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    for kernel, kw in [
+        (tumbling_global_kernel, {"width_s": WIDTH_S}),
+        (tumbling_counts_kernel, {"width_s": WIDTH_S, "value_col": "role",
+                                  "skip_empty": False}),
+    ]:
+        single = run_split(kernel, rows, [0, rows.num_rows], **kw)
+        multi = run_split(kernel, rows, bounds, **kw)
+        pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_upsert(data):
+    """Latest-per-key compaction: for ANY feed (incl. unicode texts, key
+    ties) and ANY epoch split ending in one flush, the emitted snapshot
+    equals the single pass — the carried seq counter makes 'latest by
+    arrival' split-independent."""
+    from dstream_ray.stages.capture import upsert_kernel
+
+    tbl, bounds = data
+    for key_cols in [("conv_id", "role"), ("conv_id", "text")]:
+        single = run_split(upsert_kernel, tbl, [0, tbl.num_rows], key_cols=key_cols)
+        multi = run_split(upsert_kernel, tbl, bounds, key_cols=key_cols)
+        pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
 @given(feeds(), st.integers(10, 300))
 def test_epoch_split_invariance_interval_join(data, within_s):
     """Interval join: for ANY feed, ANY epoch split, ANY window width, the

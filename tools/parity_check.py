@@ -85,6 +85,9 @@ def main() -> int:
         ("streaming_interval_join", _q.q_streaming_interval_join),
         ("streaming_distinct", _q.q_streaming_distinct),
         ("streaming_quantile", _q.q_streaming_quantile),
+        ("streaming_upsert", _q.q_streaming_upsert),
+        ("streaming_global", _q.q_streaming_global),
+        ("streaming_topk", _q.q_streaming_topk),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
