@@ -373,6 +373,24 @@ FROM transcripts
 QUALIFY row_number() OVER (PARTITION BY conv_id, text ORDER BY turn_idx) = 1
 """
 
+# CEP absence/timeout == NOT EXISTS a tool turn in (u.ts, u.ts + 12 h]
+# of the same conv (dstream_ray.stages.windows.absence_kernel through the
+# engine; flush force-decides pending users, which over a complete feed
+# equals the NOT EXISTS below)
+ORACLE_SQL["streaming_absence"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT u.conv_id AS conv_id,
+       CAST(u.turn_idx AS BIGINT) AS user_turn_idx,
+       epoch_us(u.ts) AS ts_us
+FROM transcripts u
+WHERE u.role = 'user' AND NOT EXISTS (
+  SELECT 1 FROM transcripts t
+  WHERE t.conv_id = u.conv_id AND t.role = 'tool'
+    AND epoch_us(t.ts) > epoch_us(u.ts)
+    AND epoch_us(t.ts) <= epoch_us(u.ts) + CAST(43200 AS BIGINT) * 1000000
+)
+"""
+
 # GLOBAL windowed aggregate == plain GROUP BY over the whole feed; the
 # engine emits P mergeable partials per window, summed consumer-side
 # (dstream_ray.stages.windows.tumbling_global_kernel through the engine)

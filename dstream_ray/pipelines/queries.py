@@ -534,6 +534,8 @@ def _run_streaming(sf_dir: str):
                 # Flink-shape interval join: (user, tool) turn pairs within
                 # +/-IJ_WITHIN_S, emitted once in the later side's epoch
                 "interval_join": {"within_s": IJ_WITHIN_S},
+                # CEP absence/timeout: user turns with no tool reply in 12 h
+                "absence": {"within_s": IJ_WITHIN_S},
                 # windowed exact count(DISTINCT tool) per (conv, day)
                 "tumbling_distinct": {"width_s": TUMBLING_S},
                 # windowed exact p50/p90 of turn length per (conv, day)
@@ -700,6 +702,13 @@ def q_streaming_upsert(sf_dir: str) -> pa.Table:
     compaction, the CDC consumer-side materialized view): newest turn per
     (conv_id, role) — gated against a keep-last QUALIFY oracle."""
     return _run_streaming(sf_dir).sink.read_op("upsert")
+
+
+def q_streaming_absence(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'absence' engine operator (CEP timeout
+    pattern): every user turn with NO tool turn of the same conv within
+    the following 12 h — gated against a NOT EXISTS oracle."""
+    return _run_streaming(sf_dir).sink.read_op("absence")
 
 
 def q_streaming_global(sf_dir: str) -> pa.Table:

@@ -53,6 +53,7 @@ from dstream_ray.stages.capture import (
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
+    absence_kernel,
     interval_join_kernel,
     tumbling_counts_kernel,
     tumbling_distinct_kernel,
@@ -91,6 +92,8 @@ WINDOW_OPERATORS = {
     # interval join: user/tool turn pairs within +/- within_s, emitted on
     # later-side arrival (Flink interval-join shape)
     "interval_join": interval_join_kernel,
+    # CEP absence/timeout: user turns with NO tool response within within_s
+    "absence": absence_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)
     "dedup": content_dedup_kernel,
     # bounded-memory variant: generational Bloom filter, fixed bytes/partition

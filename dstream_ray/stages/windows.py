@@ -1449,3 +1449,101 @@ def tumbling_counts_kernel(
     if next_below is not None:
         new_state["emitted_below"] = next_below
     return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# Absence / timeout pattern (CEP negation)
+# ---------------------------------------------------------------------------
+
+_ABSENCE_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "user_turn_idx": pa.array([], type=pa.int64()),
+        "ts_us": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def absence_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    within_s: int,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """CEP ABSENCE (timeout) pattern — the negation the regex CEP kernel
+    can't express: emit each user turn that is NOT followed by a tool turn
+    of the same conv within ``(u.ts, u.ts + within_s]`` — the streaming
+    "request with no response within SLA" detector (Flink's
+    ``notFollowedBy`` + timeout shape).
+
+    Decidability rides the relay feed contract (per-conv event time is
+    monotone in turn order): a tool turn can only arrive with ts at or
+    beyond the conv's clock, so a pending user turn is settled the moment
+    the conv's clock passes its deadline (timeout → emit) or a tool turn
+    lands inside its window (matched → drop silently). No tool buffer is
+    needed at all — only tools arriving AFTER the user can match, so each
+    epoch's segment tools are probed once via two searchsorted calls.
+    State per conv = pending user turns within the trailing ``within_s``
+    (bounded by user-rate × within_s, independent of stream length).
+
+    ``flush`` force-decides every pending user as timed-out (over a
+    complete feed this equals SQL ``NOT EXISTS`` — the oracle shape); a
+    post-flush continuation starts from empty pending state, so committed
+    timeouts are never rescinded (standard CEP timeout semantics).
+    """
+    W = int(within_s) * US
+    pend: dict = dict(state.get("pend", {}))
+    em_nm: list = []
+    em_turn: list = []
+    em_ts: list = []
+
+    if new_rows.num_rows:
+        cols = prep(new_rows)
+        names = cols.conv_names()
+        for s, e in zip(cols.starts, cols.ends):
+            nm = names[cols.codes[s]]
+            seg = slice(s, e)
+            p_turn, p_ts = pend.get(nm, (_EMPTY_I64, _EMPTY_I64))
+            su = cols.is_user[seg]
+            u_turn = np.concatenate([p_turn, cols.turn[seg][su]])
+            u_ts = np.concatenate([p_ts, cols.ts[seg][su]])
+            if not len(u_turn):
+                continue
+            t_ts = cols.ts[seg][cols.is_tool[seg]]  # ts-sorted (monotone feed)
+            if len(t_ts):
+                matched = np.searchsorted(t_ts, u_ts + W, side="right") > (
+                    np.searchsorted(t_ts, u_ts, side="right")
+                )
+            else:
+                matched = np.zeros(len(u_turn), dtype=bool)
+            conv_max = int(cols.ts[e - 1])
+            timeout = ~matched & (u_ts + W < conv_max)
+            if timeout.any():
+                em_nm.extend([nm] * int(timeout.sum()))
+                em_turn.append(u_turn[timeout])
+                em_ts.append(u_ts[timeout])
+            keep = ~matched & ~timeout
+            pend[nm] = (u_turn[keep], u_ts[keep])
+
+    if flush:
+        for nm in sorted(pend):
+            p_turn, p_ts = pend[nm]
+            if len(p_turn):
+                em_nm.extend([nm] * len(p_turn))
+                em_turn.append(p_turn)
+                em_ts.append(p_ts)
+        pend = {}
+
+    if not em_nm:
+        return _ABSENCE_EMPTY, {"pend": pend}
+    out = pa.table(
+        {
+            "conv_id": pa.array(em_nm, type=pa.string()),
+            "user_turn_idx": pa.array(
+                np.concatenate(em_turn).astype(np.int64)
+            ),
+            "ts_us": pa.array(np.concatenate(em_ts).astype(np.int64)),
+        }
+    )
+    return out, {"pend": pend}

@@ -283,6 +283,21 @@ def test_epoch_split_invariance_bloom_dedup(data, rotate_rows):
 
 
 @settings(max_examples=30, deadline=None)
+@given(feeds(), st.integers(10, 300))
+def test_epoch_split_invariance_absence(data, within_s):
+    """CEP absence/timeout: for ANY per-conv-monotone feed, ANY epoch split
+    and ANY window, accumulated emissions equal the single pass (timeout
+    decisions depend on the conv clock and data, never on epoch framing)."""
+    from dstream_ray.stages.windows import absence_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    single = run_split(absence_kernel, rows, [0, rows.num_rows], within_s=within_s)
+    multi = run_split(absence_kernel, rows, bounds, within_s=within_s)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
 @given(feeds())
 def test_epoch_split_invariance_global_windows(data):
     """Global (cross-conv) windowed aggregates: for ANY feed and ANY epoch

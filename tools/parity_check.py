@@ -88,6 +88,7 @@ def main() -> int:
         ("streaming_upsert", _q.q_streaming_upsert),
         ("streaming_global", _q.q_streaming_global),
         ("streaming_topk", _q.q_streaming_topk),
+        ("streaming_absence", _q.q_streaming_absence),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
