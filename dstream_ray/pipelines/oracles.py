@@ -391,6 +391,40 @@ WHERE u.role = 'user' AND NOT EXISTS (
 )
 """
 
+# LEFT-OUTER interval join == SQL LEFT JOIN on the forward window with -1
+# sentinels for the unmatched side (dstream_ray.stages.windows.
+# outer_join_kernel through the engine; timeout rows emit when the conv
+# clock passes u.ts + 12 h, which over a complete feed equals the LEFT
+# JOIN's null side)
+ORACLE_SQL["streaming_outer_join"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT u.conv_id AS conv_id,
+       CAST(u.turn_idx AS BIGINT) AS user_turn_idx,
+       CAST(COALESCE(t.turn_idx, -1) AS BIGINT) AS tool_turn_idx,
+       COALESCE(epoch_us(t.ts) - epoch_us(u.ts), CAST(-1 AS BIGINT)) AS dt_us
+FROM (SELECT * FROM transcripts WHERE role = 'user') u
+LEFT JOIN (SELECT * FROM transcripts WHERE role = 'tool') t
+  ON t.conv_id = u.conv_id
+ AND epoch_us(t.ts) > epoch_us(u.ts)
+ AND epoch_us(t.ts) <= epoch_us(u.ts) + CAST(43200 AS BIGINT) * 1000000
+"""
+
+# Per-row running window functions == SQL ROW_NUMBER / LAG / running SUM
+# partitioned by conv, ordered by turn (dstream_ray.stages.windows.
+# running_kernel through the engine; each row's outputs depend only on its
+# conv prefix, which the kernel's O(1) carry summarises exactly)
+ORACLE_SQL["streaming_running"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(row_number() OVER w AS BIGINT) AS row_number,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                CAST(-1 AS BIGINT)) AS dt_prev_us,
+       CAST(sum(length(text)) OVER w AS BIGINT) AS cum_chars
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
 # GLOBAL windowed aggregate == plain GROUP BY over the whole feed; the
 # engine emits P mergeable partials per window, summed consumer-side
 # (dstream_ray.stages.windows.tumbling_global_kernel through the engine)

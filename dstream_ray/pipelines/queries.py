@@ -536,6 +536,10 @@ def _run_streaming(sf_dir: str):
                 "interval_join": {"within_s": IJ_WITHIN_S},
                 # CEP absence/timeout: user turns with no tool reply in 12 h
                 "absence": {"within_s": IJ_WITHIN_S},
+                # LEFT-OUTER interval join: forward-window pairs + timeout rows
+                "outer_join": {"within_s": IJ_WITHIN_S},
+                # per-row window functions: ROW_NUMBER / LAG(ts) / running SUM
+                "running": {},
                 # windowed exact count(DISTINCT tool) per (conv, day)
                 "tumbling_distinct": {"width_s": TUMBLING_S},
                 # windowed exact p50/p90 of turn length per (conv, day)
@@ -709,6 +713,23 @@ def q_streaming_absence(sf_dir: str) -> pa.Table:
     pattern): every user turn with NO tool turn of the same conv within
     the following 12 h — gated against a NOT EXISTS oracle."""
     return _run_streaming(sf_dir).sink.read_op("absence")
+
+
+def q_streaming_outer_join(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'outer_join' engine operator (streaming
+    LEFT-OUTER interval join): every (user turn, following tool turn within
+    12 h) pair plus one ``tool_turn_idx = dt_us = -1`` timeout row per
+    unanswered user turn — gated against a SQL LEFT JOIN oracle with the
+    same sentinels through the real multi-epoch exactly-once run."""
+    return _run_streaming(sf_dir).sink.read_op("outer_join")
+
+
+def q_streaming_running(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'running' engine operator (per-row window
+    functions): for every turn, its ROW_NUMBER / LAG-gap / running char sum
+    within the conversation — gated against the SQL window-function oracle
+    through the real multi-epoch exactly-once run."""
+    return _run_streaming(sf_dir).sink.read_op("running")
 
 
 def q_streaming_global(sf_dir: str) -> pa.Table:

@@ -55,6 +55,8 @@ from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
     absence_kernel,
     interval_join_kernel,
+    outer_join_kernel,
+    running_kernel,
     tumbling_counts_kernel,
     tumbling_distinct_kernel,
     tumbling_global_kernel,
@@ -94,6 +96,12 @@ WINDOW_OPERATORS = {
     "interval_join": interval_join_kernel,
     # CEP absence/timeout: user turns with NO tool response within within_s
     "absence": absence_kernel,
+    # LEFT-OUTER interval join: matched pairs on tool arrival + one -1
+    # sentinel row per user turn whose forward window times out
+    "outer_join": outer_join_kernel,
+    # per-row running window functions (ROW_NUMBER / LAG / running SUM per
+    # conv): one output row per input row, O(1) state per conv
+    "running": running_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)
     "dedup": content_dedup_kernel,
     # bounded-memory variant: generational Bloom filter, fixed bytes/partition

@@ -1547,3 +1547,220 @@ def absence_kernel(
         }
     )
     return out, {"pend": pend}
+
+
+_OUTER_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "user_turn_idx": pa.array([], type=pa.int64()),
+        "tool_turn_idx": pa.array([], type=pa.int64()),
+        "dt_us": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def outer_join_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    within_s: int,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Streaming LEFT-OUTER interval join (request↔response with timeout) —
+    the fusion of :func:`interval_join_kernel` (matched side) and
+    :func:`absence_kernel` (timeout side): for each user turn u, emit one
+    row per tool turn t of the same conv with ``t.ts ∈ (u.ts, u.ts +
+    within_s]`` when t arrives, and, if NO such tool ever lands, exactly one
+    timeout row (``tool_turn_idx = dt_us = -1``) the moment the conv's clock
+    passes u's deadline — Flink's outer interval join / `notFollowedBy`-
+    with-emission shape.
+
+    Decidability rides the relay feed contract (per-conv ts monotone in
+    turn order): state per conv = the user turns still inside their
+    forward window, each with a matched flag (bounded by user-rate ×
+    within_s, independent of stream length). Tools are never buffered —
+    a tool can only match users at or before its ts, all of which are in
+    state (or this segment) when it arrives: retention keeps u while
+    ``u.ts + W >= conv_clock``, and any matchable u satisfies
+    ``u.ts >= t.ts − W ⇒ u.ts + W >= t.ts >= conv_clock``.
+
+    Epoch-split invariance: pairs emit on tool arrival exactly once;
+    timeout rows emit on the first segment whose clock passes the deadline
+    (or at flush, which force-decides pending users as timed out — over a
+    complete feed this equals the SQL LEFT JOIN oracle with −1 sentinels).
+    """
+    W = int(within_s) * US
+    pend: dict = dict(state.get("pend", {}))
+    em_nm: list = []
+    em_u: list = []
+    em_t: list = []
+    em_dt: list = []
+
+    def _emit(nm: str, u_turn, t_turn, dt):
+        em_nm.extend([nm] * len(u_turn))
+        em_u.append(u_turn)
+        em_t.append(t_turn)
+        em_dt.append(dt)
+
+    if new_rows.num_rows:
+        cols = prep(new_rows)
+        names = cols.conv_names()
+        for s, e in zip(cols.starts, cols.ends):
+            nm = names[cols.codes[s]]
+            seg = slice(s, e)
+            p_turn, p_ts, p_hit = pend.get(
+                nm, (_EMPTY_I64, _EMPTY_I64, np.empty(0, dtype=bool))
+            )
+            su = cols.is_user[seg]
+            u_turn = np.concatenate([p_turn, cols.turn[seg][su]])
+            # pending ts <= previous conv clock <= segment ts (monotone
+            # feed), so the concat stays ts-sorted — searchsorted-safe
+            u_ts = np.concatenate([p_ts, cols.ts[seg][su]])
+            hit = np.concatenate([p_hit, np.zeros(int(su.sum()), dtype=bool)])
+            st = cols.is_tool[seg]
+            t_ts = cols.ts[seg][st]  # ts-sorted (monotone feed)
+            if len(u_turn) and len(t_ts):
+                t_turn = cols.turn[seg][st]
+                lo = np.searchsorted(u_ts, t_ts - W, side="left")
+                hi = np.searchsorted(u_ts, t_ts, side="left")  # strict u.ts < t.ts
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total:
+                    off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    u_idx = np.repeat(lo, cnt) + (
+                        np.arange(total, dtype=np.int64) - off
+                    )
+                    t_rep = np.repeat(np.arange(len(t_ts), dtype=np.int64), cnt)
+                    _emit(
+                        nm,
+                        u_turn[u_idx],
+                        t_turn[t_rep],
+                        t_ts[t_rep] - u_ts[u_idx],
+                    )
+                    # matched coverage: union of all [lo, hi) tool probes
+                    delta = np.zeros(len(u_turn) + 1, dtype=np.int64)
+                    np.add.at(delta, lo, 1)
+                    np.add.at(delta, hi, -1)
+                    hit |= np.cumsum(delta[:-1]) > 0
+            if len(u_turn):
+                conv_max = int(cols.ts[e - 1])
+                expired = u_ts + W < conv_max
+                timeout = expired & ~hit
+                if timeout.any():
+                    n_to = int(timeout.sum())
+                    _emit(
+                        nm,
+                        u_turn[timeout],
+                        np.full(n_to, -1, dtype=np.int64),
+                        np.full(n_to, -1, dtype=np.int64),
+                    )
+                keep = ~expired
+                pend[nm] = (u_turn[keep], u_ts[keep], hit[keep])
+
+    if flush:
+        for nm in sorted(pend):
+            p_turn, p_ts, p_hit = pend[nm]
+            miss = ~p_hit
+            if miss.any():
+                n_to = int(miss.sum())
+                _emit(
+                    nm,
+                    p_turn[miss],
+                    np.full(n_to, -1, dtype=np.int64),
+                    np.full(n_to, -1, dtype=np.int64),
+                )
+        pend = {}
+
+    if not em_nm:
+        return _OUTER_EMPTY, {"pend": pend}
+    out = pa.table(
+        {
+            "conv_id": pa.array(em_nm, type=pa.string()),
+            "user_turn_idx": pa.array(np.concatenate(em_u).astype(np.int64)),
+            "tool_turn_idx": pa.array(np.concatenate(em_t).astype(np.int64)),
+            "dt_us": pa.array(np.concatenate(em_dt).astype(np.int64)),
+        }
+    )
+    return out, {"pend": pend}
+
+
+_RUNNING_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "row_number": pa.array([], type=pa.int64()),
+        "dt_prev_us": pa.array([], type=pa.int64()),
+        "cum_chars": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def running_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Per-row running window functions over the keyed stream — the Flink
+    keyed-ValueState / SQL window-function shape (``ROW_NUMBER() OVER``,
+    ``LAG(ts)``, running ``SUM(n_chars)`` partitioned by conv, ordered by
+    turn): every input row emits exactly one output row, immediately,
+    carrying its 1-based position in the conv, the µs gap to the previous
+    turn (``-1`` for a conv's first turn), and the inclusive running
+    character total.
+
+    State per conv is O(1) — ``(count, last_ts, cum_chars)`` — so memory is
+    bounded by live-conversation cardinality, independent of stream length,
+    and any epoch split produces identical rows (each row's outputs depend
+    only on the prefix of its conv, which the carry summarises exactly).
+
+    Fully vectorized: one segment-offset subtraction for positions, one
+    shifted-``ts`` diff for lags, one ``cumsum`` rebased per segment for the
+    running sum; Python touches only the per-conv carry dict (O(#convs)).
+    """
+    st: dict = dict(state.get("run", {}))
+    if not new_rows.num_rows:
+        return _RUNNING_EMPTY, ({} if flush else {"run": st})
+
+    cols = prep(new_rows)
+    names = cols.conv_names()
+    n = len(cols.codes)
+    starts, ends = cols.starts, cols.ends
+    seg_len = ends - starts
+    seg_names = [names[cols.codes[s]] for s in starts]
+    carry = np.array(
+        [st.get(nm, (0, -1, 0)) for nm in seg_names], dtype=np.int64
+    ).reshape(len(seg_names), 3)
+    base_cnt, base_ts, base_cum = carry[:, 0], carry[:, 1], carry[:, 2]
+
+    seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), seg_len)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+    row_number = base_cnt[seg_id] + pos + 1
+
+    prev_ts = np.empty(n, dtype=np.int64)
+    prev_ts[1:] = cols.ts[:-1]
+    prev_ts[starts] = base_ts
+    dt_prev = np.where(prev_ts >= 0, cols.ts - prev_ts, -1)
+
+    cs = np.cumsum(cols.n_chars)
+    cum_chars = cs - np.repeat(cs[starts] - cols.n_chars[starts], seg_len)
+    cum_chars += base_cum[seg_id]
+
+    last = ends - 1
+    for i, nm in enumerate(seg_names):
+        st[nm] = (
+            int(base_cnt[i] + seg_len[i]),
+            int(cols.ts[last[i]]),
+            int(cum_chars[last[i]]),
+        )
+
+    out = pa.table(
+        {
+            "conv_id": cols.conv_strings(np.arange(n)),
+            "turn_idx": pa.array(cols.turn),
+            "row_number": pa.array(row_number),
+            "dt_prev_us": pa.array(dt_prev),
+            "cum_chars": pa.array(cum_chars),
+        }
+    )
+    return out, ({} if flush else {"run": st})

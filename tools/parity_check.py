@@ -89,6 +89,8 @@ def main() -> int:
         ("streaming_global", _q.q_streaming_global),
         ("streaming_topk", _q.q_streaming_topk),
         ("streaming_absence", _q.q_streaming_absence),
+        ("streaming_outer_join", _q.q_streaming_outer_join),
+        ("streaming_running", _q.q_streaming_running),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
