@@ -425,6 +425,65 @@ FROM transcripts
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 """
 
+# GROUP BY ROLLUP == finest distributive aggregate + driver-side sums over
+# the vocabulary-bounded finest result (queries.q_rollup_usage); grp is the
+# SQL GROUPING id, '(all)' the super-aggregate placeholder
+ORACLE_SQL["rollup_usage"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT CASE WHEN GROUPING(role) = 1 THEN '(all)' ELSE role END AS role,
+       CASE WHEN GROUPING(tool) = 1 THEN '(all)' ELSE tool END AS tool,
+       CAST(GROUPING(role) * 2 + GROUPING(tool) AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM transcripts
+GROUP BY ROLLUP(role, tool)
+"""
+
+# PIVOT role -> wide per-conv columns == one-hot CASE sums per conv
+# (queries.q_pivot_roles; convs never span partitions, so the per-partition
+# groupby is final — no global shuffle)
+ORACLE_SQL["pivot_roles"] = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts
+GROUP BY conv_id
+"""
+
+# Gaps-and-islands session labels == nested window functions: session_id
+# is a running count of gap-starts, position a row_number within (conv,
+# session) (dstream_ray.stages.windows.sessionize_kernel through the
+# engine; the kernel's O(1) carry summarises the conv prefix exactly)
+ORACLE_SQL["streaming_sessionize"] = f"""
+WITH {TRANSCRIPTS_CTE},
+lagged AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_us
+  FROM transcripts
+),
+labeled AS (
+  SELECT conv_id, turn_idx,
+         SUM(CASE WHEN prev_us IS NULL
+                    OR ts_us - prev_us > CAST(43200 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS session_id
+  FROM lagged
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(row_number() OVER (PARTITION BY conv_id, session_id
+                               ORDER BY turn_idx) AS BIGINT)
+         AS turn_in_session
+FROM labeled
+"""
+
 # GLOBAL windowed aggregate == plain GROUP BY over the whole feed; the
 # engine emits P mergeable partials per window, summed consumer-side
 # (dstream_ray.stages.windows.tumbling_global_kernel through the engine)

@@ -240,6 +240,75 @@ def q_tool_usage(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_rollup_usage(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(role, tool): per-(role, tool) usage plus the (role)
+    and grand-total super-aggregate rows, `grp` = SQL GROUPING id.
+
+    Scale shape: the finest level aggregates distributively (per-partition
+    partials -> one small groupby over role x tool, bounded by vocabulary,
+    not corpus); the super-aggregates are then pure sums OVER THE FINEST
+    RESULT, computed on the driver over that vocabulary-bounded table —
+    never a second pass over the data."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "role": t["role"],
+            "tool": t["tool"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }).to_pandas()
+        g = df.groupby(["role", "tool"], as_index=False).agg(
+            n_turns=("role", "size"), total_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    finest = (
+        _per_partition(sf_dir, fn)
+        .groupby(["role", "tool"])
+        .aggregate(Sum("n_turns", alias_name="n_turns"),
+                   Sum("total_chars", alias_name="total_chars"))
+        .to_pandas()  # vocabulary-bounded: |roles| x |tools| rows
+    )
+    finest["grp"] = 0
+    by_role = finest.groupby("role", as_index=False).agg(
+        n_turns=("n_turns", "sum"), total_chars=("total_chars", "sum")
+    )
+    by_role["tool"] = "(all)"
+    by_role["grp"] = 1
+    total = pd.DataFrame({
+        "role": ["(all)"], "tool": ["(all)"], "grp": [3],
+        "n_turns": [finest["n_turns"].sum()],
+        "total_chars": [finest["total_chars"].sum()],
+    })
+    out = pd.concat([finest, by_role, total], ignore_index=True)
+    out["grp"] = out["grp"].astype(np.int64)
+    return out[["role", "tool", "grp", "n_turns", "total_chars"]]
+
+
+def q_pivot_roles(sf_dir: str) -> pd.DataFrame:
+    """PIVOT role -> wide per-conv columns (n_user/n_assistant/n_tool/
+    n_turns): the one-hot partial aggregates inside map_batches and convs
+    never span partitions, so one per-partition groupby IS the final
+    answer — no global shuffle at any corpus size."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        role = np.asarray(t["role"].to_pandas())
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas(),
+            "n_user": (role == "user").astype(np.int64),
+            "n_assistant": (role == "assistant").astype(np.int64),
+            "n_tool": (role == "tool").astype(np.int64),
+        })
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_user=("n_user", "sum"), n_assistant=("n_assistant", "sum"),
+            n_tool=("n_tool", "sum"), n_turns=("n_user", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _per_partition(sf_dir, fn).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # generic event-stream analytics (pre-aggregation pattern)
 # ---------------------------------------------------------------------------
@@ -540,6 +609,8 @@ def _run_streaming(sf_dir: str):
                 "outer_join": {"within_s": IJ_WITHIN_S},
                 # per-row window functions: ROW_NUMBER / LAG(ts) / running SUM
                 "running": {},
+                # gaps-and-islands per-row session labels (dual of 'session')
+                "sessionize": {"gap_s": SESSION_GAP_S},
                 # windowed exact count(DISTINCT tool) per (conv, day)
                 "tumbling_distinct": {"width_s": TUMBLING_S},
                 # windowed exact p50/p90 of turn length per (conv, day)
@@ -730,6 +801,15 @@ def q_streaming_running(sf_dir: str) -> pa.Table:
     within the conversation — gated against the SQL window-function oracle
     through the real multi-epoch exactly-once run."""
     return _run_streaming(sf_dir).sink.read_op("running")
+
+
+def q_streaming_sessionize(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'sessionize' engine operator (gaps-and-islands):
+    every turn labeled with its 1-based session id (new session when the
+    gap to the conv's previous turn exceeds SESSION_GAP_S) and in-session
+    position — gated against a nested-window-function SQL oracle through
+    the real multi-epoch exactly-once run."""
+    return _run_streaming(sf_dir).sink.read_op("sessionize")
 
 
 def q_streaming_global(sf_dir: str) -> pa.Table:

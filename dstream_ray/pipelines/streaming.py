@@ -57,6 +57,7 @@ from dstream_ray.stages.windows import (
     interval_join_kernel,
     outer_join_kernel,
     running_kernel,
+    sessionize_kernel,
     tumbling_counts_kernel,
     tumbling_distinct_kernel,
     tumbling_global_kernel,
@@ -102,6 +103,8 @@ WINDOW_OPERATORS = {
     # per-row running window functions (ROW_NUMBER / LAG / running SUM per
     # conv): one output row per input row, O(1) state per conv
     "running": running_kernel,
+    # gaps-and-islands: per-row session-id + in-session position labels
+    "sessionize": sessionize_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)
     "dedup": content_dedup_kernel,
     # bounded-memory variant: generational Bloom filter, fixed bytes/partition

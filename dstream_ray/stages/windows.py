@@ -1764,3 +1764,90 @@ def running_kernel(
         }
     )
     return out, ({} if flush else {"run": st})
+
+
+_SESSIONIZE_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "session_id": pa.array([], type=pa.int64()),
+        "turn_in_session": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def sessionize_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    gap_s: int,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Per-row session-id assignment (gaps-and-islands): every turn emits
+    immediately with the 1-based id of the session it belongs to (a new
+    session starts when the gap to the conv's previous turn exceeds
+    ``gap_s``) and its 1-based position within that session — the labeling
+    dual of the aggregating session window: `session_window_kernel` emits
+    one row per closed session, this emits one row per turn, before the
+    session closes.
+
+    State per conv is O(1) — ``(last_ts, session_count, turns_in_cur)`` —
+    and each row's labels depend only on its conv prefix, so any epoch
+    split emits identical rows. Vectorized: gap detection is one shifted
+    diff, session ids a rebased ``cumsum`` of starts, positions a
+    ``maximum.accumulate`` over start indices (Python touches only the
+    per-conv carry dict).
+    """
+    G = int(gap_s) * US
+    st: dict = dict(state.get("sess", {}))
+    if not new_rows.num_rows:
+        return _SESSIONIZE_EMPTY, ({} if flush else {"sess": st})
+
+    cols = prep(new_rows)
+    names = cols.conv_names()
+    n = len(cols.codes)
+    starts, ends = cols.starts, cols.ends
+    seg_len = ends - starts
+    seg_names = [names[cols.codes[s]] for s in starts]
+    carry = np.array(
+        [st.get(nm, (-1, 0, 0)) for nm in seg_names], dtype=np.int64
+    ).reshape(len(seg_names), 3)
+    base_ts, base_sess, base_turns = carry[:, 0], carry[:, 1], carry[:, 2]
+
+    seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), seg_len)
+    prev_ts = np.empty(n, dtype=np.int64)
+    prev_ts[1:] = cols.ts[:-1]
+    prev_ts[starts] = base_ts
+    is_new = (prev_ts < 0) | (cols.ts - prev_ts > G)
+
+    cs = np.cumsum(is_new.astype(np.int64))
+    sess_in_seg = cs - np.repeat(cs[starts] - is_new[starts], seg_len)
+    session_id = base_sess[seg_id] + sess_in_seg
+
+    idx = np.arange(n, dtype=np.int64)
+    last_start = np.maximum.accumulate(np.where(is_new, idx, -1))
+    seg_start = np.repeat(starts, seg_len)
+    in_carried = last_start < seg_start  # still inside the carried session
+    turn_in_session = np.where(
+        in_carried,
+        base_turns[seg_id] + (idx - seg_start) + 1,
+        idx - last_start + 1,
+    )
+
+    for i, nm in enumerate(seg_names):
+        e = ends[i] - 1
+        st[nm] = (
+            int(cols.ts[e]),
+            int(session_id[e]),
+            int(turn_in_session[e]),
+        )
+
+    out = pa.table(
+        {
+            "conv_id": cols.conv_strings(idx),
+            "turn_idx": pa.array(cols.turn),
+            "session_id": pa.array(session_id),
+            "turn_in_session": pa.array(turn_in_session),
+        }
+    )
+    return out, ({} if flush else {"sess": st})

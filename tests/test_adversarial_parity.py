@@ -54,6 +54,10 @@ def _queries_and_oracles():
     qs.setdefault("text_normalize", dataops.q_text_normalize)
     qs.setdefault("dedup_exact", dataops.q_dedup_exact)
     qs.setdefault("cms_tokens", dataops.q_cms_tokens)
+    from dstream_ray.pipelines import queries as _q
+
+    qs.setdefault("rollup_usage", _q.q_rollup_usage)
+    qs.setdefault("pivot_roles", _q.q_pivot_roles)
     return qs, dict(ORACLE_SQL)
 
 
@@ -139,6 +143,8 @@ EVENT_QUERIES = [
     "tool_usage",
     "events_hourly",
     "hll_registers",
+    "rollup_usage",  # library-only (ROLLUP super-aggregates, GROUPING ids)
+    "pivot_roles",  # library-only (one-hot pivot, per-partition-final)
 ]
 
 

@@ -91,6 +91,9 @@ def main() -> int:
         ("streaming_absence", _q.q_streaming_absence),
         ("streaming_outer_join", _q.q_streaming_outer_join),
         ("streaming_running", _q.q_streaming_running),
+        ("streaming_sessionize", _q.q_streaming_sessionize),
+        ("rollup_usage", _q.q_rollup_usage),
+        ("pivot_roles", _q.q_pivot_roles),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
