@@ -656,6 +656,57 @@ SELECT event_type AS key, bucket, CAST(MAX(rank) AS BIGINT) AS rank
 FROM br GROUP BY 1, 2
 """
 
+# Windowed form of the same register recomputation, for the streaming
+# 'tumbling_hll' engine operator: the distinct set is (tumbling window,
+# conv_id) over the transcripts feed, the hash chain is identical
+# (stages/sketches.HLL: FNV-1a + murmur fmix64, bucket = top 12 bits,
+# exact leading-zero rank), and the register table equals the elementwise
+# MAX over every partition's sparse partials.
+ORACLE_SQL["streaming_hll"] = f"""
+WITH {{TRANSCRIPTS_CTE}},
+duv AS (
+  SELECT DISTINCT
+    CAST(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS BIGINT)
+      AS window_id,
+    conv_id AS uid
+  FROM transcripts
+), fnv AS (
+  SELECT window_id,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(uid, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % (1::HUGEINT << 64)
+    ) AS h0
+  FROM duv
+), mix1 AS (
+  SELECT window_id, xor(h0, h0 >> 33) AS h1 FROM fnv
+), mul1 AS (
+  SELECT window_id,
+    ( ((h1 >> 32) * 18397679294719823053::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h1 % (1::HUGEINT << 32)) * 18397679294719823053::HUGEINT ) % (1::HUGEINT << 64) AS h2
+  FROM mix1
+), mix2 AS (
+  SELECT window_id, xor(h2, h2 >> 33) AS h3 FROM mul1
+), mul2 AS (
+  SELECT window_id,
+    ( ((h3 >> 32) * 14181476777654086739::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h3 % (1::HUGEINT << 32)) * 14181476777654086739::HUGEINT ) % (1::HUGEINT << 64) AS h4
+  FROM mix2
+), mixed AS (
+  SELECT window_id, xor(h4, h4 >> 33) AS h FROM mul2
+), br AS (
+  SELECT window_id,
+    (h >> 52)::BIGINT AS bucket,
+    CASE WHEN (h << 12) % (1::HUGEINT << 64) = 0 THEN 53
+         ELSE list_filter(generate_series(1, 53),
+                r -> (h << 12) % (1::HUGEINT << 64) >= (1::HUGEINT << (64 - r)))[1]
+    END AS rank
+  FROM mixed
+)
+SELECT window_id, bucket, CAST(MAX(rank) AS BIGINT) AS rank
+FROM br GROUP BY 1, 2
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE)
+
 
 # --- SimHash + MinHash dedup: exact SQL recomputation ----------------------
 # Both recompute the engine's FNV-1a token hashing with 64-bit wraparound in

@@ -619,6 +619,8 @@ def _run_streaming(sf_dir: str):
                 "tumbling_global": {"width_s": TUMBLING_S},
                 # GLOBAL windowed tool counts — exact top-k feeder
                 "tumbling_counts": {"width_s": TUMBLING_S},
+                # GLOBAL windowed approx distinct convs (HLL register partials)
+                "tumbling_hll": {"width_s": TUMBLING_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
                 # latest-per-key compaction (CDC materialized view)
@@ -839,6 +841,22 @@ def q_streaming_topk(sf_dir: str) -> pa.Table:
     )
     topk = merged.groupby("window_id").head(3).reset_index(drop=True)
     return pa.Table.from_pandas(topk, preserve_index=False)
+
+
+def q_streaming_hll(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_hll' engine operator merged into the
+    global per-window HLL sketch: per-partition sparse register partials
+    (window_id, bucket, rank) combine by elementwise MAX — bounded by
+    windows × 2^p rows, never stream length — and the merged register
+    table is gated register-for-register against the HUGEINT SQL oracle
+    (the windowed form of `hll_registers`)."""
+    partials = _run_streaming(sf_dir).sink.read_op("tumbling_hll").to_pandas()
+    merged = (
+        partials.groupby(["window_id", "bucket"], as_index=False)["rank"].max()
+        .sort_values(["window_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def q_range_join(sf_dir: str) -> rd.Dataset:

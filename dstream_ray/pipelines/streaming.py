@@ -59,6 +59,7 @@ from dstream_ray.stages.windows import (
     running_kernel,
     sessionize_kernel,
     tumbling_counts_kernel,
+    tumbling_hll_kernel,
     tumbling_distinct_kernel,
     tumbling_global_kernel,
     tumbling_quantile_kernel,
@@ -84,6 +85,9 @@ WINDOW_OPERATORS = {
     "tumbling_global": tumbling_global_kernel,
     # GLOBAL windowed value counts — exact top-k / heavy-hitters feeder
     "tumbling_counts": tumbling_counts_kernel,
+    # GLOBAL windowed approximate distinct convs: mergeable HLL register
+    # partials per partition (consumer merges by elementwise max)
+    "tumbling_hll": tumbling_hll_kernel,
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,

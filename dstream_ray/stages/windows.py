@@ -32,6 +32,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level so they resolve at pickle time (the package is registered
+# cloudpickle-by-value); a function-level import would re-resolve on the
+# WORKER, where the repo is not on sys.path
+from dstream_ray.common import fnv1a_u64
+from dstream_ray.stages.sketches import HLL
+
 US = 1_000_000
 _I64MIN = np.iinfo(np.int64).min
 
@@ -1851,3 +1857,80 @@ def sessionize_kernel(
         }
     )
     return out, ({} if flush else {"sess": st})
+
+
+_HLL_EMPTY = pa.table(
+    {
+        "window_id": pa.array([], type=pa.int64()),
+        "bucket": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def tumbling_hll_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    p: int = 12,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """GLOBAL windowed approximate distinct-conversation count as a
+    mergeable HyperLogLog sketch: each partition keeps one 2^p-register
+    HLL per tumbling window and, at flush, emits its NONZERO registers as
+    sparse ``(window_id, bucket, rank)`` partial rows. Registers merge
+    across partitions by elementwise MAX (the consumer groupby below is
+    bounded by windows × 2^p rows, never by stream length) — the
+    streaming/windowed form of the batch `hll_registers` sketch, and the
+    approximate companion to `tumbling_distinct` (exact, conv-keyed):
+    this one answers "distinct convs per day ACROSS the whole stream" in
+    O(2^p) state per partition per window, where the exact answer would
+    need the full conv-id set.
+
+    Determinism: register state is a pure max-fold over the set of
+    (window, conv) pairs seen, so any epoch split / partition layout
+    yields identical merged registers (order-free). Hashing matches
+    stages/sketches.HLL exactly (FNV-1a + murmur fmix64), which is what
+    the HUGEINT SQL oracle recomputes register-for-register.
+    """
+    W = int(width_s) * US
+    regs: dict = dict(state.get("hll", {}))
+    if new_rows.num_rows:
+        cols = prep(new_rows)
+        win = cols.ts // W
+        # hash each distinct conv once per epoch, then fold distinct
+        # (window, conv) pairs into the per-window registers
+        h_by_code = fnv1a_u64(cols.uniq.cast(pa.string()))
+        pairs = np.unique(np.stack([win, cols.codes]), axis=1)
+        for w in np.unique(pairs[0]):
+            hs = h_by_code[pairs[1][pairs[0] == w]].astype(np.uint64)
+            prev = regs.get(int(w))
+            # copy before np.maximum.at: the carried state must stay
+            # immutable (snapshots/actors may still reference it)
+            hll = HLL(p, None if prev is None else prev.copy())
+            hll.add_hashes(hs)
+            regs[int(w)] = hll.registers
+
+    if not flush:
+        return _HLL_EMPTY, {"hll": regs}
+
+    em_w: list = []
+    em_b: list = []
+    em_r: list = []
+    for w in sorted(regs):
+        r = regs[w]
+        nz = np.flatnonzero(r)
+        em_w.append(np.full(len(nz), w, dtype=np.int64))
+        em_b.append(nz.astype(np.int64))
+        em_r.append(r[nz].astype(np.int64))
+    if not em_w:
+        return _HLL_EMPTY, {}
+    out = pa.table(
+        {
+            "window_id": pa.array(np.concatenate(em_w)),
+            "bucket": pa.array(np.concatenate(em_b)),
+            "rank": pa.array(np.concatenate(em_r)),
+        }
+    )
+    return out, {}

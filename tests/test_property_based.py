@@ -379,3 +379,54 @@ def test_epoch_split_invariance_tumbling_quantile(data):
     single = run_split(tumbling_quantile_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
     multi = run_split(tumbling_quantile_kernel, rows, bounds, width_s=WIDTH_S)
     pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds(), st.integers(10, 300))
+def test_epoch_split_invariance_outer_join(data, within_s):
+    """LEFT-OUTER interval join: any feed, any epoch split, any window —
+    the accumulated pair+timeout row set equals the single pass (matched
+    flags carry across epochs; flush force-decides pending users)."""
+    from dstream_ray.stages.windows import outer_join_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    single = run_split(outer_join_kernel, rows, [0, rows.num_rows], within_s=within_s)
+    multi = run_split(outer_join_kernel, rows, bounds, within_s=within_s)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds(), st.integers(10, 300))
+def test_epoch_split_invariance_per_row_labels(data, gap_s):
+    """Per-row label operators (running window functions, gaps-and-islands
+    sessionize): any feed, any epoch split — every row's labels depend
+    only on its conv prefix, which the O(1) carry summarises exactly."""
+    from dstream_ray.stages.windows import running_kernel, sessionize_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    for kernel, kw in [(running_kernel, {}), (sessionize_kernel, {"gap_s": gap_s})]:
+        single = run_split(kernel, rows, [0, rows.num_rows], **kw)
+        multi = run_split(kernel, rows, bounds, **kw)
+        pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_tumbling_hll(data):
+    """Windowed HLL sketch: any feed, any epoch split — the merged register
+    table equals the single pass (registers are a pure max-fold over the
+    (window, conv) set, order- and framing-free)."""
+    from dstream_ray.stages.windows import tumbling_hll_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+
+    def merged(df):
+        return (df.groupby(["window_id", "bucket"], as_index=False)["rank"].max()
+                .sort_values(["window_id", "bucket"]).reset_index(drop=True))
+
+    single = run_split(tumbling_hll_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
+    multi = run_split(tumbling_hll_kernel, rows, bounds, width_s=WIDTH_S)
+    pd.testing.assert_frame_equal(merged(single), merged(multi), check_dtype=False)

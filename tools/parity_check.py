@@ -92,6 +92,7 @@ def main() -> int:
         ("streaming_outer_join", _q.q_streaming_outer_join),
         ("streaming_running", _q.q_streaming_running),
         ("streaming_sessionize", _q.q_streaming_sessionize),
+        ("streaming_hll", _q.q_streaming_hll),
         ("rollup_usage", _q.q_rollup_usage),
         ("pivot_roles", _q.q_pivot_roles),
     ]:
