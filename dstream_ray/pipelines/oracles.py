@@ -456,6 +456,26 @@ FROM transcripts
 GROUP BY conv_id
 """
 
+# Cohort retention == first-active-day cohorts joined back to distinct
+# (user, day) actives (queries.q_cohort_retention; per-user-partition
+# distinct counts sum globally because the user hash key co-locates
+# each user's whole history)
+ORACLE_SQL["cohort_retention"] = """
+WITH f AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS BIGINT)
+           AS day
+  FROM events
+), fd AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM f GROUP BY 1
+), act AS (
+  SELECT DISTINCT f.user_id, fd.cohort_day, f.day - fd.cohort_day AS day_offset
+  FROM f JOIN fd USING (user_id)
+)
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM act GROUP BY 1, 2
+"""
+
 # Gaps-and-islands session labels == nested window functions: session_id
 # is a running count of gap-starts, position a row_number within (conv,
 # session) (dstream_ray.stages.windows.sessionize_kernel through the

@@ -442,6 +442,56 @@ def q_cep_pattern(sf_dir: str) -> rd.Dataset:
     return _per_partition(sf_dir, lambda t: cep_pattern_kernel(t, pattern="ua*t"))
 
 
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix over the events stream: users cohort by
+    first-active day; each (cohort_day, day_offset) cell counts DISTINCT
+    users active that many days after their cohort day.
+
+    Scale shape: one hash exchange on user_id (the same ORACLE_PARTITIONS
+    key every events operator reuses) co-locates each user's history; the
+    per-partition pass computes first-day + distinct (user, day) actives
+    vectorized, and because a user lives in exactly ONE partition the
+    per-partition distinct counts SUM to the global answer — the only
+    cross-partition traffic is the (days × offsets)-bounded cell table."""
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"),
+                     columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "partition_id", pa.array((uid % ORACLE_PARTITIONS).astype(np.int32))
+        )
+
+    def cohortize(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        day = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            86_400 * 1_000_000
+        )
+        df = pd.DataFrame({"uid": uid, "day": day}).drop_duplicates()
+        first = (df.groupby("uid", as_index=False)["day"].min()
+                 .rename(columns={"day": "cohort_day"}))
+        m = df.merge(first, on="uid")
+        m["day_offset"] = m["day"] - m["cohort_day"]
+        # (uid, day) is distinct, so each user hits a cell at most once:
+        # per-cell size == per-cell distinct users
+        g = m.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("uid", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(cohortize, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str) -> rd.Dataset:
     """AS-OF JOIN (custom operator the Dataset API lacks): for every event,
     attach the timestamp of the most recent STRICTLY PRIOR 'signup' event of

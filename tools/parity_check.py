@@ -94,6 +94,7 @@ def main() -> int:
         ("streaming_sessionize", _q.q_streaming_sessionize),
         ("streaming_hll", _q.q_streaming_hll),
         ("rollup_usage", _q.q_rollup_usage),
+        ("cohort_retention", _q.q_cohort_retention),
         ("pivot_roles", _q.q_pivot_roles),
     ]:
         qs.setdefault(_name, _fn)
