@@ -456,6 +456,52 @@ FROM transcripts
 GROUP BY conv_id
 """
 
+# Windowed approximate-quantile sketch == exact bucket-count recomputation:
+# the DDSketch-style log-bucket id is pure integer bit arithmetic on BOTH
+# sides (numpy frexp/shift vs SQL bin()/>>/&), so every (window, bucket)
+# count compares exactly (dstream_ray.stages.windows.tumbling_qsketch_kernel
+# through the engine; partitions merge partials by summing)
+ORACLE_SQL["streaming_qsketch"] = f"""
+WITH {{TRANSCRIPTS_CTE}},
+v AS (
+  SELECT
+    CAST(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS BIGINT)
+      AS window_id,
+    length(text) AS x
+  FROM transcripts
+)
+SELECT window_id,
+       CAST(CASE WHEN x < 16 THEN x
+                 ELSE (length(bin(x)) - 1) * 16
+                      + ((x >> (length(bin(x)) - 5)) & 15)
+            END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY 1, 2
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE)
+
+# Ordered funnel == chained first-occurrence-after-previous-stage minima
+# (queries.q_funnel_stages; per-user-partition counts sum globally)
+ORACLE_SQL["funnel_stages"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1
+)
+SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(3 AS BIGINT), CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
 # Cohort retention == first-active-day cohorts joined back to distinct
 # (user, day) actives (queries.q_cohort_retention; per-user-partition
 # distinct counts sum globally because the user hash key co-locates

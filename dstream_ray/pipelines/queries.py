@@ -492,6 +492,63 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
 
 
+def q_funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel over the events stream: how many users complete
+    signup → click-after-signup → purchase-after-that-click, where each
+    stage is the user's FIRST occurrence strictly after the previous
+    stage's time.
+
+    Scale shape: the same user-hash exchange as every events operator;
+    within a partition the three stage times chain through vectorized
+    pandas min/merge/filter passes (no per-user Python), and because a
+    user lives in exactly one partition the per-partition completion
+    counts SUM globally — each partition ships exactly 3 rows."""
+    ds = _tuned_read(os.path.join(sf_dir, "events.parquet"),
+                     columns=["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "partition_id", pa.array((uid % ORACLE_PARTITIONS).astype(np.int32))
+        )
+
+    STAGES = ["signup", "click", "purchase"]
+
+    def funnel(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "uid": group["user_id"].to_numpy(zero_copy_only=False),
+            "ts": group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "et": group["event_type"].to_pandas(),
+        })
+        prev = None  # Series: uid -> previous stage's first time
+        counts = []
+        for et in STAGES:
+            sub = df[df["et"] == et]
+            if prev is not None:
+                prev_ts = sub["uid"].map(prev)
+                sub = sub[sub["ts"] > prev_ts.fillna(np.inf)]
+            cur = sub.groupby("uid")["ts"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pa.table({
+            "stage": pa.array(STAGES),
+            "stage_idx": pa.array(np.arange(1, len(STAGES) + 1)),
+            "n_users": pa.array(np.asarray(counts, dtype=np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(funnel, batch_format="pyarrow")
+        .groupby(["stage", "stage_idx"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    return out.sort_values("stage_idx").reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str) -> rd.Dataset:
     """AS-OF JOIN (custom operator the Dataset API lacks): for every event,
     attach the timestamp of the most recent STRICTLY PRIOR 'signup' event of
@@ -671,6 +728,8 @@ def _run_streaming(sf_dir: str):
                 "tumbling_counts": {"width_s": TUMBLING_S},
                 # GLOBAL windowed approx distinct convs (HLL register partials)
                 "tumbling_hll": {"width_s": TUMBLING_S},
+                # GLOBAL windowed approx-quantile log-histogram partials
+                "tumbling_qsketch": {"width_s": TUMBLING_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
                 # latest-per-key compaction (CDC materialized view)
@@ -903,6 +962,22 @@ def q_streaming_hll(sf_dir: str) -> pa.Table:
     partials = _run_streaming(sf_dir).sink.read_op("tumbling_hll").to_pandas()
     merged = (
         partials.groupby(["window_id", "bucket"], as_index=False)["rank"].max()
+        .sort_values(["window_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def q_streaming_qsketch(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_qsketch' engine operator merged into
+    the global per-window log-bucket histogram: per-partition sparse
+    (window_id, bucket, n) count partials combine by summing — bounded by
+    windows × ≤1040 buckets, never stream length — and the merged table is
+    gated bucket-for-bucket against the SQL bit-arithmetic oracle; any
+    quantile reads off it with ≤6.25% relative value error."""
+    partials = _run_streaming(sf_dir).sink.read_op("tumbling_qsketch").to_pandas()
+    merged = (
+        partials.groupby(["window_id", "bucket"], as_index=False)["n"].sum()
         .sort_values(["window_id", "bucket"])
         .reset_index(drop=True)
     )

@@ -60,6 +60,7 @@ from dstream_ray.stages.windows import (
     sessionize_kernel,
     tumbling_counts_kernel,
     tumbling_hll_kernel,
+    tumbling_qsketch_kernel,
     tumbling_distinct_kernel,
     tumbling_global_kernel,
     tumbling_quantile_kernel,
@@ -88,6 +89,9 @@ WINDOW_OPERATORS = {
     # GLOBAL windowed approximate distinct convs: mergeable HLL register
     # partials per partition (consumer merges by elementwise max)
     "tumbling_hll": tumbling_hll_kernel,
+    # GLOBAL windowed approx-quantile sketch: mergeable log-bucket histogram
+    # partials per partition (consumer merges by summing counts)
+    "tumbling_qsketch": tumbling_qsketch_kernel,
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,

@@ -59,6 +59,7 @@ def _queries_and_oracles():
     qs.setdefault("rollup_usage", _q.q_rollup_usage)
     qs.setdefault("pivot_roles", _q.q_pivot_roles)
     qs.setdefault("cohort_retention", _q.q_cohort_retention)
+    qs.setdefault("funnel_stages", _q.q_funnel_stages)
     return qs, dict(ORACLE_SQL)
 
 
@@ -147,6 +148,7 @@ EVENT_QUERIES = [
     "rollup_usage",  # library-only (ROLLUP super-aggregates, GROUPING ids)
     "pivot_roles",  # library-only (one-hot pivot, per-partition-final)
     "cohort_retention",  # library-only (first-day cohorts × distinct actives)
+    "funnel_stages",  # library-only (chained first-occurrence funnel)
 ]
 
 

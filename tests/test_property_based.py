@@ -430,3 +430,23 @@ def test_epoch_split_invariance_tumbling_hll(data):
     single = run_split(tumbling_hll_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
     multi = run_split(tumbling_hll_kernel, rows, bounds, width_s=WIDTH_S)
     pd.testing.assert_frame_equal(merged(single), merged(multi), check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_tumbling_qsketch(data):
+    """Windowed quantile-sketch histogram: any feed, any epoch split — the
+    merged bucket-count table equals the single pass (counts are a pure
+    sum-fold over rows, order- and framing-free)."""
+    from dstream_ray.stages.windows import tumbling_qsketch_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+
+    def merged(df):
+        return (df.groupby(["window_id", "bucket"], as_index=False)["n"].sum()
+                .sort_values(["window_id", "bucket"]).reset_index(drop=True))
+
+    single = run_split(tumbling_qsketch_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
+    multi = run_split(tumbling_qsketch_kernel, rows, bounds, width_s=WIDTH_S)
+    pd.testing.assert_frame_equal(merged(single), merged(multi), check_dtype=False)

@@ -93,8 +93,10 @@ def main() -> int:
         ("streaming_running", _q.q_streaming_running),
         ("streaming_sessionize", _q.q_streaming_sessionize),
         ("streaming_hll", _q.q_streaming_hll),
+        ("streaming_qsketch", _q.q_streaming_qsketch),
         ("rollup_usage", _q.q_rollup_usage),
         ("cohort_retention", _q.q_cohort_retention),
+        ("funnel_stages", _q.q_funnel_stages),
         ("pivot_roles", _q.q_pivot_roles),
     ]:
         qs.setdefault(_name, _fn)
