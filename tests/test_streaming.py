@@ -486,3 +486,43 @@ def test_enrich_asof_matches_duckdb_asof_join(ray_session, tmp_path, feed_dir):
         assert t3["dim_rate"].isna().eq(
             t3["ts"].astype("datetime64[us]").astype("int64") < mid
         ).all()
+
+
+def test_kill_and_resume_new_stateful_operators(ray_session, tmp_path, feed_dir):
+    """The round-3 stateful operators (outer join pending/matched flags,
+    per-row running/sessionize carries, HLL registers, qsketch histograms)
+    snapshot and replay exactly: a run interrupted after one epoch and
+    resumed by a fresh driver emits byte-identical committed sinks to an
+    uninterrupted run."""
+    ops = {
+        "outer_join": {"within_s": WIDTH_S},
+        "running": {},
+        "sessionize": {"gap_s": GAP_S},
+        "tumbling_hll": {"width_s": WIDTH_S},
+        "tumbling_qsketch": {"width_s": WIDTH_S},
+    }
+    cfg_a = make_cfg(tmp_path / "a", feed_dir, operators=dict(ops))
+    StreamingJob(cfg_a).run()
+
+    cfg_b = make_cfg(tmp_path / "b", feed_dir, operators=dict(ops))
+    StreamingJob(cfg_b).run(max_epochs=1, flush_at_end=False)
+    job_b2 = StreamingJob(cfg_b)  # fresh driver (≙ process restart)
+    job_b2.run()
+
+    keys = {
+        "outer_join": ["conv_id", "user_turn_idx", "tool_turn_idx"],
+        "running": ["conv_id", "turn_idx"],
+        "sessionize": ["conv_id", "turn_idx"],
+        "tumbling_hll": ["window_id", "bucket"],
+        "tumbling_qsketch": ["window_id", "bucket"],
+    }
+    for op, k in keys.items():
+        a = read_sink(StreamingJob(cfg_a), op)
+        b = read_sink(job_b2, op)
+        if op in ("tumbling_hll", "tumbling_qsketch"):
+            # partial layouts may differ by epoch framing; the MERGED
+            # sketch must be identical
+            col, how = ("rank", "max") if op == "tumbling_hll" else ("n", "sum")
+            a = a.groupby(["window_id", "bucket"], as_index=False)[col].agg(how)
+            b = b.groupby(["window_id", "bucket"], as_index=False)[col].agg(how)
+        sorted_eq(a, b, k)
