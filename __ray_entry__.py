@@ -73,19 +73,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     remain in the library + local parity tooling but ceded their grading
     slots to richer gated queries (the latter two are still driver-gated
     compositionally inside curation_pipeline; the new slots gate the
-    'dedup' and 'enrich' ENGINE operators end-to-end)."""
+    'dedup' and 'enrich' ENGINE operators end-to-end). Round 3 cedes five
+    more batch-surface slots whose kernels stay driver-gated through their
+    engine twins (transcripts_feed→streaming_events, tumbling_window→
+    streaming_tumbling, sliding_window→streaming_sliding, session_window→
+    streaming_session, stream_join→streaming_join/_wm — identical oracles,
+    same kernels inside the engine run; all five keep full local parity in
+    tools/parity_check.py) to gate five round-3 operators end-to-end:
+    the LEFT-OUTER interval join, per-row running window functions,
+    gaps-and-islands sessionize, and the windowed HLL + log-histogram
+    quantile sketches (both register-exact in SQL)."""
     from dstream_ray.pipelines import dataops as d
     from dstream_ray.pipelines import queries as q
 
     return {
-        # transcript feed + streaming operators (batch surface)
-        "transcripts_feed": q.q_transcripts_feed,
-        "tumbling_window": q.q_tumbling_window,
-        "sliding_window": q.q_sliding_window,
-        "session_window": q.q_session_window,
+        # streaming operators (batch surface; plain tumbling/sliding/session/
+        # join ceded their slots to their engine twins — see docstring)
         "session_salted": q.q_session_salted,  # hot-key-salted two-phase variant
         "tumbling_salted": q.q_tumbling_salted,  # pre-aggregation (skew-proof) variant
-        "stream_join": q.q_stream_join,
         "cep_pattern": q.q_cep_pattern,  # CEP sequence-pattern operator
         "partition_watermarks": q.q_partition_watermarks,
         "role_stats": q.q_role_stats,
@@ -103,6 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_join_wm": q.q_streaming_join_wm,  # fused join under watermark closure
         "streaming_dedup": q.q_streaming_dedup,  # per-conv content dedup operator (QUALIFY oracle)
         "streaming_enrich": q.q_streaming_enrich,  # stream-table dimension enrichment (LEFT-join oracle)
+        "streaming_outer_join": q.q_streaming_outer_join,  # LEFT-OUTER interval join (-1 sentinels)
+        "streaming_running": q.q_streaming_running,  # per-row ROW_NUMBER/LAG/running-SUM
+        "streaming_sessionize": q.q_streaming_sessionize,  # gaps-and-islands per-row labels
+        "streaming_hll": q.q_streaming_hll,  # windowed HLL sketch, register-exact oracle
+        "streaming_qsketch": q.q_streaming_qsketch,  # windowed log-histogram quantile sketch
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,

@@ -60,6 +60,12 @@ def _queries_and_oracles():
     qs.setdefault("pivot_roles", _q.q_pivot_roles)
     qs.setdefault("cohort_retention", _q.q_cohort_retention)
     qs.setdefault("funnel_stages", _q.q_funnel_stages)
+    # batch-surface queries that ceded driver slots to their engine twins
+    qs.setdefault("transcripts_feed", _q.q_transcripts_feed)
+    qs.setdefault("tumbling_window", _q.q_tumbling_window)
+    qs.setdefault("sliding_window", _q.q_sliding_window)
+    qs.setdefault("session_window", _q.q_session_window)
+    qs.setdefault("stream_join", _q.q_stream_join)
     return qs, dict(ORACLE_SQL)
 
 

@@ -77,6 +77,12 @@ def main() -> int:
     from dstream_ray.pipelines.oracles import ORACLE_SQL as _ALL_SQL
 
     for _name, _fn in [
+        # batch-surface queries that ceded driver slots to their engine twins
+        ("transcripts_feed", _q.q_transcripts_feed),
+        ("tumbling_window", _q.q_tumbling_window),
+        ("sliding_window", _q.q_sliding_window),
+        ("session_window", _q.q_session_window),
+        ("stream_join", _q.q_stream_join),
         ("doc_fingerprint", _d.q_doc_fingerprint),
         ("embedding_norms", _d.q_embedding_norms),
         ("text_normalize", _d.q_text_normalize),
