@@ -751,6 +751,109 @@ def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return top.reset_index(drop=True).astype({"cnt": "int64"})
 
 
+def q_tfidf_top_terms(
+    sf_dir: str, k: int = 3, broadcast_max_terms: int = 500_000,
+    mode: str = "auto",
+) -> pd.DataFrame:
+    """Per-document top-k terms by an INTEGER-EXACT tf-idf score
+    (``tf * N // df`` — no float log, so the SQL oracle reproduces every
+    score bit-for-bit), ties broken by term.
+
+    Scale shape: two streaming passes, no materialization. Pass 1 computes
+    document frequencies — per-batch distinct-terms-per-doc value counts,
+    then one vocabulary-bounded groupby. Pass 2 re-tokenizes and scores:
+    when the vocabulary fits (``broadcast_max_terms``) the df table rides
+    to every task via ``ray.put`` and the whole pass is SHUFFLE-FREE
+    (docs never span batches, so per-batch top-k is final); above the
+    threshold (``mode="join"``) the (doc, term, tf) pairs hash-join the df
+    table on term, re-exchange on a coarse doc-range key, and take top-k
+    inside each range — both paths pytest-pinned equal."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b["text"])
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pd.DataFrame({
+            "doc": np.repeat(np.arange(b.num_rows),
+                             np.asarray(pc.list_value_length(toks)))[
+                keep.to_numpy(zero_copy_only=False)],
+            "term": flat.filter(keep).to_pandas(),
+        }).drop_duplicates()
+        vc = pairs["term"].value_counts()
+        return pa.table({"term": pa.array(vc.index, type=pa.string()),
+                         "df": pa.array(vc.to_numpy().astype(np.int64))})
+
+    df_ds = (docs.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+
+    def tf_pairs(b: pa.Table) -> pd.DataFrame:
+        toks = pc.utf8_split_whitespace(b["text"])
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pairs = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids,
+                                np.asarray(pc.list_value_length(toks)))[
+                keep.to_numpy(zero_copy_only=False)],
+            "term": flat.filter(keep).to_pandas(),
+        })
+        return pairs.groupby(["doc_id", "term"], as_index=False).agg(
+            tf=("term", "size"))
+
+    def topk(scored: pd.DataFrame) -> pd.DataFrame:
+        out = (scored.sort_values(["doc_id", "score", "term"],
+                                  ascending=[True, False, True])
+               .groupby("doc_id").head(k).reset_index(drop=True))
+        return out[["doc_id", "term", "tf", "df", "score"]]
+
+    if mode == "auto":
+        mode = "broadcast" if df_ds.count() <= broadcast_max_terms else "join"
+
+    if mode == "broadcast":
+        df_pd = df_ds.to_pandas()  # vocabulary-bounded
+        df_ref = ray.put(df_pd.set_index("term")["df"])
+
+        def score_batch(b: pa.Table) -> pa.Table:
+            dfs = ray.get(df_ref)
+            pairs = tf_pairs(b)
+            pairs["df"] = pairs["term"].map(dfs).astype(np.int64)
+            pairs["score"] = pairs["tf"].to_numpy() * n_docs // pairs["df"].to_numpy()
+            return pa.Table.from_pandas(topk(pairs), preserve_index=False)
+
+        out = (docs.map_batches(score_batch, batch_format="pyarrow")
+               .to_pandas())
+    else:
+        pairs_ds = docs.map_batches(
+            lambda b: pa.Table.from_pandas(tf_pairs(b), preserve_index=False),
+            batch_format="pyarrow")
+        joined = pairs_ds.join(df_ds, join_type="inner", num_partitions=8,
+                               on=("term",))
+
+        def add_range(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "doc_range", pa.array((did // 1024).astype(np.int64)))
+
+        def range_topk(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.copy()
+            g["score"] = g["tf"].to_numpy() * n_docs // g["df"].to_numpy()
+            return topk(g)
+
+        out = (joined.map_batches(add_range, batch_format="pyarrow")
+               .groupby("doc_range")
+               .map_groups(range_topk, batch_format="pandas")
+               .to_pandas())
+    return (out.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True).astype({"tf": "int64", "df": "int64",
+                                            "score": "int64"}))
+
+
 def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
     """Count-min sketch of the corpus token-frequency distribution — the
     mergeable frequency sketch next to HLL's distinct sketch: per-batch

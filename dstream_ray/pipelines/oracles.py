@@ -1160,6 +1160,28 @@ FROM qd, (SELECT unnest(generate_series(1, 3)) AS i)
 """
 
 # corpus-wide top-k tokens, deterministic (count desc, token asc) tie-break
+# Integer-exact tf-idf top terms (dataops.q_tfidf_top_terms): score =
+# tf * N // df in pure integer arithmetic, so both sides agree bit-for-bit
+ORACLE_SQL["tfidf_top_terms"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS term
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+), tf_t AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df_t AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_t GROUP BY 1
+)
+SELECT tf_t.doc_id, tf_t.term, tf_t.tf, df_t.df,
+       CAST(tf_t.tf * (SELECT CAST(count(*) AS BIGINT) FROM documents)
+            // df_t.df AS BIGINT) AS score
+FROM tf_t JOIN df_t USING (term)
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= 3
+"""
+
 ORACLE_SQL["top_tokens"] = """
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),

@@ -37,6 +37,7 @@ ADVERSARIAL_QUERIES = [
     "curation_pipeline",
     "top_tokens",
     "cms_tokens",  # library-only (count-min cells, HUGEINT double hashing)
+    "tfidf_top_terms",  # library-only (integer-exact tf*N//df scores)
 ]
 
 
@@ -54,6 +55,7 @@ def _queries_and_oracles():
     qs.setdefault("text_normalize", dataops.q_text_normalize)
     qs.setdefault("dedup_exact", dataops.q_dedup_exact)
     qs.setdefault("cms_tokens", dataops.q_cms_tokens)
+    qs.setdefault("tfidf_top_terms", dataops.q_tfidf_top_terms)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

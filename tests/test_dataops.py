@@ -848,3 +848,16 @@ def test_cms_tokens_query(ray_session, sf_tiny):
     top = dataops.q_top_tokens(sf_dir)
     est = cms_estimate(dense, top["token"].tolist())
     assert (est >= top["cnt"].to_numpy()).all()
+
+
+def test_tfidf_broadcast_and_join_paths_equal(ray_session, sf_tiny):
+    """The shuffle-free broadcast path and the big-vocabulary hash-join
+    path of q_tfidf_top_terms emit identical top-term tables."""
+    import pandas as pd
+
+    from dstream_ray.pipelines.dataops import q_tfidf_top_terms
+
+    a = q_tfidf_top_terms(sf_tiny, mode="broadcast")
+    b = q_tfidf_top_terms(sf_tiny, mode="join")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (a.groupby("doc_id").size() <= 3).all()

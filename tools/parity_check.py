@@ -103,6 +103,7 @@ def main() -> int:
         ("rollup_usage", _q.q_rollup_usage),
         ("cohort_retention", _q.q_cohort_retention),
         ("funnel_stages", _q.q_funnel_stages),
+        ("tfidf_top_terms", _d.q_tfidf_top_terms),
         ("pivot_roles", _q.q_pivot_roles),
     ]:
         qs.setdefault(_name, _fn)
