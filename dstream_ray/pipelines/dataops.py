@@ -494,6 +494,32 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     return ann.merge_topk(partials, k=KNN_K)
 
 
+def q_knn_classify(sf_dir: str) -> pd.DataFrame:
+    """k-NN classification on top of the exact cosine top-k: each query
+    vector takes the MAJORITY LABEL among its 10 nearest neighbors (ties →
+    smaller label). The neighbor label lookup is a PRUNED parquet read
+    filtered to the ≤ nq×k neighbor ids (never a full-table scan), so the
+    whole classification step after the distributed search is O(nq×k)."""
+    nn = q_knn_bruteforce(sf_dir)  # query_id, neighbor_id, rank
+    import pyarrow.parquet as pq_mod
+
+    ids = sorted(set(int(i) for i in nn["neighbor_id"]))
+    lab = pq_mod.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+        filters=[("vec_id", "in", ids)],
+    ).to_pandas()
+    m = nn.merge(lab, left_on="neighbor_id", right_on="vec_id")
+    votes = (m.groupby(["query_id", "label"], as_index=False)
+             .agg(n_votes=("neighbor_id", "size")))
+    win = (votes.sort_values(["query_id", "n_votes", "label"],
+                             ascending=[True, False, True])
+           .groupby("query_id").head(1).reset_index(drop=True))
+    win["label"] = win["label"].astype("int64")
+    win["n_votes"] = win["n_votes"].astype("int64")
+    return win[["query_id", "label", "n_votes"]]
+
+
 def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed ANN with MULTI-PROBE: each query searches its own bucket
     plus every bucket at Hamming distance 1 (flip one hyperplane sign) —

@@ -259,6 +259,33 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
 
+# k-NN classification == majority label over the same exact top-10
+# (dataops.q_knn_classify; ties broken toward the smaller label)
+ORACLE_SQL["knn_classify"] = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), e AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), sims AS (
+  SELECT qid, nid, list_cosine_similarity(qv, ev) AS cos
+  FROM q CROSS JOIN e WHERE nid != qid
+), ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM sims
+), topk AS (
+  SELECT qid, nid FROM ranked WHERE rank <= 10
+), votes AS (
+  SELECT t.qid, emb.label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk t JOIN embeddings emb ON emb.vec_id = t.nid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, CAST(label AS BIGINT) AS label, n_votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY n_votes DESC, label) = 1
+"""
+
 ORACLE_SQL["embedding_neardup"] = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

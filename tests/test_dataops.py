@@ -861,3 +861,28 @@ def test_tfidf_broadcast_and_join_paths_equal(ray_session, sf_tiny):
     b = q_tfidf_top_terms(sf_tiny, mode="join")
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (a.groupby("doc_id").size() <= 3).all()
+
+
+def test_knn_classify_matches_numpy_reference(ray_session, sf_tiny):
+    """Majority-label classification over the exact top-10 equals a direct
+    numpy computation (cosine ranks with the same nid tie-break)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines.dataops import KNN_K, q_knn_classify
+
+    got = q_knn_classify(sf_tiny)
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet").to_pandas()
+    V = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    labels = t["label"].to_numpy()
+    for qid in range(8):
+        cos = V @ V[qid]
+        cos[qid] = -np.inf
+        order = np.lexsort((np.arange(len(cos)), -cos))[:KNN_K]
+        votes = {}
+        for nid in order:
+            votes[labels[nid]] = votes.get(labels[nid], 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row = got[got["query_id"] == qid].iloc[0]
+        assert (row["label"], row["n_votes"]) == (best[0], best[1]), qid

@@ -104,6 +104,7 @@ def main() -> int:
         ("cohort_retention", _q.q_cohort_retention),
         ("funnel_stages", _q.q_funnel_stages),
         ("tfidf_top_terms", _d.q_tfidf_top_terms),
+        ("knn_classify", _d.q_knn_classify),
         ("pivot_roles", _q.q_pivot_roles),
     ]:
         qs.setdefault(_name, _fn)
