@@ -918,6 +918,101 @@ class StreamingJob:
                         pass
         return removed
 
+    def rescale(self, new_num_partitions: int) -> dict:
+        """Resume-at-a-different-parallelism (the Flink savepoint-rescale
+        analog): re-key the LAST COMMITTED snapshot's per-partition operator
+        state to ``new_num_partitions`` and commit it as a new epoch whose
+        manifest carries the new partition count. A subsequent ``run()``
+        with ``cfg.num_partitions == new_num_partitions`` then resumes
+        mid-stream with identical semantics — conv-keyed state moves whole
+        conversations to their new hash owners, global window partials merge
+        into partition 0 (the consumer-side merge makes placement
+        irrelevant), and monotone counters broadcast their max. See
+        ``dstream_ray.state.rescale`` for the per-class rules; operators
+        whose state is not key-separable (the generational Bloom dedup)
+        are rejected loudly.
+
+        Watermarks: every new partition starts at the MIN of the old
+        watermarks — conservative for the late-data filter (never drops a
+        row the old layout would have kept) and safe for watermark-closure
+        kernels (their per-conv/ per-window emission cursors travel with
+        the state, so nothing re-emits)."""
+        from dstream_ray.state.lease import Lease
+        from dstream_ray.state.rescale import rescale_states
+
+        lease = Lease(
+            os.path.join(self.cfg.out_dir, "_locks", "job.lock"),
+            owner=f"rescale-pid-{os.getpid()}",
+            ttl_s=self.cfg.lease_ttl_s,
+        )
+        if not lease.acquire():
+            raise RuntimeError("rescale refused: job lease held by a running driver")
+        try:
+            last = self.store.last_committed()
+            if last is None:
+                raise ValueError("rescale: no committed checkpoint to rescale")
+            epoch, man = last
+            old_p = int(man["config"]["num_partitions"])
+            new_p = int(new_num_partitions)
+            if new_p < 1:
+                raise ValueError("rescale: need at least one partition")
+            if new_p == old_p:
+                return {"status": "noop", "num_partitions": old_p}
+            states = [
+                self.store.load_state(man["partitions"][str(k)]["state_path"])
+                for k in range(old_p)
+            ]
+            new_states = rescale_states(states, new_p)
+            new_epoch = epoch + 1
+            wm_min = min(int(p["watermark_us"]) for p in man["partitions"].values())
+            rows_in_tot = sum(
+                int(p.get("rows_in_total", 0)) for p in man["partitions"].values()
+            )
+            rows_out_tot: dict = {}
+            for p in man["partitions"].values():
+                for op, n in p.get("rows_out_total", {}).items():
+                    rows_out_tot[op] = rows_out_tot.get(op, 0) + int(n)
+            partitions = {}
+            for k in range(new_p):
+                partitions[str(k)] = {
+                    "watermark_us": wm_min,
+                    "state_path": self.store.save_state(new_epoch, k, new_states[k]),
+                    # cumulative metrics are job-level; carry the totals on
+                    # partition 0 so manifest sums stay consistent
+                    "rows_in_total": rows_in_tot if k == 0 else 0,
+                    "rows_out_total": rows_out_tot if k == 0 else {},
+                    "last_epoch": new_epoch,
+                    "files": [],
+                }
+            manifest = dict(man)
+            manifest.update(
+                {
+                    "epoch": new_epoch,
+                    "config": {
+                        "num_partitions": new_p,
+                        "operators": man["config"]["operators"],
+                    },
+                    "partitions": partitions,
+                    "rescaled_from": old_p,
+                    "wall_s": 0.0,
+                    "totals": {
+                        "rows_in": 0,
+                        "rows_out": {},
+                        "task_s_mean": 0.0,
+                        "task_s_max": 0.0,
+                    },
+                }
+            )
+            self.store.commit(new_epoch, manifest)
+            return {
+                "status": "rescaled",
+                "epoch": new_epoch,
+                "from_partitions": old_p,
+                "to_partitions": new_p,
+            }
+        finally:
+            lease.release()
+
     def _run_locked(
         self,
         *,
@@ -1009,7 +1104,10 @@ def main(argv=None):  # pragma: no cover - CLI drive path
     import argparse
 
     p = argparse.ArgumentParser(description="dstream_ray streaming epoch runner")
-    p.add_argument("verb", choices=["run", "init", "plan", "status", "destroy", "rewind"])
+    p.add_argument(
+        "verb",
+        choices=["run", "init", "plan", "status", "destroy", "rewind", "rescale"],
+    )
     p.add_argument("--feed-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--partitions", type=int, default=8)
@@ -1044,6 +1142,10 @@ def main(argv=None):  # pragma: no cover - CLI drive path
         if args.to_epoch is None:
             p.error("rewind requires --to-epoch")
         out = job.rewind(args.to_epoch)
+    elif args.verb == "rescale":
+        # --partitions names the TARGET count; the checkpoint manifest
+        # carries the current one
+        out = job.rescale(args.partitions)
     else:
         out = getattr(job, args.verb)()
     print(json.dumps(out, indent=1, default=str))

@@ -1,0 +1,121 @@
+"""Checkpoint rescaling: a job interrupted mid-stream, rescaled to a
+different partition count, and resumed must emit the same committed sinks
+as an uninterrupted run — growing AND shrinking — and non-key-separable
+state (generational Bloom) must be rejected loudly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+from dstream_ray.sources.transcripts import generate_transcripts
+
+GAP_S = 120
+WIDTH_S = 300
+
+OPS = {
+    "tumbling": {"width_s": WIDTH_S},
+    "session_join": {"gap_s": GAP_S},
+    "cep": {"pattern": "ua*t"},
+    "interval_join": {"within_s": WIDTH_S},
+    "outer_join": {"within_s": WIDTH_S},
+    "running": {},
+    "sessionize": {"gap_s": GAP_S},
+    "tumbling_distinct": {"width_s": WIDTH_S},
+    "tumbling_global": {"width_s": WIDTH_S},
+    "tumbling_counts": {"width_s": WIDTH_S},
+    "tumbling_hll": {"width_s": WIDTH_S},
+    "tumbling_qsketch": {"width_s": WIDTH_S},
+    "dedup": {},
+    "upsert": {},
+}
+
+# how to canonicalize each sink for comparison: global partials merge
+# (their partition layout legitimately differs); everything else compares
+# as an exact row multiset
+MERGES = {
+    "tumbling_global": ("sum", ["window_id"]),
+    "tumbling_counts": ("sum", ["window_id", "value"]),
+    "tumbling_hll": ("max", ["window_id", "bucket"]),
+    "tumbling_qsketch": ("sum", ["window_id", "bucket"]),
+}
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed")
+    generate_transcripts(
+        n_convs=40, mean_turns=10, seed=23, session_gap_s=GAP_S,
+        out_path=str(d), n_shards=6,
+    )
+    return d
+
+
+def _cfg(tmp_path, feed_dir, P, ops=None):
+    return StreamingConfig(
+        feed_dir=str(feed_dir), out_dir=str(tmp_path / "out"),
+        num_partitions=P, files_per_epoch=2,
+        operators=dict(ops if ops is not None else OPS),
+    )
+
+
+def _canon(job, op):
+    t = job.sink.read_op(op)
+    df = t.to_pandas() if t is not None else pd.DataFrame()
+    if op in MERGES:
+        how, keys = MERGES[op]
+        vals = [c for c in df.columns if c not in keys]
+        df = df.groupby(keys, as_index=False)[vals].agg(how)
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _assert_same_sinks(job_a, job_b):
+    for op in ["events", *OPS]:
+        pd.testing.assert_frame_equal(
+            _canon(job_a, op), _canon(job_b, op), check_dtype=False, obj=op
+        )
+
+
+@pytest.mark.parametrize("new_p", [5, 2])
+def test_rescale_then_resume_matches_uninterrupted(
+    ray_session, tmp_path, feed_dir, new_p
+):
+    cfg_a = _cfg(tmp_path / "a", feed_dir, 3)
+    job_a = StreamingJob(cfg_a)
+    job_a.run()
+
+    cfg_b = _cfg(tmp_path / f"b{new_p}", feed_dir, 3)
+    StreamingJob(cfg_b).run(max_epochs=1, flush_at_end=False)
+    res = StreamingJob(cfg_b).rescale(new_p)
+    assert res["status"] == "rescaled"
+    assert (res["from_partitions"], res["to_partitions"]) == (3, new_p)
+
+    cfg_b2 = _cfg(tmp_path / f"b{new_p}", feed_dir, new_p)
+    job_b = StreamingJob(cfg_b2)
+    job_b.run()
+    _assert_same_sinks(job_a, job_b)
+
+
+def test_resume_without_rescale_still_rejected(ray_session, tmp_path, feed_dir):
+    cfg = _cfg(tmp_path, feed_dir, 3)
+    StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
+    bad = _cfg(tmp_path, feed_dir, 5)
+    with pytest.raises(ValueError, match="different num_partitions"):
+        StreamingJob(bad).run()
+
+
+def test_rescale_rejects_bloom_state(ray_session, tmp_path, feed_dir):
+    ops = {"tumbling": {"width_s": WIDTH_S}, "dedup_bloom": {"bits": 1 << 20}}
+    cfg = _cfg(tmp_path, feed_dir, 3, ops=ops)
+    StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
+    with pytest.raises(ValueError, match="cannot be rescaled"):
+        StreamingJob(cfg).rescale(5)
+
+
+def test_rescale_requires_checkpoint_and_noops_same_p(ray_session, tmp_path, feed_dir):
+    cfg = _cfg(tmp_path / "x", feed_dir, 3)
+    with pytest.raises(ValueError, match="no committed checkpoint"):
+        StreamingJob(cfg).rescale(5)
+    StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
+    assert StreamingJob(cfg).rescale(3)["status"] == "noop"
