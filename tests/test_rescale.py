@@ -119,3 +119,39 @@ def test_rescale_requires_checkpoint_and_noops_same_p(ray_session, tmp_path, fee
         StreamingJob(cfg).rescale(5)
     StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
     assert StreamingJob(cfg).rescale(3)["status"] == "noop"
+
+
+def test_crash_mid_rescale_recovers(ray_session, tmp_path, feed_dir):
+    """A crash between the rescaled snapshot write and its manifest commit
+    leaves the OLD checkpoint authoritative: resume at the old P works,
+    and retrying the rescale completes. (Rescale is atomic through the
+    same commit-record protocol as epochs.)"""
+    import os
+
+    cfg_a = _cfg(tmp_path / "a", feed_dir, 3)
+    job_a = StreamingJob(cfg_a)
+    job_a.run()
+
+    cfg = _cfg(tmp_path / "b", feed_dir, 3)
+    StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
+    job = StreamingJob(cfg)
+    job.rescale(5)
+    e, man = job.store.last_committed()
+    assert man.get("rescaled_from") == 3
+    os.remove(job.store._commit_path(e))  # "crash" before commit landed
+
+    # old checkpoint stands: the un-rescaled resume path still works…
+    job2 = StreamingJob(cfg)
+    job2.run()
+    _assert_same_sinks(job_a, job2)
+    # …and a retried rescale on a FRESH interrupted copy also completes
+    cfg_c = _cfg(tmp_path / "c", feed_dir, 3)
+    StreamingJob(cfg_c).run(max_epochs=1, flush_at_end=False)
+    jc = StreamingJob(cfg_c)
+    jc.rescale(5)
+    jc.store.delete_commit(jc.store.last_committed()[0])
+    assert jc.rescale(5)["status"] == "rescaled"  # retry heals
+    cfg_c2 = _cfg(tmp_path / "c", feed_dir, 5)
+    jc2 = StreamingJob(cfg_c2)
+    jc2.run()
+    _assert_same_sinks(job_a, jc2)
