@@ -577,6 +577,30 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM labeled
 """
 
+# GLOBAL SLIDING aggregate == each row expanded into every 24 h window
+# (sliding by 6 h) that contains it; the engine never does this expansion
+# — it maintains 6 h tumbling PANES and the consumer sums 4 panes per
+# window (queries.q_streaming_sliding_global via tumbling_global@pane6h)
+ORACLE_SQL["streaming_sliding_global"] = f"""
+WITH {{TRANSCRIPTS_CTE}},
+t AS (
+  SELECT epoch_us(ts) AS ts_us, role, length(text) AS c FROM transcripts
+), expl AS (
+  SELECT unnest(generate_series(
+           ((ts_us - CAST(86400 AS BIGINT) * 1000000)
+             // (CAST(21600 AS BIGINT) * 1000000)) + 1,
+           ts_us // (CAST(21600 AS BIGINT) * 1000000))) AS window_id,
+         role, c
+  FROM t
+)
+SELECT window_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role='user') AS BIGINT) AS n_user_turns,
+       CAST(count(*) FILTER (WHERE role='tool') AS BIGINT) AS n_tool_turns,
+       CAST(sum(c) AS BIGINT) AS n_chars
+FROM expl GROUP BY 1
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE)
+
 # GLOBAL windowed aggregate == plain GROUP BY over the whole feed; the
 # engine emits P mergeable partials per window, summed consumer-side
 # (dstream_ray.stages.windows.tumbling_global_kernel through the engine)

@@ -45,6 +45,8 @@ SLIDING_W_S = 172_800
 SLIDING_S_S = 86_400
 SESSION_GAP_S = 43_200
 IJ_WITHIN_S = 43_200  # interval join: user/tool turn pairs within +/-12 h
+PANE_S = 21_600  # 6 h panes feeding the global sliding aggregate
+SLIDING_GLOBAL_W_S = 86_400  # 24 h global windows sliding by one pane
 
 
 # ---------------------------------------------------------------------------
@@ -730,6 +732,12 @@ def _run_streaming(sf_dir: str):
                 "tumbling_hll": {"width_s": TUMBLING_S},
                 # GLOBAL windowed approx-quantile log-histogram partials
                 "tumbling_qsketch": {"width_s": TUMBLING_S},
+                # PANE feeder for the global SLIDING aggregate (the classic
+                # panes/slices optimization): 6 h tumbling panes, combined
+                # consumer-side into 24 h windows sliding by 6 h — also
+                # exercises kernel@variant instancing (same kernel, second
+                # width, its own sink + state slot)
+                "tumbling_global@pane6h": {"width_s": PANE_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
                 # latest-per-key compaction (CDC materialized view)
@@ -966,6 +974,35 @@ def q_streaming_hll(sf_dir: str) -> pa.Table:
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def q_streaming_sliding_global(sf_dir: str) -> pa.Table:
+    """GLOBAL SLIDING aggregate via PANES (the slices optimization): the
+    engine maintains only 6 h tumbling pane partials
+    (`tumbling_global@pane6h` — kernel@variant instancing of the same
+    global kernel); each 24 h window sliding by 6 h is the sum of 4
+    consecutive panes, combined consumer-side over the windows × P pane
+    table. A sliding global aggregate therefore costs NOTHING beyond the
+    tumbling panes — no per-window row duplication ever crosses the wire.
+    Gated against the SQL expanded-window oracle."""
+    R = SLIDING_GLOBAL_W_S // PANE_S
+    partials = (
+        _run_streaming(sf_dir).sink.read_op("tumbling_global@pane6h").to_pandas()
+    )
+    panes = partials.groupby("window_id", as_index=False).sum()
+    frames = []
+    for i in range(R):
+        f = panes.copy()
+        f["window_id"] = f["window_id"] - i
+        frames.append(f)
+    out = (
+        pd.concat(frames, ignore_index=True)
+        .groupby("window_id", as_index=False)
+        .sum()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_streaming_qsketch(sf_dir: str) -> pa.Table:

@@ -187,3 +187,57 @@ def test_global_engine_end_to_end(ray_session, tmp_path):
     got_c = _merge_counts(job.sink.read_op("tumbling_counts"))
     pd.testing.assert_frame_equal(got_c, _oracle(feed, COUNTS_ORACLE),
                                   check_dtype=False)
+
+
+def test_sliding_global_via_panes_engine(ray_session, tmp_path):
+    """The panes/slices optimization: a 4×W_S window sliding by W_S equals
+    the sum of 4 consecutive tumbling panes — the engine only maintains
+    pane partials (via kernel@variant instancing) and the consumer
+    combines them; gated against the SQL expanded-window oracle."""
+    import pyarrow.parquet as pq
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    R = 4
+    feed = _feed(seed=11)
+    df = feed.to_pandas().sort_values(["conv_id", "turn_idx"])
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    bounds = np.linspace(0, tbl.num_rows, 5).astype(int)
+    for i in range(4):
+        pq.write_table(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                       str(feed_dir / f"feed-{i:02d}.parquet"))
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed_dir), out_dir=str(tmp_path / "out"),
+        num_partitions=4, files_per_epoch=2,
+        operators={"tumbling_global@pane": {"width_s": W_S}},
+    ))
+    job.run()
+    panes = (job.sink.read_op("tumbling_global@pane").to_pandas()
+             .groupby("window_id", as_index=False).sum())
+    frames = []
+    for i in range(R):
+        f = panes.copy()
+        f["window_id"] = f["window_id"] - i
+        frames.append(f)
+    got = (pd.concat(frames, ignore_index=True)
+           .groupby("window_id", as_index=False).sum()
+           .sort_values("window_id").reset_index(drop=True))
+    exp = _oracle(feed, f"""
+        WITH t AS (SELECT epoch_us(ts) AS ts_us, role, length(text) AS c
+                   FROM feed),
+        expl AS (
+          SELECT unnest(generate_series(
+                   ((ts_us - CAST({R} * {W_S} AS BIGINT) * 1000000)
+                     // (CAST({W_S} AS BIGINT) * 1000000)) + 1,
+                   ts_us // (CAST({W_S} AS BIGINT) * 1000000))) AS window_id,
+                 role, c
+          FROM t)
+        SELECT window_id, count(*) AS n_turns,
+               count(*) FILTER (WHERE role='user') AS n_user_turns,
+               count(*) FILTER (WHERE role='tool') AS n_tool_turns,
+               sum(c) AS n_chars
+        FROM expl GROUP BY 1 ORDER BY 1
+    """)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

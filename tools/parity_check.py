@@ -100,6 +100,7 @@ def main() -> int:
         ("streaming_sessionize", _q.q_streaming_sessionize),
         ("streaming_hll", _q.q_streaming_hll),
         ("streaming_qsketch", _q.q_streaming_qsketch),
+        ("streaming_sliding_global", _q.q_streaming_sliding_global),
         ("rollup_usage", _q.q_rollup_usage),
         ("cohort_retention", _q.q_cohort_retention),
         ("funnel_stages", _q.q_funnel_stages),
