@@ -15,6 +15,8 @@ WIDTH_S = 300
 
 OPS = {
     "tumbling": {"width_s": WIDTH_S},
+    "sliding": {"width_s": WIDTH_S, "slide_s": WIDTH_S // 3},
+    "session": {"gap_s": GAP_S},
     "session_join": {"gap_s": GAP_S},
     "cep": {"pattern": "ua*t"},
     "interval_join": {"within_s": WIDTH_S},
