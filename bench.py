@@ -201,6 +201,22 @@ def single_run() -> dict:
         "rows": rows,
         "turns_per_sec": round(rows / wall, 1),
     }
+    # burst probe: the same job at REPL/10 finishes inside the host's CPU
+    # burst-credit window, isolating the engine's per-turn cost from the
+    # sustained-CPU quota that caps the full-size headline on this VM
+    # (BASELINE.md "Host CPU quota diagnosis"); a healthy engine shows
+    # burst_turns_per_sec at the documented calm-window rate even when the
+    # headline above is quota-bound
+    global REPL
+    old_repl = REPL
+    try:
+        REPL = max(1, old_repl // 10)
+        bwall, brows = run_headline(prepare_feed(), reps=1)
+        result["burst_rows"] = brows
+        result["burst_sec"] = round(bwall, 3)
+        result["burst_turns_per_sec"] = round(brows / bwall, 1)
+    finally:
+        REPL = old_repl
     ray.shutdown()
     return result
 
