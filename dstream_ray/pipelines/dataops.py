@@ -608,17 +608,19 @@ def q_centroid_by_label(sf_dir: str) -> pd.DataFrame:
 
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
-    """Synthetic media table -> actor-pool featurizer (fake decode). The
-    sf_dir is unused (no media in testdata); size fixed + seeded so the
-    rows-only check is deterministic."""
-    media = multimodal.generate_media_table(n=128, seed=5)
+    """Synthetic media table -> actor-pool featurizer. Half the rows are
+    raw-RGB payloads that decode FOR REAL (byte-level `decode_rgb_raw`, no
+    codec library needed); the rest exercise the fake-decode plumbing that
+    stands in for PIL/ffmpeg. The sf_dir is unused (no media in testdata);
+    size fixed + seeded so the rows-only check is deterministic."""
+    media = multimodal.generate_media_table(n=128, seed=5, raw_frac=0.5)
     ds = rd.from_arrow(media)
     feats = ds.map_batches(
         multimodal.MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=32,  # binary payloads: keep batches small
         concurrency=2,
-        fn_constructor_kwargs={"decode": "fake"},
+        fn_constructor_kwargs={"decode": "auto"},
     ).to_pandas()
     out = feats[["media_id", "kind"]].copy()
     out["feat_mean_x100"] = np.floor(100 * feats["feat_mean"]).astype(np.int64)

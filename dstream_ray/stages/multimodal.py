@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The image/audio codec libraries are not available in this container, so the
-DECODE step is stubbed two ways (clearly marked):
+The image/audio codec libraries are not available in this container, so
+DECODE has three modes (clearly marked):
 
-- ``decode=\"strict\"`` raises ``NotImplementedError`` — the shape a real
-  deployment fills in with PIL/ffmpeg;
-- ``decode=\"fake\"`` (default for tests) derives a deterministic pixel
-  array from the payload bytes, so the Ray-side plumbing — schema, actor
-  pool, batch sizing, output layout — is real and tested end-to-end.
+- ``decode=\"auto\"``: raw-RGB payloads (``encode_rgb_raw`` container
+  format, magic ``RGB0``) decode FOR REAL — a genuine byte-level decoder
+  with validation, no codec library needed; other payloads fall back to
+  the fake plumbing below;
+- ``decode=\"strict\"`` raises ``NotImplementedError`` for codec formats —
+  the shape a real deployment fills in with PIL/ffmpeg;
+- ``decode=\"fake\"`` derives a deterministic pixel array from the payload
+  bytes, so the Ray-side plumbing — schema, actor pool, batch sizing,
+  output layout — is real and tested end-to-end even for codec formats.
 
 Scale notes baked into the stage shapes: binary rows are large, so batches
 stay SMALL (``batch_size=32``-ish) and the featurizer is an ACTOR POOL
@@ -33,8 +37,13 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def generate_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Seeded synthetic media rows (binary payloads + metadata)."""
+def generate_media_table(n: int = 64, seed: int = 5, raw_frac: float = 0.0) -> pa.Table:
+    """Seeded synthetic media rows (binary payloads + metadata).
+
+    ``raw_frac`` > 0 turns that fraction of rows into ``image_raw`` rows
+    whose payloads are REAL :func:`encode_rgb_raw` images (seeded gradient
+    + noise) — the featurizer's ``decode="auto"`` path genuinely decodes
+    these bytes back to pixels."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, n)
@@ -42,6 +51,22 @@ def generate_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in range(n)]
     w = rng.integers(16, 256, n).astype(np.int32)
     h = rng.integers(16, 256, n).astype(np.int32)
+    if raw_frac > 0:
+        n_raw = int(n * raw_frac)
+        for i in range(n_raw):
+            wi, hi = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            yy, xx = np.mgrid[0:hi, 0:wi]
+            img = np.stack(
+                [
+                    (xx * 255 // max(1, wi - 1)),
+                    (yy * 255 // max(1, hi - 1)),
+                    rng.integers(0, 256, (hi, wi)),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            kinds[i] = "image_raw"
+            payloads[i] = encode_rgb_raw(img)
+            w[i], h[i] = wi, hi
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -57,6 +82,35 @@ def generate_media_table(n: int = 64, seed: int = 5) -> pa.Table:
             ),
         }
     )
+
+
+RGB_MAGIC = b"RGB0"
+
+
+def encode_rgb_raw(arr: np.ndarray) -> bytes:
+    """REAL (non-stub) encoder for the container-friendly raw-RGB format:
+    ``b"RGB0" + uint16le width + uint16le height + H*W*3 uint8`` — an
+    uncompressed interchange format that needs no codec library, so the
+    decode path below is a genuine byte-level decoder, not a stand-in."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_rgb_raw expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    return RGB_MAGIC + np.array([w, h], dtype="<u2").tobytes() + arr.tobytes()
+
+
+def decode_rgb_raw(payload: bytes) -> np.ndarray:
+    """REAL decoder for :func:`encode_rgb_raw` payloads: validates the
+    magic + length contract and returns the (h, w, 3) uint8 pixel array."""
+    if payload[:4] != RGB_MAGIC:
+        raise ValueError("not a raw-RGB payload")
+    w, h = np.frombuffer(payload[4:8], dtype="<u2")
+    body = payload[8:]
+    if len(body) != int(w) * int(h) * 3:
+        raise ValueError(
+            f"raw-RGB length mismatch: header says {w}x{h}x3="
+            f"{int(w)*int(h)*3}, payload body is {len(body)}"
+        )
+    return np.frombuffer(body, dtype=np.uint8).reshape(int(h), int(w), 3)
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -77,7 +131,7 @@ class MediaFeaturizer:
     """
 
     def __init__(self, dim: int = 32, decode: str = "fake", seed: int = 11):
-        if decode not in ("fake", "strict"):
+        if decode not in ("fake", "strict", "auto"):
             raise ValueError(decode)
         self.decode = decode
         rng = np.random.default_rng(seed)
@@ -86,10 +140,17 @@ class MediaFeaturizer:
         self.dim = dim
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.decode == "auto" and payload[:4] == RGB_MAGIC:
+            # REAL decode: raw-RGB payloads carry actual pixels (luminance
+            # plane feeds the shared histogram+projection featurizer)
+            px = decode_rgb_raw(payload).astype(np.float32)
+            lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+            return lum.ravel()
         if self.decode == "strict":
             raise NotImplementedError(
-                "real image/audio decoding requires PIL/ffmpeg — not in this "
-                "container; use decode='fake' for plumbing tests"
+                "real image/audio codec decoding requires PIL/ffmpeg — not in "
+                "this container; raw-RGB payloads decode for real via "
+                "decode='auto', everything else uses decode='fake' plumbing"
             )
         return _fake_decode(payload, width, height)
 
