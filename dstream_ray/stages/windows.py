@@ -680,6 +680,15 @@ def _sliding_watermark(
     late_drops = int(state.get("late_drops", 0))
     lo = state.get("wm_below")
     lo_v = int(lo) if lo is not None else _I64MIN
+    # Per-conv emission floors, set ONLY by a checkpoint rescale: a conv
+    # arriving from an old partition whose cursor was ahead of the new
+    # (min-broadcast) global cursor must not re-emit windows its old owner
+    # already published. Windows below the floor were emitted there with
+    # ALL their rows (a row stays in the residual until its newest window
+    # closes, so it contributed to every earlier window before moving);
+    # windows at/above the floor have their full row set in the carried
+    # residual — suppression is therefore exact, not approximate.
+    wm_floor: dict = dict(state.get("wm_floor") or {})
     # late protection: a row whose NEWEST window (its own bucket) is already
     # emitted cannot contribute to any still-open window
     keep = b >= lo_v
@@ -687,9 +696,10 @@ def _sliding_watermark(
         late_drops += int((~keep).sum())
         cols = prep(_take(cols, keep))
         if len(cols.codes) == 0:
-            return _SLIDING_EMPTY, {
-                "residual": None, "wm_below": lo, "late_drops": late_drops,
-            }
+            st = {"residual": None, "wm_below": lo, "late_drops": late_drops}
+            if wm_floor:
+                st["wm_floor"] = wm_floor
+            return _SLIDING_EMPTY, st
         b = cols.ts // s_us
     n = len(cols.codes)
     rep_idx = np.repeat(np.arange(n), k)
@@ -716,6 +726,12 @@ def _sliding_watermark(
         new_lo = max(lo_v, close_hi) if lo is not None else close_hi
         residual = _take(cols, b >= close_hi)
     emit_run = (run_win < close_hi) & (run_win >= lo_v)
+    if wm_floor:
+        names = cols.conv_names()
+        floor_by_code = np.array(
+            [wm_floor.get(nm, _I64MIN) for nm in names], dtype=np.int64
+        )
+        emit_run &= run_win >= floor_by_code[run_codes]
     out = pa.table(
         {
             "conv_id": pa.DictionaryArray.from_arrays(
@@ -726,7 +742,13 @@ def _sliding_watermark(
             "n_chars": pa.array(n_chars[emit_run]),
         }
     )
-    return out, {"residual": residual, "wm_below": int(new_lo), "late_drops": late_drops}
+    st = {"residual": residual, "wm_below": int(new_lo), "late_drops": late_drops}
+    if wm_floor:
+        # a floor at/below the advanced global cursor can never bind again
+        wm_floor = {nm: f for nm, f in wm_floor.items() if f > new_lo}
+        if wm_floor:
+            st["wm_floor"] = wm_floor
+    return out, st
 
 
 # ---------------------------------------------------------------------------

@@ -30,11 +30,19 @@ State classes (see the dispatch tables below):
 
 Scalar policies: monotone counters that future rows must exceed
 (``next_seq``, the key-relay ``tick``) broadcast their MAX to every new
-partition; metric counters (``late_drops``) sum onto partition 0; the
-upsert ``emit_floor`` resets to 0, which makes the next flush re-emit a
-full compacted snapshot — explicitly allowed by the changelog contract
-(keep-last union of deltas == snapshot), and exact when no flush happened
-since the floor was set.
+partition; watermark emission cursors (tumbling@watermark's
+``emitted_below``, sliding@watermark's ``wm_below``, the relay's eviction
+watermark ``wm_us``) broadcast their MIN — the conservative choice paired
+with the engine's min-across-partitions watermark: every carried residual
+row satisfies ``bucket >= its old partition's cursor >= min``, so nothing
+is dropped, and under the globally-ts-ordered feed contract that
+watermark closure already requires, new rows land at or above the global
+max watermark, so nothing below the min cursor can re-emit; metric
+counters (``late_drops``) sum onto partition 0; the upsert ``emit_floor``
+resets to 0, which makes the next flush re-emit a full compacted
+snapshot — explicitly allowed by the changelog contract (keep-last union
+of deltas == snapshot), and exact when no flush happened since the floor
+was set.
 """
 
 from __future__ import annotations
@@ -69,6 +77,11 @@ UNRESCALABLE = {"dedup_bloom"}
 
 _MAX_INTS = {"tick", "next_seq"}  # future rows must exceed every carried value
 _ZERO_INTS = {"emit_floor"}  # reset -> next flush re-emits the full snapshot
+# Watermark emission/eviction cursors: broadcast the MIN so every residual
+# row (bucket >= its old cursor) survives on its new owner; duplicates are
+# impossible under the globally-ordered feed contract watermark closure
+# requires (new rows arrive at/above the global max watermark).
+_MIN_INTS = {"emitted_below", "wm_below", "wm_us"}
 
 
 def _key_pids(keys: list, new_p: int) -> np.ndarray:
@@ -77,9 +90,29 @@ def _key_pids(keys: list, new_p: int) -> np.ndarray:
     )
 
 
+def _synth_wm_floor(s: dict) -> dict:
+    """Sliding@watermark carries one GLOBAL ``wm_below`` cursor, but a
+    sliding-window row spans k windows — some already emitted below its
+    partition's cursor while the row still sits in the residual. After a
+    min-broadcast those windows would re-emit (with only the residual's
+    subset of their rows). Pin each residual conv to its OLD partition's
+    cursor via a per-conv ``wm_floor`` dict: the dict splits by conv like
+    any keyed component, and the kernel suppresses emissions below the
+    floor until the global cursor catches up (exact — see
+    ``_sliding_watermark``)."""
+    lo, res = s.get("wm_below"), s.get("residual")
+    if lo is None or not (isinstance(res, pa.Table) and "conv_id" in res.column_names):
+        return s
+    floor = dict(s.get("wm_floor") or {})
+    for nm in pa.compute.unique(res["conv_id"].cast(pa.string())).to_pylist():
+        floor[nm] = max(int(floor.get(nm, lo)), int(lo))
+    return {**s, "wm_floor": floor}
+
+
 def _split_conv_op(op: str, op_states: list[dict], new_p: int) -> list[dict]:
     outs: list[dict] = [dict() for _ in range(new_p)]
     scalars: dict[str, list[int]] = {}
+    op_states = [_synth_wm_floor(s) for s in op_states]
     for s in op_states:
         for comp, v in s.items():
             if isinstance(v, pa.Table) and "conv_id" in v.column_names:
@@ -112,8 +145,18 @@ def _split_conv_op(op: str, op_states: list[dict], new_p: int) -> list[dict]:
             m = max(vals)
             for p in range(new_p):
                 outs[p][comp] = m
-        else:  # metric counters: preserve the total on partition 0
+        elif comp in _MIN_INTS:
+            m = min(vals)
+            for p in range(new_p):
+                outs[p][comp] = m
+        elif comp == "late_drops":  # metric counters: preserve total on p0
             outs[0][comp] = sum(vals)
+        else:
+            raise ValueError(
+                f"operator '{op}' scalar state component '{comp}' has no "
+                "rescale rule (refusing to guess: a summed cursor corrupts "
+                "exactly-once)"
+            )
     return outs
 
 

@@ -99,6 +99,67 @@ def test_rescale_then_resume_matches_uninterrupted(
     _assert_same_sinks(job_a, job_b)
 
 
+WM_OPS = {
+    # the watermark-closure family: scalar emission cursors (emitted_below /
+    # wm_below) that a rescale must broadcast-MIN, never sum (a summed cursor
+    # late-drops valid rows on p0 and re-opens committed windows elsewhere)
+    "tumbling@wm": {"width_s": WIDTH_S, "closure": "watermark"},
+    "sliding@wm": {"width_s": WIDTH_S, "slide_s": WIDTH_S // 3, "closure": "watermark"},
+    "session@wm": {"gap_s": GAP_S, "closure": "watermark"},
+    "session_with_join@wm": {"gap_s": GAP_S, "closure": "watermark"},
+}
+
+
+@pytest.fixture(scope="module")
+def wm_feed_dir(tmp_path_factory):
+    """Globally ts-ordered feed — the ordering contract under which
+    watermark closure is exact (see tumbling_kernel docstring)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("wmfeed")
+    # seed/size chosen to actually spread the per-partition wm_below cursors:
+    # this data re-emitted 17 sliding windows under the pre-fix sum/min rules
+    tbl = generate_transcripts(n_convs=60, mean_turns=12, seed=5, session_gap_s=GAP_S)
+    df = tbl.to_pandas().sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    n, shards = tbl.num_rows, 6
+    bounds = np.linspace(0, n, shards + 1).astype(int)
+    for i in range(shards):
+        pq.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(d / f"feed-{i:02d}.parquet"),
+        )
+    return d
+
+
+@pytest.mark.parametrize("new_p", [5, 2])
+def test_rescale_watermark_closure_matches_uninterrupted(
+    ray_session, tmp_path, wm_feed_dir, new_p
+):
+    """Rescaling mid-stream with watermark-closure operators (and relay
+    cursor eviction active, so the relay carries its wm_us scalar) must
+    produce the same committed sinks as an uninterrupted run."""
+
+    def cfg(base, P):
+        c = _cfg(base, wm_feed_dir, P, ops=WM_OPS)
+        c.relay_evict_idle_s = 24 * 3600  # far above the feed's span: no evictions
+        return c
+
+    job_a = StreamingJob(cfg(tmp_path / "a", 3))
+    job_a.run()
+
+    StreamingJob(cfg(tmp_path / f"b{new_p}", 3)).run(max_epochs=2, flush_at_end=False)
+    res = StreamingJob(cfg(tmp_path / f"b{new_p}", 3)).rescale(new_p)
+    assert res["status"] == "rescaled"
+    job_b = StreamingJob(cfg(tmp_path / f"b{new_p}", new_p))
+    job_b.run()
+    for op in ["events", *WM_OPS]:
+        pd.testing.assert_frame_equal(
+            _canon(job_a, op), _canon(job_b, op), check_dtype=False, obj=op
+        )
+
+
 def test_resume_without_rescale_still_rejected(ray_session, tmp_path, feed_dir):
     cfg = _cfg(tmp_path, feed_dir, 3)
     StreamingJob(cfg).run(max_epochs=1, flush_at_end=False)
