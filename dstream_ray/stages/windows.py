@@ -1741,6 +1741,9 @@ def running_kernel(
     bounded by live-conversation cardinality, independent of stream length,
     and any epoch split produces identical rows (each row's outputs depend
     only on the prefix of its conv, which the carry summarises exactly).
+    The carry survives ``flush`` (flush is NON-terminal engine-wide): a
+    later run that consumes more feed continues ROW_NUMBER / cum_chars
+    where they left off instead of restarting at 1.
 
     Fully vectorized: one segment-offset subtraction for positions, one
     shifted-``ts`` diff for lags, one ``cumsum`` rebased per segment for the
@@ -1748,7 +1751,7 @@ def running_kernel(
     """
     st: dict = dict(state.get("run", {}))
     if not new_rows.num_rows:
-        return _RUNNING_EMPTY, ({} if flush else {"run": st})
+        return _RUNNING_EMPTY, {"run": st}
 
     cols = prep(new_rows)
     names = cols.conv_names()
@@ -1791,7 +1794,7 @@ def running_kernel(
             "cum_chars": pa.array(cum_chars),
         }
     )
-    return out, ({} if flush else {"run": st})
+    return out, {"run": st}
 
 
 _SESSIONIZE_EMPTY = pa.table(
@@ -1821,7 +1824,9 @@ def sessionize_kernel(
 
     State per conv is O(1) — ``(last_ts, session_count, turns_in_cur)`` —
     and each row's labels depend only on its conv prefix, so any epoch
-    split emits identical rows. Vectorized: gap detection is one shifted
+    split emits identical rows. The carry survives ``flush`` (flush is
+    NON-terminal engine-wide): post-flush feed continues session ids from
+    the carried prefix instead of restarting at 1. Vectorized: gap detection is one shifted
     diff, session ids a rebased ``cumsum`` of starts, positions a
     ``maximum.accumulate`` over start indices (Python touches only the
     per-conv carry dict).
@@ -1829,7 +1834,7 @@ def sessionize_kernel(
     G = int(gap_s) * US
     st: dict = dict(state.get("sess", {}))
     if not new_rows.num_rows:
-        return _SESSIONIZE_EMPTY, ({} if flush else {"sess": st})
+        return _SESSIONIZE_EMPTY, {"sess": st}
 
     cols = prep(new_rows)
     names = cols.conv_names()
@@ -1878,7 +1883,7 @@ def sessionize_kernel(
             "turn_in_session": pa.array(turn_in_session),
         }
     )
-    return out, ({} if flush else {"sess": st})
+    return out, {"sess": st}
 
 
 def qsketch_bucket(x: np.ndarray) -> np.ndarray:
@@ -1888,14 +1893,22 @@ def qsketch_bucket(x: np.ndarray) -> np.ndarray:
     2^-4, so any quantile read from the histogram has ≤ 6.25% relative
     error (≤ 3.2% with mid-bucket representatives). Exactly recomputable
     in SQL as ``(length(bin(x))-1)*16 + ((x >> (length(bin(x))-5)) & 15)``
-    because both sides use pure integer bit arithmetic (``np.frexp`` is
-    exact; no float log2 anywhere)."""
+    because both sides use pure integer bit arithmetic: the float
+    ``np.frexp`` estimate of the msb is corrected with exact integer
+    shifts, so values ≥ 2^53 (where int→float rounding can cross a power
+    of two, e.g. 2^62−1) still bucket identically to SQL's
+    ``length(bin(x))``."""
     x = x.astype(np.int64)
     out = x.copy()
     big = x >= 16
     if big.any():
         xb = x[big]
         msb = (np.frexp(xb.astype(np.float64))[1] - 1).astype(np.int64)
+        # int→float rounds to nearest: x just below 2^k can round UP to
+        # 2^k (msb over by one), never below — one downward correction,
+        # verified exactly with an integer shift
+        over = (xb >> msb) == 0
+        msb[over] -= 1
         sub = (xb >> (msb - 4)) & 15
         out[big] = msb * 16 + sub
     return out

@@ -72,8 +72,13 @@ def _merge(outs):
 
 
 def test_bucket_id_matches_sql_bit_arithmetic():
-    x = np.r_[np.arange(0, 40), 2 ** np.arange(4, 40), 2 ** np.arange(5, 40) - 1,
-              np.random.default_rng(0).integers(0, 10**9, 500)]
+    # includes the >= 2^53 domain where int->float rounding crosses powers
+    # of two (e.g. 2^62-1): the kernel's integer-shift correction must keep
+    # it identical to SQL's exact length(bin(x))
+    x = np.r_[np.arange(0, 40), 2 ** np.arange(4, 63), 2 ** np.arange(5, 63) - 1,
+              2 ** np.arange(53, 63) + 1, (2**63 - 1) - np.arange(0, 5),
+              np.random.default_rng(0).integers(0, 10**9, 500),
+              np.random.default_rng(1).integers(2**53, 2**63 - 1, 500)]
     con = duckdb.connect()
     con.register("t", pd.DataFrame({"x": x.astype(np.int64)}))
     exp = con.execute(

@@ -70,7 +70,25 @@ def test_running_matches_window_function_oracle_any_split():
             outs.append(out)
         got = _canon(pa.concat_tables(outs).to_pandas())
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
-        assert state == {}  # flush clears the carry
+        assert state.get("run")  # carry survives flush (flush is non-terminal)
+
+
+def test_running_post_flush_continuation_matches_single_pass():
+    """Flush is NON-terminal: a run that flushes, then consumes more feed,
+    must emit the same rows as one uninterrupted pass (ROW_NUMBER/cum_chars
+    continue from the carried prefix instead of restarting at 1)."""
+    feed = _feed(seed=9, n_convs=4, n_turns=30)
+    rows = to_residual_rows(feed)
+    exp = _canon(_oracle(feed))
+    cut = rows.num_rows // 2
+    state: dict = {}
+    outs = []
+    out, state = running_kernel(rows.slice(0, cut), state, flush=True)
+    outs.append(out)
+    out, state = running_kernel(rows.slice(cut), state, flush=True)
+    outs.append(out)
+    got = _canon(pa.concat_tables(outs).to_pandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_running_emits_every_row_immediately_with_o1_state():

@@ -85,7 +85,7 @@ def test_sessionize_matches_nested_window_oracle_any_split():
             outs.append(out)
         got = _canon(pa.concat_tables(outs).to_pandas())
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
-        assert state == {}  # flush clears the carry
+        assert state.get("sess")  # carry survives flush (flush is non-terminal)
 
 
 def test_sessionize_agrees_with_aggregating_session_window():
@@ -126,6 +126,24 @@ def test_sessionize_carry_continues_session_across_epochs():
     df = pa.concat_tables(outs).to_pandas()
     assert df["session_id"].tolist() == [1, 1, 2, 2]
     assert df["turn_in_session"].tolist() == [1, 2, 1, 2]
+
+
+def test_sessionize_post_flush_continuation_matches_single_pass():
+    """Flush is NON-terminal: flushing mid-stream then consuming more feed
+    must label sessions identically to one uninterrupted pass."""
+    feed = _feed(seed=4)
+    rows = to_residual_rows(feed)
+    exp_out, _ = sessionize_kernel(rows, {}, gap_s=GAP_S, flush=True)
+    exp = exp_out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    cut = rows.num_rows // 2
+    state: dict = {}
+    outs = []
+    for part in (rows.slice(0, cut), rows.slice(cut)):
+        out, state = sessionize_kernel(part, state, gap_s=GAP_S, flush=True)
+        outs.append(out)
+    got = (pa.concat_tables(outs).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_sessionize_engine_end_to_end(ray_session, tmp_path):
