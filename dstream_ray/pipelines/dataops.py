@@ -22,6 +22,15 @@ import ray.data as rd
 from dstream_ray.stages import ann, dedup, multimodal, text
 
 
+def _pool(cap: int = 16) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized from the cluster: a floor of 2
+    keeps setup latency low on small runs, the ceiling tracks CPUs so a
+    32-cpu node (or a 100x cluster) doesn't starve the stage behind a
+    fixed 2-actor pool."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (2, int(max(2, min(cap, cpus // 2))))
+
+
 def _read_documents(sf_dir: str, columns=None) -> rd.Dataset:
     from dstream_ray.pipelines.queries import _tuned_read
 
@@ -42,13 +51,13 @@ def _read_embeddings(sf_dir: str) -> rd.Dataset:
 def q_doc_stats(sf_dir: str):
     """Token/quality metrics per doc — DocStats actor pool."""
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.DocStats, batch_format="pandas", batch_size=2048, concurrency=2
+        text.DocStats, batch_format="pandas", batch_size=2048, concurrency=_pool()
     )
 
 
 def q_langid_markers(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.LangIdMarkers, batch_format="pandas", batch_size=2048, concurrency=2
+        text.LangIdMarkers, batch_format="pandas", batch_size=2048, concurrency=_pool()
     )
 
 
@@ -619,7 +628,7 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
         multimodal.MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=32,  # binary payloads: keep batches small
-        concurrency=2,
+        concurrency=_pool(cap=4),  # 128 rows / 32-row batches: 4 actors max useful
         fn_constructor_kwargs={"decode": "auto"},
     ).to_pandas()
     out = feats[["media_id", "kind"]].copy()
@@ -1398,5 +1407,5 @@ def q_top_lineitems(sf_dir: str, k: int = 20) -> pd.DataFrame:
 def q_bpe_token_counts(sf_dir: str):
     """BPE-ish pre-tokenizer counts (GPT-2-style regex, RE2-safe subset)."""
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.BpeTokenCounter, batch_format="pandas", batch_size=2048, concurrency=2
+        text.BpeTokenCounter, batch_format="pandas", batch_size=2048, concurrency=_pool()
     )

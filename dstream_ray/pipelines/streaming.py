@@ -164,6 +164,13 @@ class StreamingConfig:
     # delivery cursor forever): bounds state on unbounded streams; must
     # exceed the upstream's max replay lag (see relay_kernel docstring).
     relay_evict_idle_s: int | None = None
+    # TEST-ONLY fault injection for the owner-actor recovery path:
+    # (partition, epoch, "before"|"after") makes that PartitionStateActor
+    # hard-exit once — "before" kills mid-epoch (before any kernel runs),
+    # "after" kills between the state snapshot and the result return. A
+    # marker file under out_dir arms it exactly once, so the respawned
+    # actor replays the epoch instead of crash-looping. None in production.
+    crash_actor_at: tuple | None = None
     # NDJSON envelope payload mode: "canonical" re-serializes data with
     # sorted keys (the envelope→transcript adapter), "raw" keeps the line
     # bytes verbatim and parses metadata with Arrow's C++ NDJSON reader —
@@ -452,7 +459,22 @@ class PartitionStateActor:
         self.state: dict | None = None
         self.state_epoch = -2  # cache validity marker
 
+    def _maybe_crash(self, epoch: int, phase: str) -> None:
+        spec = self.cfg.crash_actor_at
+        if spec is None:
+            return
+        p, e, ph = spec
+        if self.partition != p or epoch != e or ph != phase:
+            return
+        marker = os.path.join(self.cfg.out_dir, "_crash_fired")
+        if os.path.exists(marker):
+            return  # fire once: the respawned actor must succeed
+        with open(marker, "w"):
+            pass
+        os._exit(1)
+
     def process(self, epoch, prev, flush, *parts):
+        self._maybe_crash(epoch, "before")
         parts = [p for p in parts if p is not None and p.num_rows]
         table = pa.concat_tables(parts) if parts else None
         override = self.state if self.state_epoch == epoch - 1 else None
@@ -467,6 +489,7 @@ class PartitionStateActor:
             return_state=True,
         )
         self.state, self.state_epoch = state, epoch
+        self._maybe_crash(epoch, "after")
         return result
 
 
@@ -1072,16 +1095,34 @@ class StreamingJob:
             }
 
         try:
+            # Epoch loop with OWNER-ACTOR CRASH RECOVERY. The in-memory
+            # keyed state of a PartitionStateActor is a cache over the
+            # per-epoch snapshots (every epoch's state lands in the
+            # checkpoint dir before its manifest commits), so losing an
+            # actor loses no durable state: on RayActorError the driver
+            # discards the in-flight (uncommitted) epochs, respawns a
+            # fresh pool, rebuilds prev from the LAST COMMITTED manifest
+            # and replays the remaining plan. Replayed epochs restage the
+            # same deterministic sink files (process_partition is pure in
+            # (rows, prev state)), so promote-then-commit stays
+            # exactly-once — identical to how a whole-driver crash
+            # recovers, just without losing the driver.
             inflight: list[tuple[int, list[str], bool, float, list]] = []
-            for epoch, files, flush in plan:
-                refs = self._submit_epoch(
-                    epoch, files, prev_by_part, flush, actors=actors
-                )
-                # chain: the next epoch's prev for partition k is this ref
-                if files:
-                    prev_by_part = dict(enumerate(refs))
-                inflight.append((epoch, files, flush, time.time(), refs))
-                while len(inflight) >= pipeline_depth:
+            i = 0
+            crashes = 0
+            while i < len(plan) or inflight:
+                try:
+                    while i < len(plan) and len(inflight) < pipeline_depth:
+                        epoch, files, flush = plan[i]
+                        refs = self._submit_epoch(
+                            epoch, files, prev_by_part, flush, actors=actors
+                        )
+                        # chain: the next epoch's prev for partition k is
+                        # this ref
+                        if files:
+                            prev_by_part = dict(enumerate(refs))
+                        inflight.append((epoch, files, flush, time.time(), refs))
+                        i += 1
                     e0, f0, fl0, t0, r0 = inflight.pop(0)
                     self._commit_epoch(e0, f0, ray.get(r0), fl0, t0)
                     # keep the lease fresh across long runs: without renewal
@@ -1089,10 +1130,34 @@ class StreamingJob:
                     # break the lock mid-commit-sequence
                     if lease is not None:
                         lease.renew()
-            for e0, f0, fl0, t0, r0 in inflight:
-                self._commit_epoch(e0, f0, ray.get(r0), fl0, t0)
-                if lease is not None:
-                    lease.renew()
+                except ray.exceptions.RayActorError:
+                    if actors is None:
+                        raise
+                    crashes += 1
+                    if crashes > 3:
+                        raise
+                    for a in actors.values():
+                        ray.kill(a)
+                    actors = {
+                        k: PartitionStateActor.options(num_cpus=0).remote(
+                            k, self.cfg
+                        )
+                        for k in range(self.cfg.num_partitions)
+                    }
+                    last = self.store.last_committed()
+                    committed_e = last[0] if last else -1
+                    prev_by_part = {
+                        int(k): v for k, v in self._prev_partitions().items()
+                    }
+                    inflight = []
+                    i = next(
+                        (
+                            idx
+                            for idx, (e, _, _) in enumerate(plan)
+                            if e > committed_e
+                        ),
+                        len(plan),
+                    )
         finally:
             if actors is not None:
                 for a in actors.values():

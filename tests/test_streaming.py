@@ -206,6 +206,36 @@ def test_actor_state_store_equivalent(ray_session, tmp_path, feed_dir):
         sorted_eq(read_sink(job_a, op), read_sink(StreamingJob(cfg_t), op), keys)
 
 
+@pytest.mark.parametrize("phase", ["before", "after"])
+def test_state_actor_crash_recovers_mid_job(ray_session, tmp_path, feed_dir, phase):
+    """The `ready_then_crash` analog for the keyed-state store
+    (/root/reference/pkg/executor/handshake_test.go behavior matrix): a
+    PartitionStateActor hard-exits mid-job — "before" = mid-epoch before
+    any kernel runs, "after" = between the state snapshot and the result
+    return — and the SAME driver run must recover (respawn the pool,
+    rebuild from the last committed snapshot, replay uncommitted epochs)
+    and finish with sinks identical to an uninterrupted task-mode run."""
+    cfg_t = make_cfg(tmp_path / "tasks", feed_dir)
+    StreamingJob(cfg_t).run()
+
+    cfg_c = make_cfg(
+        tmp_path / f"crash_{phase}", feed_dir,
+        use_state_actors=True, crash_actor_at=(2, 1, phase),
+    )
+    job_c = StreamingJob(cfg_c)
+    st = job_c.run()  # single run() call: recovery happens IN-RUN
+    assert st["flushed"]
+    assert os.path.exists(os.path.join(cfg_c.out_dir, "_crash_fired"))
+
+    for op, keys in [
+        ("events", ["conv_id", "turn_idx"]),
+        ("tumbling", ["conv_id", "window_id"]),
+        ("session", ["conv_id", "session_id"]),
+        ("session_join", ["conv_id", "session_id", "tool_turn_idx"]),
+    ]:
+        sorted_eq(read_sink(job_c, op), read_sink(StreamingJob(cfg_t), op), keys)
+
+
 def test_two_level_combiner_equivalent(ray_session, tmp_path, feed_dir):
     """The two-level exchange (pre-merge slices per partition before the
     reduce) must produce identical output to the direct exchange."""
