@@ -18,6 +18,8 @@ import pyarrow as pa
 
 from dstream_ray.common import DEDUP_HASH_BASES, FNV_PRIME, poly_hash_strings
 
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+
 
 def relay_kernel(
     new_rows: pa.Table,
@@ -140,34 +142,50 @@ def content_dedup_kernel(
         enc = conv.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         names = enc.dictionary.to_pylist()
-        # first occurrence within the batch, arrival order (pandas C path)
-        dup_in_batch = pd.DataFrame({"c": codes, "h": combined}).duplicated().to_numpy()
-        accept = ~dup_in_batch
+        nb = len(codes)
+        # Segment-vectorized membership + union: the carried seen-sets are
+        # per-conv SORTED hash arrays, so gathering them in code order
+        # yields one (seg, value)-sorted array with no sort; one stable
+        # lexsort folds the batch in (prev first, then arrival order on
+        # ties). An element equal to its sorted predecessor is a duplicate
+        # (of the seen-set or of an earlier batch row — this also subsumes
+        # the old in-batch duplicated() pre-pass); the predecessor-unique
+        # elements ARE the new sorted union. Python touches only the
+        # carry dict (gather + slice writeback).
+        prev_vals_l = []
+        prev_cnt = np.empty(len(names), dtype=np.int64)
+        for c, nm in enumerate(names):
+            p = seen.get(nm)
+            if p is None:
+                p = _EMPTY_U64
+            prev_vals_l.append(p)
+            prev_cnt[c] = len(p)
+        seg_all = np.concatenate(
+            [np.repeat(np.arange(len(names), dtype=np.int64), prev_cnt), codes]
+        )
+        val_all = np.concatenate(prev_vals_l + [combined])
+        n_prev = int(prev_cnt.sum())
+        order = np.lexsort((np.arange(len(seg_all)), val_all, seg_all))
+        sa, va = seg_all[order], val_all[order]
+        same = np.zeros(len(sa), dtype=bool)
+        same[1:] = (sa[1:] == sa[:-1]) & (va[1:] == va[:-1])
+        accept = np.ones(nb, dtype=bool)
+        is_batch = order >= n_prev
+        accept[order[is_batch & same] - n_prev] = False
+        # new seen-sets: predecessor-unique elements, already (seg, value)
+        # sorted — rejected batch values collapse onto their first copy
+        uniq = ~same
+        u_val, u_seg = va[uniq], sa[uniq]
+        cnt = np.bincount(u_seg, minlength=len(names)).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        for c, nm in enumerate(names):
+            seen[nm] = u_val[offs[c]:offs[c + 1]].copy()
         if track:
             ts_np = new_rows["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # membership vs carried per-conv seen-sets + state update, one
-        # contiguous segment per conv (stable sort by code, not a scan
-        # per conv)
-        seg_order = np.argsort(codes, kind="stable")
-        codes_s = codes[seg_order]
-        seg_starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
-        seg_ends = np.r_[seg_starts[1:], len(codes_s)]
-        for s, e in zip(seg_starts, seg_ends):
-            rows_c = seg_order[s:e]
-            nm = names[codes_s[s]]
-            vals = combined[rows_c]
-            prev = seen.get(nm)
-            if prev is not None and len(prev):
-                idx = np.searchsorted(prev, vals)
-                idx[idx >= len(prev)] = len(prev) - 1
-                accept[rows_c] &= prev[idx] != vals
-            new_vals = np.unique(vals[accept[rows_c]])
-            if prev is not None and len(prev):
-                seen[nm] = np.union1d(prev, new_vals) if len(new_vals) else prev
-            else:
-                seen[nm] = new_vals
-            if track:
-                last_ts[nm] = max(int(ts_np[rows_c].max()), last_ts.get(nm, -1))
+            seg_max = np.full(len(names), -1, dtype=np.int64)
+            np.maximum.at(seg_max, codes, ts_np)
+            for c, nm in enumerate(names):
+                last_ts[nm] = max(int(seg_max[c]), last_ts.get(nm, -1))
         out = new_rows.filter(pa.array(accept))
     if track and last_ts and not flush:
         cutoff = wm - evict_idle_us

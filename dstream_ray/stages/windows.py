@@ -1013,6 +1013,105 @@ _INTERVAL_EMPTY = pa.table(
 )
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_PAIR = (_EMPTY_I64, _EMPTY_I64)
+
+
+def _gather_bufs(buf: dict, names: list, seg_codes: np.ndarray):
+    """Flatten per-conv (turn, ts) buffers for the convs present in this
+    batch into conv-contiguous arrays + per-segment counts. The ONLY
+    Python-per-conv work in the segment-vectorized join kernels is this
+    gather and the final slice-writeback — all numeric work (sort,
+    searchsorted, ragged pair expansion, pruning) is whole-batch."""
+    turns, tss = [], []
+    cnt = np.empty(len(seg_codes), dtype=np.int64)
+    for i, c in enumerate(seg_codes):
+        t, ts = buf.get(names[c], _EMPTY_PAIR)
+        turns.append(t)
+        tss.append(ts)
+        cnt[i] = len(t)
+    if cnt.sum() == 0:
+        return _EMPTY_I64, _EMPTY_I64, cnt
+    return np.concatenate(turns), np.concatenate(tss), cnt
+
+
+def _scatter_bufs(
+    buf: dict, names: list, seg_codes: np.ndarray,
+    turn: np.ndarray, ts: np.ndarray, cnt: np.ndarray,
+) -> None:
+    """Write conv-contiguous arrays back into the per-conv carry dict.
+    Slices are copied so the carry does not pin the whole batch array;
+    convs left with nothing buffered drop their entry (bounded state)."""
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    for i, c in enumerate(seg_codes):
+        s, e = offs[i], offs[i + 1]
+        if e > s:
+            buf[names[c]] = (turn[s:e].copy(), ts[s:e].copy())
+        else:
+            buf.pop(names[c], None)
+
+
+def _merge_seg_sorted(a_seg, a_turn, a_ts, b_seg, b_turn, b_ts):
+    """Merge two (seg, ts)-sorted row sets into one, stable (a before b on
+    ties) — the whole-batch analog of per-conv concat+stable-sort."""
+    seg = np.concatenate([a_seg, b_seg])
+    turn = np.concatenate([a_turn, b_turn])
+    ts = np.concatenate([a_ts, b_ts])
+    order = np.lexsort((np.arange(len(seg)), ts, seg))
+    return seg[order], turn[order], ts[order]
+
+
+def _seg_window_bounds(t_seg, t_ts, p_seg, p_lo, p_hi):
+    """For each probe (segment id, [p_lo, p_hi] ts window) return the
+    [lo, hi) index range of matching targets, where targets are sorted by
+    (seg, ts). One pair of GLOBAL searchsorted calls via the bias trick:
+    key = seg * span + (ts - base). If segment-count x ts-span would
+    overflow the int64 key domain (pathological: years of skew x tens of
+    thousands of convs in ONE batch), the segment range splits in half
+    and recurses — each half's bias domain shrinks, bottoming out at one
+    segment per call."""
+    if len(t_ts) == 0 or len(p_seg) == 0:
+        z = np.zeros(len(p_seg), dtype=np.int64)
+        return z, z
+    base = int(t_ts.min())
+    span = int(t_ts.max()) - base + 1
+    n_seg = int(max(t_seg.max(), p_seg.max())) + 1
+    if n_seg > 1 and n_seg * span >= (1 << 62):
+        mid = n_seg // 2
+        t_cut = int(np.searchsorted(t_seg, mid, side="left"))
+        pm = p_seg < mid
+        lo = np.empty(len(p_seg), dtype=np.int64)
+        hi = np.empty(len(p_seg), dtype=np.int64)
+        lo[pm], hi[pm] = _seg_window_bounds(
+            t_seg[:t_cut], t_ts[:t_cut], p_seg[pm], p_lo[pm], p_hi[pm]
+        )
+        lo_r, hi_r = _seg_window_bounds(
+            t_seg[t_cut:] - mid, t_ts[t_cut:], p_seg[~pm] - mid,
+            p_lo[~pm], p_hi[~pm],
+        )
+        lo[~pm], hi[~pm] = lo_r + t_cut, hi_r + t_cut
+        return lo, hi
+    biased = t_seg * span + (t_ts - base)
+    # clip deltas so out-of-range probe windows resolve to EMPTY ranges
+    # instead of clamping onto real targets: lo clips to span (= one past
+    # the segment's last key) when the window starts above every target,
+    # hi clips to -1 (= below the segment's first key) when it ends below
+    lo_key = p_seg * span + np.clip(p_lo - base, 0, span)
+    hi_key = p_seg * span + np.clip(p_hi - base, -1, span - 1)
+    lo = np.searchsorted(biased, lo_key, side="left")
+    hi = np.searchsorted(biased, hi_key, side="right")
+    return lo, np.maximum(lo, hi)
+
+
+def _ragged_expand(lo: np.ndarray, hi: np.ndarray):
+    """(probe_rep, target_idx) for ragged ranges [lo_i, hi_i)."""
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if not total:
+        return _EMPTY_I64, _EMPTY_I64
+    off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    t_idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64) - off)
+    p_rep = np.repeat(np.arange(len(lo), dtype=np.int64), cnt)
+    return p_rep, t_idx
 
 
 def interval_join_kernel(
@@ -1040,6 +1139,12 @@ def interval_join_kernel(
     epochs, so the union over any split is all qualifying pairs, each once
     (property-tested). SQL oracle shape: a self-join on conv_id with
     ``abs(dt) <= within_s`` between role='user' and role='tool' rows.
+
+    Segment-vectorized: the per-conv work is only the carry-dict gather /
+    slice-writeback; pairing is two global searchsorted calls over
+    (segment, ts)-biased keys + one ragged expansion, and buffer pruning
+    is one boolean mask — so kernel cost scales with ROWS, not with the
+    number of (possibly tiny) conversations in the batch.
     """
     W = int(within_s) * US
     u_buf: dict = dict(state.get("u", {}))
@@ -1048,73 +1153,59 @@ def interval_join_kernel(
         return _INTERVAL_EMPTY, {"u": u_buf, "t": t_buf}
     cols = prep(new_rows)
     names = cols.conv_names()
+    S = len(cols.starts)
+    seg_codes = cols.codes[cols.starts]
+    seg_ids = np.arange(S, dtype=np.int64)
+    row_seg = np.repeat(seg_ids, cols.ends - cols.starts)
+
+    ou_turn, ou_ts, ou_cnt = _gather_bufs(u_buf, names, seg_codes)
+    ot_turn, ot_ts, ot_cnt = _gather_bufs(t_buf, names, seg_codes)
+    ou_seg = np.repeat(seg_ids, ou_cnt)
+    ot_seg = np.repeat(seg_ids, ot_cnt)
+
+    um, tm = cols.is_user, cols.is_tool
+    nu_turn, nu_ts, nu_seg = cols.turn[um], cols.ts[um], row_seg[um]
+    nt_turn, nt_ts, nt_seg = cols.turn[tm], cols.ts[tm], row_seg[tm]
+
+    # merged tool side (old ∪ new), (seg, ts)-sorted — targets for family
+    # 1 AND (after pruning) the next tool buffer
+    mt_seg, mt_turn, mt_ts = _merge_seg_sorted(
+        ot_seg, ot_turn, ot_ts, nt_seg, nt_turn, nt_ts
+    )
+
     em_code, em_u, em_t, em_dt = [], [], [], []
+    # family 1: new user rows probe ALL tool rows (old + new)
+    p_rep, t_idx = _ragged_expand(
+        *_seg_window_bounds(mt_seg, mt_ts, nu_seg, nu_ts - W, nu_ts + W)
+    )
+    if len(p_rep):
+        em_code.append(seg_codes[nu_seg[p_rep]])
+        em_u.append(nu_turn[p_rep])
+        em_t.append(mt_turn[t_idx])
+        em_dt.append(mt_ts[t_idx] - nu_ts[p_rep])
+    # family 2: new tool rows probe only OLD user rows (new×new done above)
+    p_rep, t_idx = _ragged_expand(
+        *_seg_window_bounds(ou_seg, ou_ts, nt_seg, nt_ts - W, nt_ts + W)
+    )
+    if len(p_rep):
+        em_code.append(seg_codes[nt_seg[p_rep]])
+        em_u.append(ou_turn[t_idx])
+        em_t.append(nt_turn[p_rep])
+        em_dt.append(nt_ts[p_rep] - ou_ts[t_idx])
 
-    def _pairs(u_turn, u_ts, t_turn, t_ts):
-        """All (u, t) with |t.ts - u.ts| <= W; t side must be ts-sorted."""
-        if not len(u_turn) or not len(t_turn):
-            return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
-        lo = np.searchsorted(t_ts, u_ts - W, side="left")
-        hi = np.searchsorted(t_ts, u_ts + W, side="right")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if not total:
-            return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
-        # ragged arange: for each u, indices lo[i] .. hi[i]
-        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
-        t_idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64) - off)
-        u_rep = np.repeat(np.arange(len(u_turn), dtype=np.int64), cnt)
-        return (
-            np.repeat(u_turn, cnt),
-            t_turn[t_idx],
-            t_ts[t_idx] - u_ts[u_rep],
-        )
-
-    for s, e in zip(cols.starts, cols.ends):
-        code = int(cols.codes[s])
-        nm = names[code]
-        seg = slice(s, e)
-        seg_user, seg_tool = cols.is_user[seg], cols.is_tool[seg]
-        ou_turn, ou_ts = u_buf.get(nm, (_EMPTY_I64, _EMPTY_I64))
-        ot_turn, ot_ts = t_buf.get(nm, (_EMPTY_I64, _EMPTY_I64))
-        for new_mask, old_opp, swap in (
-            # new user rows probe ALL tool rows (old + new)...
-            (seg_user, (ot_turn, ot_ts), False),
-            # ...new tool rows probe only OLD user rows (new×new done above)
-            (seg_tool, (ou_turn, ou_ts), True),
-        ):
-            n_turn = cols.turn[seg][new_mask]
-            n_ts = cols.ts[seg][new_mask]
-            if swap:
-                a_turn, a_ts = old_opp
-            else:
-                # old ∪ new tool side, ts-sorted (buffer sorted, segment
-                # ts-monotone -> one merge-sort pass)
-                nt_turn, nt_ts = cols.turn[seg][seg_tool], cols.ts[seg][seg_tool]
-                a_ts = np.concatenate([old_opp[1], nt_ts])
-                a_turn = np.concatenate([old_opp[0], nt_turn])
-                srt = np.argsort(a_ts, kind="stable")
-                a_ts, a_turn = a_ts[srt], a_turn[srt]
-            p_u, p_t, p_dt = _pairs(n_turn, n_ts, a_turn, a_ts)
-            if swap:
-                # probe side was the TOOL rows: dt = t.ts - u.ts flips sign
-                p_u, p_t, p_dt = p_t, p_u, -p_dt
-            if len(p_u):
-                em_code.append(np.full(len(p_u), code, dtype=np.int64))
-                em_u.append(p_u)
-                em_t.append(p_t)
-                em_dt.append(p_dt)
-        # update + prune buffers against the conv's advanced clock
-        conv_max = int(cols.ts[e - 1])
-        cut = conv_max - W
-        for buf, mask in ((u_buf, seg_user), (t_buf, seg_tool)):
-            o_turn, o_ts = buf.get(nm, (_EMPTY_I64, _EMPTY_I64))
-            m_ts = np.concatenate([o_ts, cols.ts[seg][mask]])
-            m_turn = np.concatenate([o_turn, cols.turn[seg][mask]])
-            srt = np.argsort(m_ts, kind="stable")
-            m_ts, m_turn = m_ts[srt], m_turn[srt]
-            keep = m_ts >= cut
-            buf[nm] = (m_turn[keep], m_ts[keep])
+    # update + prune both buffers against each conv's advanced clock
+    mu_seg, mu_turn, mu_ts = _merge_seg_sorted(
+        ou_seg, ou_turn, ou_ts, nu_seg, nu_turn, nu_ts
+    )
+    cut = cols.ts[cols.ends - 1] - W  # per segment
+    for seg_a, turn_a, ts_a, buf in (
+        (mu_seg, mu_turn, mu_ts, u_buf),
+        (mt_seg, mt_turn, mt_ts, t_buf),
+    ):
+        keep = ts_a >= cut[seg_a]
+        kept_seg = seg_a[keep]
+        cnt = np.bincount(kept_seg, minlength=S).astype(np.int64)
+        _scatter_bufs(buf, names, seg_codes, turn_a[keep], ts_a[keep], cnt)
 
     if not em_code:
         return _INTERVAL_EMPTY, {"u": u_buf, "t": t_buf}
@@ -1527,40 +1618,47 @@ def absence_kernel(
     em_ts: list = []
 
     if new_rows.num_rows:
+        # Segment-vectorized (carry-dict gather / writeback is the only
+        # per-conv Python): pend ∪ new-user rows merge (seg, ts)-sorted,
+        # tool matching is ONE biased-searchsorted pair over the whole
+        # batch, timeout/keep are boolean masks against per-segment clocks.
         cols = prep(new_rows)
         names = cols.conv_names()
-        for s, e in zip(cols.starts, cols.ends):
-            nm = names[cols.codes[s]]
-            seg = slice(s, e)
-            p_turn, p_ts = pend.get(nm, (_EMPTY_I64, _EMPTY_I64))
-            su = cols.is_user[seg]
-            u_turn = np.concatenate([p_turn, cols.turn[seg][su]])
-            u_ts = np.concatenate([p_ts, cols.ts[seg][su]])
-            if not len(u_turn):
-                continue
-            t_ts = cols.ts[seg][cols.is_tool[seg]]  # ts-sorted (monotone feed)
-            if len(t_ts):
-                matched = np.searchsorted(t_ts, u_ts + W, side="right") > (
-                    np.searchsorted(t_ts, u_ts, side="right")
-                )
-            else:
-                matched = np.zeros(len(u_turn), dtype=bool)
-            conv_max = int(cols.ts[e - 1])
-            timeout = ~matched & (u_ts + W < conv_max)
-            if timeout.any():
-                em_nm.extend([nm] * int(timeout.sum()))
-                em_turn.append(u_turn[timeout])
-                em_ts.append(u_ts[timeout])
-            keep = ~matched & ~timeout
-            pend[nm] = (u_turn[keep], u_ts[keep])
+        S = len(cols.starts)
+        seg_codes = cols.codes[cols.starts]
+        seg_ids = np.arange(S, dtype=np.int64)
+        row_seg = np.repeat(seg_ids, cols.ends - cols.starts)
+
+        p_turn, p_ts, p_cnt = _gather_bufs(pend, names, seg_codes)
+        p_seg = np.repeat(seg_ids, p_cnt)
+        um, tm = cols.is_user, cols.is_tool
+        u_seg, u_turn, u_ts = _merge_seg_sorted(
+            p_seg, p_turn, p_ts, row_seg[um], cols.turn[um], cols.ts[um]
+        )
+        nt_seg, nt_ts = row_seg[tm], cols.ts[tm]
+        # matched: a tool of the same conv with ts in (u.ts, u.ts + W]
+        lo, hi = _seg_window_bounds(nt_seg, nt_ts, u_seg, u_ts + 1, u_ts + W)
+        matched = hi > lo
+        conv_max = cols.ts[cols.ends - 1]  # per segment
+        timeout = ~matched & (u_ts + W < conv_max[u_seg])
+        if timeout.any():
+            em_codes = seg_codes[u_seg[timeout]]
+            em_nm = pa.DictionaryArray.from_arrays(
+                pa.array(em_codes.astype(np.int32)), cols.uniq
+            ).cast(pa.string()).to_pylist()
+            em_turn.append(u_turn[timeout])
+            em_ts.append(u_ts[timeout])
+        keep = ~matched & ~timeout
+        cnt = np.bincount(u_seg[keep], minlength=S).astype(np.int64)
+        _scatter_bufs(pend, names, seg_codes, u_turn[keep], u_ts[keep], cnt)
 
     if flush:
         for nm in sorted(pend):
-            p_turn, p_ts = pend[nm]
-            if len(p_turn):
-                em_nm.extend([nm] * len(p_turn))
-                em_turn.append(p_turn)
-                em_ts.append(p_ts)
+            p_turn_f, p_ts_f = pend[nm]
+            if len(p_turn_f):
+                em_nm.extend([nm] * len(p_turn_f))
+                em_turn.append(p_turn_f)
+                em_ts.append(p_ts_f)
         pend = {}
 
     if not em_nm:
@@ -1619,71 +1717,104 @@ def outer_join_kernel(
     """
     W = int(within_s) * US
     pend: dict = dict(state.get("pend", {}))
-    em_nm: list = []
-    em_u: list = []
-    em_t: list = []
-    em_dt: list = []
+    parts: list[pa.Table] = []
 
-    def _emit(nm: str, u_turn, t_turn, dt):
-        em_nm.extend([nm] * len(u_turn))
-        em_u.append(u_turn)
-        em_t.append(t_turn)
-        em_dt.append(dt)
+    def _part(conv_arr, u_turn, t_turn, dt):
+        parts.append(
+            pa.table(
+                {
+                    "conv_id": conv_arr,
+                    "user_turn_idx": pa.array(u_turn.astype(np.int64)),
+                    "tool_turn_idx": pa.array(t_turn.astype(np.int64)),
+                    "dt_us": pa.array(dt.astype(np.int64)),
+                }
+            )
+        )
 
     if new_rows.num_rows:
+        # Segment-vectorized like interval_join/absence: tools probe the
+        # merged pend ∪ new-user rows with one biased-searchsorted pair,
+        # coverage is one global delta-cumsum, expiry a mask — per-conv
+        # Python is only the carry-dict gather/writeback.
         cols = prep(new_rows)
         names = cols.conv_names()
-        for s, e in zip(cols.starts, cols.ends):
-            nm = names[cols.codes[s]]
-            seg = slice(s, e)
-            p_turn, p_ts, p_hit = pend.get(
-                nm, (_EMPTY_I64, _EMPTY_I64, np.empty(0, dtype=bool))
+        S = len(cols.starts)
+        seg_codes = cols.codes[cols.starts]
+        seg_ids = np.arange(S, dtype=np.int64)
+        row_seg = np.repeat(seg_ids, cols.ends - cols.starts)
+
+        p_turns, p_tss, p_hits = [], [], []
+        p_cnt = np.empty(S, dtype=np.int64)
+        for i, c in enumerate(seg_codes):
+            t, ts_, h = pend.get(
+                names[c], (_EMPTY_I64, _EMPTY_I64, np.empty(0, dtype=bool))
             )
-            su = cols.is_user[seg]
-            u_turn = np.concatenate([p_turn, cols.turn[seg][su]])
-            # pending ts <= previous conv clock <= segment ts (monotone
-            # feed), so the concat stays ts-sorted — searchsorted-safe
-            u_ts = np.concatenate([p_ts, cols.ts[seg][su]])
-            hit = np.concatenate([p_hit, np.zeros(int(su.sum()), dtype=bool)])
-            st = cols.is_tool[seg]
-            t_ts = cols.ts[seg][st]  # ts-sorted (monotone feed)
-            if len(u_turn) and len(t_ts):
-                t_turn = cols.turn[seg][st]
-                lo = np.searchsorted(u_ts, t_ts - W, side="left")
-                hi = np.searchsorted(u_ts, t_ts, side="left")  # strict u.ts < t.ts
-                cnt = hi - lo
-                total = int(cnt.sum())
-                if total:
-                    off = np.repeat(np.cumsum(cnt) - cnt, cnt)
-                    u_idx = np.repeat(lo, cnt) + (
-                        np.arange(total, dtype=np.int64) - off
-                    )
-                    t_rep = np.repeat(np.arange(len(t_ts), dtype=np.int64), cnt)
-                    _emit(
-                        nm,
-                        u_turn[u_idx],
-                        t_turn[t_rep],
-                        t_ts[t_rep] - u_ts[u_idx],
-                    )
-                    # matched coverage: union of all [lo, hi) tool probes
-                    delta = np.zeros(len(u_turn) + 1, dtype=np.int64)
-                    np.add.at(delta, lo, 1)
-                    np.add.at(delta, hi, -1)
-                    hit |= np.cumsum(delta[:-1]) > 0
-            if len(u_turn):
-                conv_max = int(cols.ts[e - 1])
-                expired = u_ts + W < conv_max
-                timeout = expired & ~hit
-                if timeout.any():
-                    n_to = int(timeout.sum())
-                    _emit(
-                        nm,
-                        u_turn[timeout],
-                        np.full(n_to, -1, dtype=np.int64),
-                        np.full(n_to, -1, dtype=np.int64),
-                    )
-                keep = ~expired
-                pend[nm] = (u_turn[keep], u_ts[keep], hit[keep])
+            p_turns.append(t)
+            p_tss.append(ts_)
+            p_hits.append(h)
+            p_cnt[i] = len(t)
+        um, tm = cols.is_user, cols.is_tool
+        # pend ∪ new users, (seg, ts)-sorted stable (pend first on ties):
+        # one lexsort order applied to all four columns
+        seg_cat = np.concatenate([np.repeat(seg_ids, p_cnt), row_seg[um]])
+        turn_cat = np.concatenate(p_turns + [cols.turn[um]])
+        ts_cat = np.concatenate(p_tss + [cols.ts[um]])
+        hit_cat = np.concatenate(p_hits + [np.zeros(int(um.sum()), dtype=bool)])
+        order = np.lexsort((np.arange(len(seg_cat)), ts_cat, seg_cat))
+        u_seg, u_turn, u_ts, hit = (
+            seg_cat[order], turn_cat[order], ts_cat[order], hit_cat[order]
+        )
+
+        nt_seg, nt_turn, nt_ts = row_seg[tm], cols.turn[tm], cols.ts[tm]
+        # tools probe users with u.ts in [t.ts - W, t.ts)  (strict <)
+        lo, hi = _seg_window_bounds(u_seg, u_ts, nt_seg, nt_ts - W, nt_ts - 1)
+        t_rep, u_idx = _ragged_expand(lo, hi)
+        if len(t_rep):
+            _part(
+                pa.DictionaryArray.from_arrays(
+                    pa.array(seg_codes[nt_seg[t_rep]].astype(np.int32)),
+                    cols.uniq,
+                ).cast(pa.string()),
+                u_turn[u_idx],
+                nt_turn[t_rep],
+                nt_ts[t_rep] - u_ts[u_idx],
+            )
+            # matched coverage: union of all [lo, hi) tool probe ranges
+            # (ranges never cross segment boundaries, so one global pass)
+            delta = np.zeros(len(u_turn) + 1, dtype=np.int64)
+            np.add.at(delta, lo, 1)
+            np.add.at(delta, hi, -1)
+            hit = hit | (np.cumsum(delta[:-1]) > 0)
+
+        conv_max = cols.ts[cols.ends - 1]
+        expired = u_ts + W < conv_max[u_seg]
+        timeout = expired & ~hit
+        if timeout.any():
+            n_to = int(timeout.sum())
+            _part(
+                pa.DictionaryArray.from_arrays(
+                    pa.array(seg_codes[u_seg[timeout]].astype(np.int32)),
+                    cols.uniq,
+                ).cast(pa.string()),
+                u_turn[timeout],
+                np.full(n_to, -1, dtype=np.int64),
+                np.full(n_to, -1, dtype=np.int64),
+            )
+        keep = ~expired
+        k_seg, k_turn, k_ts, k_hit = (
+            u_seg[keep], u_turn[keep], u_ts[keep], hit[keep]
+        )
+        offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(k_seg, minlength=S))]
+        )
+        for i, c in enumerate(seg_codes):
+            s0, e0 = offs[i], offs[i + 1]
+            if e0 > s0:
+                pend[names[c]] = (
+                    k_turn[s0:e0].copy(), k_ts[s0:e0].copy(), k_hit[s0:e0].copy()
+                )
+            else:
+                pend.pop(names[c], None)
 
     if flush:
         for nm in sorted(pend):
@@ -1691,24 +1822,17 @@ def outer_join_kernel(
             miss = ~p_hit
             if miss.any():
                 n_to = int(miss.sum())
-                _emit(
-                    nm,
+                _part(
+                    pa.array([nm] * n_to, type=pa.string()),
                     p_turn[miss],
                     np.full(n_to, -1, dtype=np.int64),
                     np.full(n_to, -1, dtype=np.int64),
                 )
         pend = {}
 
-    if not em_nm:
+    if not parts:
         return _OUTER_EMPTY, {"pend": pend}
-    out = pa.table(
-        {
-            "conv_id": pa.array(em_nm, type=pa.string()),
-            "user_turn_idx": pa.array(np.concatenate(em_u).astype(np.int64)),
-            "tool_turn_idx": pa.array(np.concatenate(em_t).astype(np.int64)),
-            "dt_us": pa.array(np.concatenate(em_dt).astype(np.int64)),
-        }
-    )
+    out = pa.concat_tables(parts)
     return out, {"pend": pend}
 
 
