@@ -82,7 +82,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tools/parity_check.py) to gate five round-3 operators end-to-end:
     the LEFT-OUTER interval join, per-row running window functions,
     gaps-and-islands sessionize, and the windowed HLL + log-histogram
-    quantile sketches (both register-exact in SQL)."""
+    quantile sketches (both register-exact in SQL). Round 4 cedes the plain
+    conv-closure engine twins streaming_tumbling / streaming_session (their
+    kernels stay driver-gated via streaming_tumbling_wm / tumbling_salted
+    and streaming_session_wm / session_salted — identical oracles, same
+    kernels — and both keep full local parity in tools/parity_check.py) to
+    gate two formerly rows-only families end-to-end: knn_ivf (integer-exact
+    sampled coarse quantizer; the Lloyd variants stay under the recall
+    pytest as knn_ivf_lloyd) and multimodal_raw (the REAL RGB0 byte
+    round-trip, integer features recomputed analytically by DuckDB)."""
     from dstream_ray.pipelines import dataops as d
     from dstream_ray.pipelines import queries as q
 
@@ -98,8 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the STREAMING ENGINE under the oracle gate: real multi-epoch
         # exactly-once runs; committed sinks compared against SQL
         "streaming_events": q.q_streaming_events,
-        "streaming_tumbling": q.q_streaming_tumbling,
-        "streaming_session": q.q_streaming_session,
         "streaming_join": q.q_streaming_join,
         "streaming_sliding": q.q_streaming_sliding,
         "streaming_cep": q.q_streaming_cep,
@@ -146,11 +152,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops: similarity search
         "knn_bruteforce": d.q_knn_bruteforce,
         "knn_lsh": d.q_knn_lsh,  # SQL-gated (integer-exact LSH + multi-probe in SQL)
+        "knn_ivf": d.q_knn_ivf_int,  # SQL-gated (integer-exact sampled coarse quantizer)
         "centroid_by_label": d.q_centroid_by_label,
         "hll_registers": d.q_hll_registers,  # the sketch itself, oracle-gated vs SQL-computed HLL
+        # multimodal: the REAL RGB0 encode->decode->featurize round-trip
+        "multimodal_raw": d.q_multimodal_raw,  # SQL-gated (integer features, analytic oracle)
         # ---- grading window boundary: everything below is rows-only ----
-        "knn_ivf": d.q_knn_ivf,  # rows-only (float centroids; pytest recall, both quantizers)
-        "multimodal_features": d.q_multimodal_features,  # stub decode; pytest plumbing
+        "knn_ivf_lloyd": d.q_knn_ivf,  # rows-only (float Lloyd centroids; pytest recall, both quantizers)
+        "multimodal_features": d.q_multimodal_features,  # mixed real/fake decode; pytest plumbing
         "hll_distinct_users": d.q_hll_distinct_users,  # approx; pytest bounds error
     }
 

@@ -637,6 +637,25 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_raw(sf_dir: str) -> pd.DataFrame:
+    """The raw-RGB decode path under the driver's oracle gate: a
+    DETERMINISTIC gradient+modular media table is REALLY encoded to RGB0
+    binary payloads, streamed through the REAL byte-level decoder inside
+    ``map_batches``, and reduced to integer-exact features (Rec.601 x1000
+    luminance sum, pixel sum, channel max) that DuckDB recomputes
+    analytically from the closed-form pixel definition — so the whole
+    binary round-trip (encode → Arrow binary column → decode → featurize)
+    is value-hash-checked. sf_dir unused (payloads are generated, like the
+    plumbing variant). Small batches: binary rows are large."""
+    media = multimodal.generate_media_table_grid(n=64)
+    feats = (
+        rd.from_arrow(media)
+        .map_batches(multimodal.raw_int_features, batch_format="pyarrow", batch_size=16)
+        .to_pandas()
+    )
+    return feats.sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: normalization, deterministic sampling, sequence packing
 # ---------------------------------------------------------------------------
@@ -1288,6 +1307,72 @@ def q_knn_ivf(
 
     Q = ann.normalize_rows(q["vecs"])
     probe_mat = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    probes = {
+        int(qid): {int(x) for x in probe_mat[qi]} for qi, qid in enumerate(q["ids"])
+    }
+    wanted = np.asarray(sorted(set().union(*probes.values())), dtype=np.int64)
+    topk = ann.ProbedTopK(q, probes, bucket_col="ivf_list", k=KNN_K)
+    partials = (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(np.isin(b["ivf_list"].to_numpy(zero_copy_only=False), wanted))
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    return ann.merge_topk(partials, k=KNN_K)
+
+
+IVF_INT_LISTS = 16
+IVF_INT_PROBE = 4
+
+
+def q_knn_ivf_int(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN under the driver's oracle gate: the coarse quantizer is
+    INTEGER-EXACT by construction so DuckDB recomputes every list
+    assignment and probe ranking bit-for-bit (same fixed-point scheme as
+    ann.HyperplaneLSH). Centroids are the data-sampled vectors ``vec_id <
+    IVF_INT_LISTS`` (FAISS-style sampled coarse centroids, no Lloyd
+    refinement — the Lloyd variants stay in :func:`q_knn_ivf` under the
+    recall pytest), quantized to ``floor(x * 10^6)`` BIGINTs along with
+    every corpus/query vector. Each dot is a sum of 64 products |.| <=
+    ~3e11 (< 2^53), so the float64 matmul is EXACT and equals DuckDB's
+    BIGINT arithmetic; assignment tiebreak is the smaller list id.
+
+    Scale shape is identical to :func:`q_knn_ivf`: centroids broadcast via
+    ``ray.put``, per-batch integer assignment inside ``map_batches``, probe
+    pruning before the ``ProbedTopK`` partial top-k — only nq×k×batches
+    partial rows reach the driver merge."""
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", IVF_INT_LISTS)],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    C = np.floor(ann._stack(ctbl["embedding"])[corder] * 1_000_000.0)
+    c_ref = ray.put(C)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        M = np.floor(ann._stack(b["embedding"]) * 1_000_000.0)
+        # np.argmax takes the FIRST max -> smaller list id wins ties,
+        # matching the oracle's ORDER BY s DESC, j
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": b["embedding"],
+                "ivf_list": pa.array(np.argmax(M @ cents.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    q = _load_queries(sf_dir)
+    Qs = np.floor(q["vecs"] * 1_000_000.0) @ C.T  # (nq, n_lists), exact ints
+    # top n_probe lists by score desc; stable sort -> smaller-id tiebreak
+    probe_mat = np.argsort(-Qs, axis=1, kind="stable")[:, :IVF_INT_PROBE]
     probes = {
         int(qid): {int(x) for x in probe_mat[qi]} for qi, qid in enumerate(q["ids"])
     }

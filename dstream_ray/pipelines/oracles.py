@@ -1045,8 +1045,88 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
 """
 
 
+def _knn_ivf_oracle_sql(n_lists: int = 16, n_probe: int = 4) -> str:
+    # mirrors dataops.q_knn_ivf_int: sampled integer coarse centroids
+    # (vec_id < n_lists, floor(x*1e6) BIGINT components), assignment =
+    # argmax integer dot (smaller list id on ties), queries probe their
+    # n_probe best lists, candidates ranked by cosine desc with neighbor-id
+    # tiebreak, self excluded, top 10
+    return f"""
+WITH ei AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000) AS BIGINT)) AS e
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM ei
+), cv AS (
+  SELECT vec_id AS j, unnest(e) AS w, generate_subscripts(e, 1) AS d
+  FROM ei WHERE vec_id < {n_lists}
+), dots AS (
+  SELECT ev.vec_id, cv.j, sum(ev.x * cv.w) AS s
+  FROM ev JOIN cv USING (d) GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, j AS ivf_list FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+    FROM dots
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS qid, j AS pl FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+    FROM dots WHERE vec_id < 8
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM qprobe p JOIN assign a ON a.ivf_list = p.pl
+  WHERE a.vec_id != p.qid
+), sims AS (
+  SELECT c.qid, c.nid,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(en.embedding AS DOUBLE[])) AS cos
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings en ON en.vec_id = c.nid
+), ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 ORACLE_SQL["knn_lsh"] = _knn_lsh_oracle_sql()
 ORACLE_SQL["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
+ORACLE_SQL["knn_ivf"] = _knn_ivf_oracle_sql()
+
+
+# The raw-RGB multimodal decode path: dataops.q_multimodal_raw generates a
+# DETERMINISTIC gradient+modular image table (stages/multimodal.py
+# generate_media_table_grid), really encodes it to RGB0 bytes, really
+# decodes it back inside map_batches, and emits integer features; DuckDB
+# recomputes the same features analytically from the closed-form pixel
+# definition — no media views needed, the oracle is self-contained.
+ORACLE_SQL["multimodal_raw"] = """
+WITH m AS (
+  SELECT i AS media_id, 8 + (i*7) % 41 AS w, 8 + (i*11) % 41 AS h
+  FROM generate_series(0, 63) t(i)
+), px AS (
+  SELECT media_id, w, h,
+         (x*255) // (w-1) AS r,
+         (y*255) // (h-1) AS g,
+         (x*y + media_id) % 256 AS b
+  FROM m, generate_series(0, 47) gx(x), generate_series(0, 47) gy(y)
+  WHERE x < w AND y < h
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(299*r + 587*g + 114*b) AS BIGINT) AS lum_wsum,
+       CAST(sum(r+g+b) AS BIGINT) AS px_sum,
+       CAST(max(greatest(r,g,b)) AS BIGINT) AS px_max
+FROM px GROUP BY 1, 2, 3
+"""
 
 
 # --- corpus curation: normalize / balanced sample / sequence packing -------

@@ -79,6 +79,8 @@ def main() -> int:
     for _name, _fn in [
         # batch-surface queries that ceded driver slots to their engine twins
         ("transcripts_feed", _q.q_transcripts_feed),
+        ("streaming_tumbling", _q.q_streaming_tumbling),
+        ("streaming_session", _q.q_streaming_session),
         ("tumbling_window", _q.q_tumbling_window),
         ("sliding_window", _q.q_sliding_window),
         ("session_window", _q.q_session_window),
