@@ -90,7 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     gate two formerly rows-only families end-to-end: knn_ivf (integer-exact
     sampled coarse quantizer; the Lloyd variants stay under the recall
     pytest as knn_ivf_lloyd) and multimodal_raw (the REAL RGB0 byte
-    round-trip, integer features recomputed analytically by DuckDB)."""
+    round-trip, integer features recomputed analytically by DuckDB).
+    cep_pattern (batch twin of streaming_cep — identical kernel and oracle,
+    kept in local parity) cedes its slot to streaming_neardup, the new
+    ingest-time banded-MinHash near-dup suppressor gated end-to-end through
+    its own engine run over the documents feed."""
     from dstream_ray.pipelines import dataops as d
     from dstream_ray.pipelines import queries as q
 
@@ -99,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join ceded their slots to their engine twins — see docstring)
         "session_salted": q.q_session_salted,  # hot-key-salted two-phase variant
         "tumbling_salted": q.q_tumbling_salted,  # pre-aggregation (skew-proof) variant
-        "cep_pattern": q.q_cep_pattern,  # CEP sequence-pattern operator
         "partition_watermarks": q.q_partition_watermarks,
         "role_stats": q.q_role_stats,
         "tool_usage": q.q_tool_usage,
@@ -119,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessionize": q.q_streaming_sessionize,  # gaps-and-islands per-row labels
         "streaming_hll": q.q_streaming_hll,  # windowed HLL sketch, register-exact oracle
         "streaming_qsketch": q.q_streaming_qsketch,  # windowed log-histogram quantile sketch
+        "streaming_neardup": q.q_streaming_neardup,  # banded-MinHash ingest-time near-dup suppression
         # generic stream analytics + relational coverage
         "events_hourly": q.q_events_hourly,
         "lineitem_pricing": q.q_lineitem_pricing,

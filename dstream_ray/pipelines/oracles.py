@@ -957,6 +957,77 @@ SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM walk
 ORACLE_SQL["minhash_dedup"] = _minhash_oracle_sql()
 
 
+def _streaming_neardup_oracle_sql(num_partitions: int = 4) -> str:
+    """STREAMING near-dup suppression over the documents feed
+    (queries.q_streaming_neardup / stages.capture.neardup_kernel): a doc is
+    EMITTED iff no earlier doc (smaller doc_id — the feed's delivery order
+    within a partition) in the SAME engine partition (fnv1a('d'||doc_id)
+    mod P, the relay's routing key) shares any (band_id, band_hash)
+    MinHash band bucket. Same 64-perm / 16-band / 3-shingle family as the
+    batch minhash_dedup oracle; suppression is transitive by construction
+    (every earlier doc's buckets count, emitted or not)."""
+    from dstream_ray.stages.dedup import MinHasher
+
+    mh = MinHasher()
+    A = "[" + ",".join(f"{x}::HUGEINT" for x in mh.a) + "]"
+    B = "[" + ",".join(f"{x}::HUGEINT" for x in mh.b) + "]"
+    M64 = "(1::HUGEINT << 64)"
+    MERS = (1 << 61) - 1
+    return f"""
+WITH {_TOKS_TH}, shing AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []
+      WHEN len(hs) < 3 THEN [list_sum(hs) % {M64}]
+      ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2),
+        j -> ((hs[j] * 1000003 % {M64} + hs[j+1]) % {M64} * 1000003 % {M64} + hs[j+2]) % {M64}))
+    END AS sh
+  FROM th
+), shrows AS (
+  SELECT doc_id, unnest(sh) AS s FROM shing
+), perms(k) AS (
+  SELECT unnest(generate_series(1, 64))
+), sigrows AS (
+  SELECT doc_id, perms.k,
+    MIN( (({A}[perms.k] * s) % {M64} + {B}[perms.k]) % {M64} % {MERS} ) AS sig
+  FROM shrows CROSS JOIN perms
+  GROUP BY doc_id, perms.k
+), dk AS (
+  SELECT d.doc_id, perms.k FROM documents d CROSS JOIN perms
+), allsig AS (
+  SELECT dk.doc_id, dk.k, coalesce(sr.sig, 0::HUGEINT) AS sig
+  FROM dk LEFT JOIN sigrows sr ON sr.doc_id = dk.doc_id AND sr.k = dk.k
+), bands AS (
+  SELECT doc_id, (k - 1) // 4 AS band_id,
+    list_reduce(list(sig ORDER BY k),
+                (acc, v) -> (acc * 1099511628211 % {M64} + v) % {M64}) AS band_hash
+  FROM allsig GROUP BY doc_id, (k - 1) // 4
+), pm AS (
+  SELECT doc_id, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split('d' || CAST(doc_id AS VARCHAR), ''),
+                                  c -> ord(c)::HUGEINT)),
+      (h, x) -> (xor(h, x) * 1099511628211) % {M64}) % {num_partitions} AS pid
+  FROM documents
+), suppressed AS (
+  SELECT DISTINCT b2.doc_id
+  FROM bands b1
+  JOIN bands b2
+    ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash
+   AND b1.doc_id < b2.doc_id
+  JOIN pm p1 ON p1.doc_id = b1.doc_id
+  JOIN pm p2 ON p2.doc_id = b2.doc_id AND p2.pid = p1.pid
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM suppressed)
+"""
+
+
+ORACLE_SQL["streaming_neardup"] = _streaming_neardup_oracle_sql()
+
+
 # --- hyperplane-LSH ANN / near-dup: exact SQL recomputation ----------------
 # The LSH stage is integer-exact by construction (ann.HyperplaneLSH: seeded
 # {-1,0,+1} planes, vectors quantized to floor(x*1e6) BIGINTs before the

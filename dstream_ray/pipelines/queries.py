@@ -931,6 +931,83 @@ def q_streaming_sessionize(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("sessionize")
 
 
+def _run_streaming_neardup(sf_dir: str):
+    """A third, tiny engine run dedicated to the 'neardup' operator over a
+    DOCUMENTS-derived feed (one doc per conversation): the streaming
+    near-duplicate suppressor's identity is the batch MinHash family, and
+    the documents corpus is where real near-dup clusters live. Feed rows
+    are doc_id-ordered, sharded into 3 one-file epochs; partitioning is
+    the engine's standard fnv1a(conv_id) % P, which the SQL oracle
+    recomputes (suppression domain = the partition)."""
+    key = ("neardup", sf_dir)
+    if key in _STREAMING_CACHE:
+        return _STREAMING_CACHE[key]
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = tempfile.mkdtemp(prefix="dstream_q_neardup_")
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    docs = pq_mod.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = pc.sort_indices(docs["doc_id"])
+    docs = docs.take(order)
+    doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = docs.num_rows
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["d" + str(int(i)) for i in doc_ids]),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+            "role": pa.array(["user"] * n),
+            "text": docs["text"],
+            "tool": pa.array([""] * n),
+            "ts": pa.array(
+                1_700_000_000_000_000 + doc_ids * 1_000_000
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    shards = 3
+    bounds = np.linspace(0, n, shards + 1).astype(int)
+    for i in range(shards):
+        pq_mod.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(feed_dir, f"feed-{i:02d}.parquet"),
+        )
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=4,
+            files_per_epoch=1,
+            operators={"neardup": {}},
+        )
+    )
+    job.run()
+    _STREAMING_CACHE[key] = job
+    return job
+
+
+def q_streaming_neardup(sf_dir: str) -> pd.DataFrame:
+    """Committed sink of the 'neardup' engine operator (streaming banded-
+    MinHash near-duplicate suppression, stages/capture.neardup_kernel) over
+    the documents feed: a doc is emitted iff NO earlier doc in the same
+    partition shares any of its 16 LSH band buckets (transitive
+    keep-first). Gated end-to-end: DuckDB recomputes the 64-perm MinHash
+    signatures, band hashes, fnv1a partition ids and the exists-earlier
+    collision — the streaming sibling of the batch minhash_dedup gate."""
+    out = _run_streaming_neardup(sf_dir).sink.read_op("neardup").to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_id": out["conv_id"].str[1:].astype("int64"),
+            "n_chars": out["text"].str.len().astype("int64"),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_streaming_global(sf_dir: str) -> pa.Table:
     """Committed sink of the 'tumbling_global' engine operator (cross-conv
     daily aggregate): each partition emits mergeable partial sums per

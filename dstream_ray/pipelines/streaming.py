@@ -47,6 +47,7 @@ from dstream_ray.sources.envelopes import read_envelope_file
 from dstream_ray.stages.capture import (
     content_dedup_bloom_kernel,
     content_dedup_kernel,
+    neardup_kernel,
     relay_kernel,
     upsert_kernel,
 )
@@ -117,6 +118,9 @@ WINDOW_OPERATORS = {
     "dedup": content_dedup_kernel,
     # bounded-memory variant: generational Bloom filter, fixed bytes/partition
     "dedup_bloom": content_dedup_bloom_kernel,
+    # streaming NEAR-dup suppression: banded-MinHash bucket collision vs
+    # the partition's history (generational eviction via rotate_rows)
+    "neardup": neardup_kernel,
     # stream-table dimension enrichment (broadcast-small-side left join)
     "enrich": enrich_kernel,
     # latest-per-key compaction (Kafka compacted-topic / CDC materialization)
@@ -126,7 +130,7 @@ WINDOW_OPERATORS = {
 # kernels that consume the FULL relay output (text and all) instead of the
 # projected residual layout — content-identity / passthrough operators need
 # the payload bytes
-RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "enrich", "upsert"}
+RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "neardup", "enrich", "upsert"}
 
 
 @dataclass

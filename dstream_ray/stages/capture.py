@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from dstream_ray.common import DEDUP_HASH_BASES, FNV_PRIME, poly_hash_strings
+from dstream_ray.stages.dedup import MinHasher
 
 _EMPTY_U64 = np.empty(0, dtype=np.uint64)
 
@@ -312,6 +313,132 @@ def content_dedup_bloom_kernel(
     new_state: dict = {"cur": cur, "processed": processed}
     if prev_g is not None:
         new_state["prev"] = prev_g
+    return out, new_state
+
+
+def _isin_sorted(arr: np.ndarray | None, v: np.ndarray) -> np.ndarray:
+    """Membership of v's elements in a SORTED uint64 array (searchsorted)."""
+    if arr is None or not len(arr):
+        return np.zeros(len(v), dtype=bool)
+    idx = np.searchsorted(arr, v)
+    ok = idx < len(arr)
+    out = np.zeros(len(v), dtype=bool)
+    out[ok] = arr[idx[ok]] == v[ok]
+    return out
+
+
+_NEARDUP_HASHERS: dict = {}
+
+
+def _neardup_hasher(k: int, bands: int, shingle_w: int, seed: int):
+    key = (k, bands, shingle_w, seed)
+    h = _NEARDUP_HASHERS.get(key)
+    if h is None:
+        h = _NEARDUP_HASHERS[key] = MinHasher(
+            k=k, bands=bands, shingle_w=shingle_w, seed=seed
+        )
+    return h
+
+
+def neardup_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+    k: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    seed: int = 97,
+    rotate_rows: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """Streaming NEAR-duplicate suppression: banded-MinHash bucket collision
+    against everything seen earlier in this partition's stream — the
+    near-dup sibling of ``content_dedup`` (exact identity) and
+    ``dedup_bloom`` (bounded exact): a row is suppressed iff ANY of its
+    ``bands`` LSH band hashes was produced by an earlier row (carried
+    state or an earlier row of the same epoch). ALL rows insert their
+    band hashes, so suppression is transitive (keep-first per near-dup
+    chain) — the streaming analogue of the batch MinHash pipeline's
+    keep-cluster-minimum, within a partition.
+
+    Identity is the SAME MinHash family as the batch dedup stage
+    (``stages.dedup.MinHasher``: 64 perms, 16 bands, word-3-shingles,
+    seed 97 by default), so the existing SQL machinery recomputes these
+    band buckets bit-for-bit (see oracles._minhash_oracle_sql) and the
+    driver gate can check the operator end-to-end.
+
+    State = per-band SORTED uint64 hash arrays (one searchsorted
+    membership + sorted-union per band per batch — Python
+    touches only the band dict, ``bands`` iterations of whole-batch numpy).
+    With ``rotate_rows`` set, TWO GENERATIONS rotate at deterministic
+    processed-row counts exactly like ``dedup_bloom`` (membership tests
+    current+previous, inserts go to current): bounded state — at most the
+    hashes of 2×rotate_rows rows per partition forever, the 10^12-turn
+    path; near-dups older than two rotations re-emit (windowed-dedup
+    semantics). Epoch splits never move a rotation (property-tested).
+
+    Suppression domain is the PARTITION (convs are co-partitioned by
+    conv_id): cross-partition near-dups are the batch pipeline's job
+    (dataops.q_minhash_dedup); this operator is the ingest-time feed
+    cleaner (retry storms, template spam) at fixed per-partition state.
+    ``flush`` is non-terminal: emissions are immediate, the sets persist.
+    """
+    if rotate_rows is not None and rotate_rows <= 0:
+        raise ValueError("neardup rotate_rows must be positive")
+    cur: dict = dict(state.get("cur", {}))
+    prev: dict | None = state.get("prev")
+    processed = int(state.get("processed", 0))
+
+    n = new_rows.num_rows
+    if n == 0:
+        out = new_rows
+    else:
+        mh = _neardup_hasher(k, bands, shingle_w, seed)
+        sigs = mh.signatures_batch(new_rows["text"])  # (n, k) uint64
+        band_sigs = sigs.reshape(n, bands, mh.rows)
+        with np.errstate(over="ignore"):
+            bh = band_sigs[:, :, 0].copy()
+            for j in range(1, mh.rows):
+                bh = bh * np.uint64(1099511628211) + band_sigs[:, :, j]
+        # rotation boundaries are a property of the ROW STREAM (absolute
+        # processed-row ordinals), identical to content_dedup_bloom_kernel
+        rot_at: set[int] = set()
+        if rotate_rows is not None:
+            m = max(
+                rotate_rows,
+                ((processed + rotate_rows - 1) // rotate_rows) * rotate_rows,
+            )
+            while m < processed + n:
+                rot_at.add(m - processed)
+                m += rotate_rows
+        bounds = sorted({0, n} | rot_at)
+        accept = np.ones(n, dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s in rot_at:
+                prev, cur = cur, {}
+            m_seg = e - s
+            hit = np.zeros(m_seg, dtype=bool)
+            pos = np.arange(m_seg, dtype=np.int64)
+            for b in range(bands):
+                v = bh[s:e, b]
+                hit |= _isin_sorted(cur.get(b), v)
+                if prev is not None:
+                    hit |= _isin_sorted(prev.get(b), v)
+                # an EARLIER row of this segment shares the band value
+                u, inv = np.unique(v, return_inverse=True)
+                first = np.full(len(u), m_seg, dtype=np.int64)
+                np.minimum.at(first, inv, pos)
+                hit |= first[inv] < pos
+                # every processed row inserts (transitive suppression)
+                old = cur.get(b)
+                cur[b] = np.union1d(old, u) if old is not None and len(old) else u
+            accept[s:e] = ~hit
+        out = new_rows.filter(pa.array(accept))
+        processed += n
+
+    new_state: dict = {"cur": cur, "processed": processed}
+    if prev is not None:
+        new_state["prev"] = prev
     return out, new_state
 
 

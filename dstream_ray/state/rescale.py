@@ -24,9 +24,11 @@ State classes (see the dispatch tables below):
   merge into new partition 0 — the consumer-side merge that already sums
   or maxes P partials per window makes the assignment irrelevant.
 - **stateless** (enrich): nothing to move.
-- **unrescalable** (the generational Bloom dedup): bloom BITS cannot be
-  split by key — rescaling would silently void its bound, so it is
-  rejected loudly; destroy() or drop the operator first.
+- **unrescalable** (the generational Bloom dedup; the banded near-dup
+  suppressor): partition-level content state (bloom BITS, MinHash band
+  sets) cannot be split by conv key — rescaling would silently void the
+  bound / suppression history, so it is rejected loudly; destroy() or
+  drop the operator first.
 
 Scalar policies: monotone counters that future rows must exceed
 (``next_seq``, the key-relay ``tick``) broadcast their MAX to every new
@@ -73,7 +75,7 @@ CONV_KEYED = {
 }
 GLOBAL_MERGE = {"tumbling_global", "tumbling_counts", "tumbling_hll", "tumbling_qsketch"}
 STATELESS = {"enrich"}
-UNRESCALABLE = {"dedup_bloom"}
+UNRESCALABLE = {"dedup_bloom", "neardup"}
 
 _MAX_INTS = {"tick", "next_seq"}  # future rows must exceed every carried value
 _ZERO_INTS = {"emit_floor"}  # reset -> next flush re-emits the full snapshot

@@ -81,6 +81,7 @@ def main() -> int:
         ("transcripts_feed", _q.q_transcripts_feed),
         ("streaming_tumbling", _q.q_streaming_tumbling),
         ("streaming_session", _q.q_streaming_session),
+        ("cep_pattern", _q.q_cep_pattern),
         ("tumbling_window", _q.q_tumbling_window),
         ("sliding_window", _q.q_sliding_window),
         ("session_window", _q.q_session_window),
