@@ -20,6 +20,36 @@ from dstream_ray.common import (
 )
 
 
+def hll_idx_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket index, rank) for every raw 64-bit hash — the HLL register
+    update, vectorized. FNV-1a disperses poorly in high bits for short
+    similar keys; murmur3's fmix64 finalizer restores avalanche before
+    bucketing. rank = leading zeros of the remaining bits + 1 (capped at
+    64-p+1), EXACT via a vectorized binary search (the uint64->float log2
+    trick rounds near powers of two, which would break the SQL-oracle
+    register parity)."""
+    with np.errstate(over="ignore"):
+        h = h.copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        x = rest[nz].copy()
+        lz = np.zeros(len(x), dtype=np.uint8)
+        for s in (32, 16, 8, 4, 2, 1):
+            m = x < (np.uint64(1) << np.uint64(64 - s))
+            lz[m] += s
+            x[m] <<= np.uint64(s)
+        rank[nz] = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    return idx, rank
+
+
 class HLL:
     """Dense HyperLogLog with 2^p registers (standard bias-corrected
     estimator; p=12 → ~1.6% relative error)."""
@@ -32,30 +62,7 @@ class HLL:
         )
 
     def add_hashes(self, h: np.ndarray) -> None:
-        # FNV-1a disperses poorly in high bits for short similar keys;
-        # murmur3's fmix64 finalizer restores avalanche before bucketing.
-        with np.errstate(over="ignore"):
-            h = h.copy()
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xFF51AFD7ED558CCD)
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xC4CEB9FE1A85EC53)
-            h ^= h >> np.uint64(33)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = h << np.uint64(self.p)
-        # rank = leading zeros of `rest` + 1 (capped at 64-p+1), EXACT via a
-        # vectorized binary search (the uint64->float log2 trick rounds near
-        # powers of two, which would break the SQL-oracle register parity)
-        rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
-        nz = rest != 0
-        if nz.any():
-            x = rest[nz].copy()
-            lz = np.zeros(len(x), dtype=np.uint8)
-            for s in (32, 16, 8, 4, 2, 1):
-                m = x < (np.uint64(1) << np.uint64(64 - s))
-                lz[m] += s
-                x[m] <<= np.uint64(s)
-            rank[nz] = np.minimum(lz + 1, 64 - self.p + 1).astype(np.uint8)
+        idx, rank = hll_idx_rank(h, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def add_strings(self, values) -> None:
@@ -84,20 +91,30 @@ class HLL:
 
 
 def hll_partial_batch(batch: pa.Table, *, key_col: str, value_col: str, p: int = 12) -> pa.Table:
-    """One serialized HLL per key per batch (the mergeable-sketch partial)."""
-    df = pd.DataFrame(
+    """One serialized HLL per key per batch (the mergeable-sketch partial),
+    fully vectorized: the batch's (bucket, rank) pairs are computed once and
+    scattered into a (keys × 2^p) register matrix with a single
+    ``np.maximum.at`` — no per-key Python HLL builds (the windowed engine
+    variant, tumbling_hll_kernel, uses the same scatter)."""
+    import pyarrow.compute as pc
+
+    key = batch[key_col]
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    enc = key.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = batch[value_col]
+    if not pa.types.is_string(vals.type):
+        vals = pc.cast(vals, pa.string())
+    idx, rank = hll_idx_rank(fnv1a_u64(vals), p)
+    regs = np.zeros((len(enc.dictionary), 1 << p), dtype=np.uint8)
+    np.maximum.at(regs, (codes, idx), rank)
+    return pa.table(
         {
-            "k": batch[key_col].to_pandas(),
-            "v": batch[value_col].to_pandas().astype(str),
+            "key": enc.dictionary,
+            "sketch": pa.array([r.tobytes() for r in regs], type=pa.binary()),
         }
     )
-    keys, blobs = [], []
-    for k, g in df.groupby("k"):
-        h = HLL(p)
-        h.add_strings(g["v"].tolist())
-        keys.append(k)
-        blobs.append(h.to_bytes())
-    return pa.table({"key": pa.array(keys), "sketch": pa.array(blobs, type=pa.binary())})
 
 
 def hll_merge_partials(parts: pd.DataFrame, p: int = 12) -> pd.DataFrame:

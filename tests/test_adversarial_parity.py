@@ -68,6 +68,7 @@ def _queries_and_oracles():
     qs.setdefault("sliding_window", _q.q_sliding_window)
     qs.setdefault("session_window", _q.q_session_window)
     qs.setdefault("stream_join", _q.q_stream_join)
+    qs.setdefault("cep_pattern", _q.q_cep_pattern)
     return qs, dict(ORACLE_SQL)
 
 
