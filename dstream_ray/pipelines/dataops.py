@@ -51,13 +51,13 @@ def _read_embeddings(sf_dir: str) -> rd.Dataset:
 def q_doc_stats(sf_dir: str):
     """Token/quality metrics per doc — DocStats actor pool."""
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.DocStats, batch_format="pandas", batch_size=2048, concurrency=_pool()
+        text.DocStats, batch_format="pyarrow", batch_size=2048, concurrency=_pool()
     )
 
 
 def q_langid_markers(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.LangIdMarkers, batch_format="pandas", batch_size=2048, concurrency=_pool()
+        text.LangIdMarkers, batch_format="pyarrow", batch_size=2048, concurrency=_pool()
     )
 
 
@@ -1492,5 +1492,5 @@ def q_top_lineitems(sf_dir: str, k: int = 20) -> pd.DataFrame:
 def q_bpe_token_counts(sf_dir: str):
     """BPE-ish pre-tokenizer counts (GPT-2-style regex, RE2-safe subset)."""
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        text.BpeTokenCounter, batch_format="pandas", batch_size=2048, concurrency=_pool()
+        text.BpeTokenCounter, batch_format="pyarrow", batch_size=2048, concurrency=_pool()
     )

@@ -12,8 +12,6 @@ both sides agree exactly.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,65 +27,135 @@ LANG_MARKERS = {
 }
 
 
-def _token_count_regex(words: tuple[str, ...]) -> re.Pattern:
-    """Counts whitespace-delimited tokens exactly equal to one of ``words`` —
-    same semantics as filtering the \\s+ split list."""
-    alt = "|".join(re.escape(w) for w in words)
-    return re.compile(rf"(?:^|\s)(?:{alt})(?=\s|$)")
+# The exact whitespace class the DuckDB oracles split on (Python re's ASCII
+# \s — note \x0b, which RE2's \s does NOT include, so patterns spell it out).
+WS_CLASS = r"[ \t\n\x0b\x0c\r]"
+NONWS_RUN = r"[^ \t\n\x0b\x0c\r]+"
+
+
+_WS_BYTES = np.frombuffer(b" \t\n\x0b\x0c\r", dtype=np.uint8)
+_NONWS_LUT = np.ones(256, dtype=bool)
+_NONWS_LUT[_WS_BYTES] = False
+
+
+class _TokenView:
+    """Byte-level tokenization of a whole batch in a handful of numpy passes
+    over the shared Arrow buffer (the ``rolling_fingerprint`` pattern) — the
+    exact dual of the oracles' ``string_split_regex(trim(text), '[ \\t\\n
+    \\x0b\\x0c\\r]+')``. Whitespace is the ASCII class (UTF-8 continuation
+    bytes are >= 0x80, so multi-byte chars sit inside runs and never split
+    a token)."""
+
+    def __init__(self, text):
+        data, starts, ends = utf8_view(text)
+        self.data, self.starts, self.ends, self.n = data, starts, ends, len(starts)
+        if len(data) == 0:
+            self.n_tokens = np.zeros(self.n, dtype=np.int64)
+            self.tok_starts = self.tok_ends = self.tok_len = np.empty(0, dtype=np.int64)
+            self.parent = np.empty(0, dtype=np.int64)
+            return
+        nonws = _NONWS_LUT[data]
+        # run starts: non-ws whose predecessor is ws — with a forced break at
+        # every doc boundary (the buffer concatenates docs back-to-back)
+        prev_ws = np.empty(len(data), dtype=bool)
+        prev_ws[0] = True
+        np.logical_not(nonws[:-1], out=prev_ws[1:])
+        prev_ws[starts[starts < len(data)]] = True
+        tok_start_mask = nonws & prev_ws
+        cs = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(tok_start_mask, out=cs[1:])
+        self.n_tokens = cs[ends] - cs[starts]
+        self.tok_starts = np.flatnonzero(tok_start_mask)
+        # run ends: non-ws whose successor is ws or a doc boundary
+        next_ws = np.empty(len(data), dtype=bool)
+        next_ws[-1] = True
+        np.logical_not(nonws[1:], out=next_ws[:-1])
+        boundary = np.zeros(len(data) + 1, dtype=bool)
+        boundary[ends] = True
+        next_ws |= boundary[1:]
+        self.tok_ends = np.flatnonzero(nonws & next_ws) + 1
+        self.tok_len = self.tok_ends - self.tok_starts
+        self.parent = np.searchsorted(starts, self.tok_starts, side="right") - 1
+
+    def member_counts(self, words: tuple[str, ...]) -> np.ndarray:
+        """Per-doc count of tokens byte-equal to one of ``words`` (all
+        marker/stopword sets are short ASCII, so equality is <= a few
+        vectorized byte compares per word)."""
+        mask = np.zeros(len(self.tok_starts), dtype=bool)
+        for w in words:
+            wb = w.encode()
+            m = self.tok_len == len(wb)
+            for i, c in enumerate(wb):
+                if not m.any():
+                    break
+                m &= self.data[np.minimum(self.tok_starts + i, len(self.data) - 1)] == c
+            mask |= m
+        return np.bincount(self.parent[mask], minlength=self.n).astype(np.int64)
+
+    def char_counts(self, byte_mask: np.ndarray) -> np.ndarray:
+        """Per-doc CHARACTER count over a byte predicate (continuation bytes
+        excluded so UTF-8 char counts match SQL ``length()``)."""
+        cs = np.zeros(len(self.data) + 1, dtype=np.int64)
+        np.cumsum(byte_mask, out=cs[1:])
+        return cs[self.ends] - cs[self.starts]
 
 
 class DocStats:
     """Actor-pool stage: per-doc token/quality metrics.
 
-    __init__ compiles all patterns once per actor;
-    __call__ is vectorized pandas/numpy per batch.
-    """
+    Byte-level vectorized per batch: one tokenization pass over the shared
+    Arrow buffer feeds token counts, stopword membership, alpha and
+    no-space char counts — zero per-row Python and zero regex (the pandas
+    ``.str.count(compiled_re)`` path loops rows in the interpreter; even
+    RE2 kernels scan 3-5x slower than these masks)."""
 
-    def __init__(self):
-        self.tok = re.compile(r"\S+")
-        self.alpha = re.compile(r"[a-zA-Z]")
-        self.stop = _token_count_regex(STOPWORDS)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        stripped = text.str.strip()
-        n_tokens = stripped.str.count(self.tok).astype("int64")
-        n_tokens = n_tokens.where(stripped != "", 0)
-        n_alpha = text.str.count(self.alpha).astype("int64")
-        n_stop = text.str.count(self.stop).astype("int64")
-        n_nospace = text.str.replace(" ", "", regex=False).str.len().astype("int64")
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tv = _TokenView(text)
+        d = tv.data
+        n_tokens = tv.n_tokens
+        n_alpha = tv.char_counts(((d >= 65) & (d <= 90)) | ((d >= 97) & (d <= 122)))
+        n_stop = tv.member_counts(STOPWORDS)
+        not_cont = (d & 0xC0) != 0x80
+        n_nospace = tv.char_counts((d != 32) & not_cont)
         mean_tok_len_x100 = np.where(
-            n_tokens > 0, (n_nospace * 100) // n_tokens.clip(lower=1), 0
-        ).astype("int64")
-        out = pd.DataFrame(
+            n_tokens > 0, (n_nospace * 100) // np.maximum(n_tokens, 1), 0
+        ).astype(np.int64)
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": n_tokens,
-                "n_alpha": n_alpha,
-                "n_stop": n_stop,
-                "mean_tok_len_x100": mean_tok_len_x100,
-                "is_quality": (n_tokens.between(10, 1000)) & (n_stop * 5 <= n_tokens),
+                "n_tokens": pa.array(n_tokens),
+                "n_alpha": pa.array(n_alpha),
+                "n_stop": pa.array(n_stop),
+                "mean_tok_len_x100": pa.array(mean_tok_len_x100),
+                "is_quality": pa.array(
+                    (n_tokens >= 10) & (n_tokens <= 1000) & (n_stop * 5 <= n_tokens)
+                ),
             }
         )
-        return out
 
 
 class LangIdMarkers:
     """Marker-word language ID (SQL-expressible variant: exact token counts
-    per language marker set, argmax with ties -> 'en')."""
+    per language marker set, argmax with ties -> 'en'). One byte-level
+    tokenization pass + a few byte compares per marker word — all numpy."""
 
-    def __init__(self):
-        self.pats = {lang: _token_count_regex(ws) for lang, ws in LANG_MARKERS.items()}
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].astype(str)
-        scores = {lang: text.str.count(p).to_numpy() for lang, p in self.pats.items()}
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tv = _TokenView(text)
+        scores = {lang: tv.member_counts(ws) for lang, ws in LANG_MARKERS.items()}
         de, fr, es = scores["de"], scores["fr"], scores["es"]
-        pred = np.full(len(text), "en", dtype=object)
+        pred = np.full(tv.n, "en", dtype=object)
         pred[(de > fr) & (de > es) & (de > 0)] = "de"
         pred[(fr > de) & (fr > es) & (fr > 0)] = "fr"
         pred[(es > de) & (es > fr) & (es > 0)] = "es"
-        return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(pred, type=pa.string())}
+        )
 
 
 class LangIdNgram:
@@ -212,18 +280,22 @@ BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s
 
 
 class BpeTokenCounter:
-    """Actor-pool stage: BPE-ish pre-token counts per doc (compiled once)."""
+    """Actor-pool stage: BPE-ish pre-token counts per doc — one RE2
+    ``count_substring_regex`` kernel per batch (the same engine DuckDB's
+    ``regexp_extract_all`` oracle runs, so match semantics are identical
+    by construction)."""
 
-    def __init__(self):
-        self.pat = re.compile(BPE_PATTERN)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_bpe_tokens": batch["text"]
-                .astype(str)
-                .str.count(self.pat)
-                .astype("int64"),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, BPE_PATTERN), pa.int64()
+                ),
             }
         )
