@@ -93,6 +93,61 @@ def q_doc_fingerprint_rolling(sf_dir: str):
     )
 
 
+def _pii_decorate(batch: pa.Table) -> pa.Table:
+    """Deterministically splice synthetic PII (email / IPv4 / phone derived
+    from doc_id) into 2 of every 3 docs — the synthetic corpus is clean
+    lowercase prose, so the scrub gate needs material to find. The SQL
+    oracle rebuilds the identical decoration from doc_id (oracles.py
+    ``pii_scrub``), so every byte downstream is comparable."""
+    import pyarrow.compute as pc
+
+    ids = batch["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    text_col = batch["text"]
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    i = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def s(x: np.ndarray) -> pa.Array:
+        return pa.array(x.astype("U"), type=pa.string())
+
+    lit = pa.scalar  # broadcast scalars inside the element-wise join
+    decorated = pc.binary_join_element_wise(
+        text_col,
+        lit(" contact user"),
+        s(i),
+        lit("@example.com from "),
+        s((i * 7) % 256),
+        lit("."),
+        s((i * 13) % 256),
+        lit("."),
+        s((i * 29) % 256),
+        lit("."),
+        s(i % 256),
+        lit(" call +1 555-"),
+        pa.array(np.char.zfill((i % 10000).astype("U"), 4), type=pa.string()),
+        "",  # separator: plain concatenation
+    )
+    mask = pa.array((i % 3) != 0)
+    return pa.table(
+        {"doc_id": ids, "text": pc.if_else(mask, decorated, text_col)}
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII masking over the documents corpus: deterministic decoration
+    (so the clean synthetic text has PII to find) -> whole-batch RE2
+    count + replace kernels (stages/text.pii_scrub_batch). Library +
+    local-parity query; DuckDB recomputes decoration, counts and the
+    scrubbed text byte-for-byte (both engines run RE2)."""
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(_pii_decorate, batch_format="pyarrow")
+        .map_batches(text.pii_scrub_batch, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

@@ -350,6 +350,45 @@ ORACLE_SQL["bpe_token_counts"] = (
     + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
 )
 
+# PII scrub: decoration, per-pattern counts and the scrubbed text are all
+# recomputed in SQL from the SAME pattern constants the Ray stage runs
+# (both engines are RE2, so replace semantics are byte-identical).
+from dstream_ray.stages.text import PII_PATTERNS as _PII
+
+
+def _pii_scrub_oracle_sql() -> str:
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, '{q(pat)}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    scrub = "t"
+    for _, pat, repl in _PII:
+        scrub = f"regexp_replace({scrub}, '{q(pat)}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from '
+                || CAST((doc_id*7)%256 AS VARCHAR) || '.'
+                || CAST((doc_id*13)%256 AS VARCHAR) || '.'
+                || CAST((doc_id*29)%256 AS VARCHAR) || '.'
+                || CAST(doc_id%256 AS VARCHAR)
+                || ' call +1 555-' || lpad(CAST(doc_id%10000 AS VARCHAR), 4, '0')
+         ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  {scrub} AS scrubbed
+FROM aug
+"""
+
+
+ORACLE_SQL["pii_scrub"] = _pii_scrub_oracle_sql()
+
 ORACLE_SQL["cep_pattern"] = f"""
 WITH {TRANSCRIPTS_CTE}, seqs AS (
   SELECT conv_id, string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS seq

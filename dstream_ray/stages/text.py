@@ -299,3 +299,44 @@ class BpeTokenCounter:
                 ),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation: privacy masking before training)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no lookahead/backrefs) so Arrow's
+# replace_substring_regex and DuckDB's regexp_replace — both RE2 — match
+# byte-for-byte. Order matters (emails are scrubbed before IPs so an
+# address-like local part is consumed as part of the email); counts are
+# taken per-pattern on the PRE-scrub text on both sides.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3} \d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Mask emails / IPv4s / phone numbers with placeholder tokens.
+
+    Whole-batch RE2 kernels (``count_substring_regex`` +
+    ``replace_substring_regex``) — no Python per row. Emits the per-kind
+    match counts (on the raw text) alongside the scrubbed text; the SQL
+    oracle recomputes both with DuckDB's RE2 (``regexp_extract_all`` /
+    ``regexp_replace``), so the gate is bit-exact."""
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out: dict = {"doc_id": batch["doc_id"]}
+    for name, pattern, _ in PII_PATTERNS:
+        out[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(text, pattern), pa.int64()
+        )
+    scrubbed = text
+    for _, pattern, repl in PII_PATTERNS:
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
+    out["scrubbed"] = scrubbed
+    return pa.table(out)

@@ -927,3 +927,56 @@ def test_raw_rgb_roundtrip_and_real_decode_features():
         "height": pa.array([32], type=pa.int32()),
     })
     assert feat(fake).num_rows == 1
+
+
+def test_pii_scrub_kernel_edges():
+    """Byte-exact scrub semantics: placeholder counts, idempotence,
+    unicode passthrough, and ordering (emails consumed before IPs)."""
+    import pyarrow as pa
+
+    from dstream_ray.stages.text import pii_scrub_batch
+
+    rows = [
+        "mail me at a.b+c%d@sub.example.org now",
+        "host 10.0.255.3 and 1.2.3.4 up",
+        "call +44 123-4567 or +1 555-0001",
+        "snowman ☃ stays, no pii here",
+        "",
+        "1.2.3.4@example.com is an email, not an ip",  # order: email eats it
+        "+1 555-0042 from 8.8.8.8 by x@y.io",  # all three kinds
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(rows)), type=pa.int64()),
+         "text": pa.array(rows)}
+    )
+    out = pii_scrub_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "scrubbed"] == "mail me at <EMAIL> now"
+    assert out.loc[1, "scrubbed"] == "host <IP> and <IP> up"
+    assert out.loc[2, "scrubbed"] == "call <PHONE> or <PHONE>"
+    assert out.loc[3, "scrubbed"] == rows[3]
+    assert out.loc[4, "scrubbed"] == ""
+    assert out.loc[5, "scrubbed"] == "<EMAIL> is an email, not an ip"
+    assert out.loc[6, "scrubbed"] == "<PHONE> from <IP> by <EMAIL>"
+    assert list(out["n_email"]) == [1, 0, 0, 0, 0, 1, 1]
+    assert list(out["n_ipv4"]) == [0, 2, 0, 0, 0, 1, 1]  # counts are pre-scrub
+    assert list(out["n_phone"]) == [0, 0, 2, 0, 0, 0, 1]
+    # idempotent: placeholders contain no scrubbable material
+    again = pii_scrub_batch(
+        pa.table({"doc_id": batch["doc_id"], "text": pa.array(out["scrubbed"])})
+    ).to_pandas()
+    assert list(again["scrubbed"]) == list(out["scrubbed"])
+
+
+def test_pii_scrub_query_decoration(ray_session, sf_tiny):
+    """q_pii_scrub decorates exactly the doc_id%3!=0 docs and every
+    decorated doc is fully masked (the synthetic corpus is clean)."""
+    import dstream_ray.pipelines.dataops as d
+
+    out = d.q_pii_scrub(sf_tiny).to_pandas()
+    dec = out["doc_id"] % 3 != 0
+    assert (out.loc[dec, "n_email"] == 1).all()
+    assert (out.loc[dec, "n_ipv4"] == 1).all()
+    assert (out.loc[dec, "n_phone"] == 1).all()
+    assert (out.loc[~dec, ["n_email", "n_ipv4", "n_phone"]] == 0).all().all()
+    assert out.loc[dec, "scrubbed"].str.endswith("call <PHONE>").all()
+    assert not out["scrubbed"].str.contains("@").any()

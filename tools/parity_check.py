@@ -110,6 +110,7 @@ def main() -> int:
         ("tfidf_top_terms", _d.q_tfidf_top_terms),
         ("knn_classify", _d.q_knn_classify),
         ("pivot_roles", _q.q_pivot_roles),
+        ("pii_scrub", _d.q_pii_scrub),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
