@@ -91,13 +91,18 @@ def prepare_feed() -> str:
     return out
 
 
-def regime_probe(n_workers: int = 16, size: int = 2048) -> dict:
+def regime_probe(n_workers: int | None = None, size: int = 2048) -> dict:
     """Host CPU-quota regime probe (BASELINE.md "Host CPU quota diagnosis"),
     emitted as data so grading needs no forensics: one single-thread matmul,
     then ``n_workers`` parallel copies in separate pinned-thread processes.
     ``effective_cores = n_workers * t_single / median(t_parallel)`` — ~min(
     n_workers, physical cores) on a calm host, 2-3 when the burst-credit
-    quota has the VM throttled."""
+    quota has the VM throttled. n_workers defaults to NUM_CPUS so the
+    measurement's ceiling matches the quota_bound threshold's scale (a
+    16-worker probe can never read above 16, which would misclassify a
+    calm 32-cpu host against a 0.5*32 threshold)."""
+    if n_workers is None:
+        n_workers = max(2, NUM_CPUS)
     import statistics
 
     code = (
@@ -131,8 +136,15 @@ def regime_probe(n_workers: int = 16, size: int = 2048) -> dict:
     return {
         "probe_t_single_sec": round(t_single, 3),
         "probe_t_parallel_median_sec": round(statistics.median(t_par), 3),
+        "probe_n_workers": n_workers,
         "regime_effective_cores": round(eff, 2),
     }
+
+
+def _quota_bound(probe: dict) -> bool:
+    """Throttled iff the probe saw <50% of the cores it could measure."""
+    scale = min(probe["probe_n_workers"], NUM_CPUS)
+    return probe["regime_effective_cores"] < 0.5 * scale
 
 
 def warmup() -> None:
@@ -240,7 +252,7 @@ def single_run() -> dict:
     # and retry the headline ONCE, keep the better run, and annotate which
     # regime each number came from
     retried = False
-    if probe["regime_effective_cores"] < 0.5 * NUM_CPUS:
+    if _quota_bound(probe):
         retried = True
         probe2 = regime_probe()
         wall2, rows2 = run_headline(feed)
@@ -257,7 +269,7 @@ def single_run() -> dict:
         "rows": rows,
         "turns_per_sec": round(rows / wall, 1),
         **probe,
-        "quota_bound": probe["regime_effective_cores"] < 0.5 * NUM_CPUS,
+        "quota_bound": _quota_bound(probe),
         "headline_retried_for_quota": retried,
     }
     # burst probe: the same job at REPL/10 finishes inside the host's CPU

@@ -395,11 +395,7 @@ def neardup_kernel(
     else:
         mh = _neardup_hasher(k, bands, shingle_w, seed)
         sigs = mh.signatures_batch(new_rows["text"])  # (n, k) uint64
-        band_sigs = sigs.reshape(n, bands, mh.rows)
-        with np.errstate(over="ignore"):
-            bh = band_sigs[:, :, 0].copy()
-            for j in range(1, mh.rows):
-                bh = bh * np.uint64(1099511628211) + band_sigs[:, :, j]
+        bh = mh.band_hashes(sigs)  # (n, bands): the shared bucket identity
         # rotation boundaries are a property of the ROW STREAM (absolute
         # processed-row ordinals), identical to content_dedup_bloom_kernel
         rot_at: set[int] = set()

@@ -158,16 +158,24 @@ class MinHasher:
         values, offsets = shingle_sets_batch(strings, self.w)
         return minhash_signatures_batch(values, offsets, self.a, self.b)
 
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, k) signatures -> (n, bands) uint64 band hashes: FNV-fold of
+        each band's rows. THE band-bucket identity — the batch explode
+        below, the streaming ``neardup_kernel`` and the SQL oracles all
+        derive from this one fold, so they stay bit-identical."""
+        band_sigs = sigs.reshape(len(sigs), self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            band_hash = band_sigs[:, :, 0].copy()
+            for j in range(1, self.rows):
+                band_hash = band_hash * np.uint64(1099511628211) + band_sigs[:, :, j]
+        return band_hash
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """doc batch -> exploded (doc_id, band_id, band_hash) rows."""
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = len(doc_ids)
         sigs = self.signatures_batch(batch["text"])
-        band_sigs = sigs.reshape(n, self.bands, self.rows)
-        with np.errstate(over="ignore"):
-            band_hash = band_sigs[:, :, 0].copy()
-            for j in range(1, self.rows):
-                band_hash = band_hash * np.uint64(1099511628211) + band_sigs[:, :, j]
+        band_hash = self.band_hashes(sigs)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_ids, self.bands)),

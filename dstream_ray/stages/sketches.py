@@ -101,6 +101,14 @@ def hll_partial_batch(batch: pa.Table, *, key_col: str, value_col: str, p: int =
     key = batch[key_col]
     if isinstance(key, pa.ChunkedArray):
         key = key.combine_chunks()
+    if key.null_count:
+        # null keys don't name a sketch: drop their rows (the semantics of
+        # the pre-vectorization pandas groupby; a null index would otherwise
+        # round-trip through float NaN and scatter out of bounds)
+        batch = batch.filter(pc.is_valid(key))
+        key = batch[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
     enc = key.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = batch[value_col]

@@ -1013,30 +1013,36 @@ _INTERVAL_EMPTY = pa.table(
 )
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_BOOL = np.empty(0, dtype=bool)
 _EMPTY_PAIR = (_EMPTY_I64, _EMPTY_I64)
+_EMPTY_TRIPLE = (_EMPTY_I64, _EMPTY_I64, _EMPTY_BOOL)  # outer_join: +hit flag
 
 
-def _gather_bufs(buf: dict, names: list, seg_codes: np.ndarray):
-    """Flatten per-conv (turn, ts) buffers for the convs present in this
-    batch into conv-contiguous arrays + per-segment counts. The ONLY
-    Python-per-conv work in the segment-vectorized join kernels is this
-    gather and the final slice-writeback — all numeric work (sort,
-    searchsorted, ragged pair expansion, pruning) is whole-batch."""
-    turns, tss = [], []
+def _gather_bufs(buf: dict, names: list, seg_codes: np.ndarray,
+                 empty: tuple = _EMPTY_PAIR):
+    """Flatten per-conv array-tuple buffers for the convs present in this
+    batch into conv-contiguous arrays + per-segment counts. ``empty`` fixes
+    the tuple arity and dtypes (pairs for the join buffers, triples for
+    outer_join's (turn, ts, hit)). The ONLY Python-per-conv work in the
+    segment-vectorized join kernels is this gather and the final
+    slice-writeback — all numeric work (sort, searchsorted, ragged pair
+    expansion, pruning) is whole-batch. Returns ``(*arrays, cnt)``."""
+    width = len(empty)
+    lists: list[list] = [[] for _ in range(width)]
     cnt = np.empty(len(seg_codes), dtype=np.int64)
     for i, c in enumerate(seg_codes):
-        t, ts = buf.get(names[c], _EMPTY_PAIR)
-        turns.append(t)
-        tss.append(ts)
-        cnt[i] = len(t)
+        entry = buf.get(names[c], empty)
+        for j in range(width):
+            lists[j].append(entry[j])
+        cnt[i] = len(entry[0])
     if cnt.sum() == 0:
-        return _EMPTY_I64, _EMPTY_I64, cnt
-    return np.concatenate(turns), np.concatenate(tss), cnt
+        return (*empty, cnt)
+    return (*(np.concatenate(x) for x in lists), cnt)
 
 
 def _scatter_bufs(
-    buf: dict, names: list, seg_codes: np.ndarray,
-    turn: np.ndarray, ts: np.ndarray, cnt: np.ndarray,
+    buf: dict, names: list, seg_codes: np.ndarray, cnt: np.ndarray,
+    *arrays: np.ndarray,
 ) -> None:
     """Write conv-contiguous arrays back into the per-conv carry dict.
     Slices are copied so the carry does not pin the whole batch array;
@@ -1045,7 +1051,7 @@ def _scatter_bufs(
     for i, c in enumerate(seg_codes):
         s, e = offs[i], offs[i + 1]
         if e > s:
-            buf[names[c]] = (turn[s:e].copy(), ts[s:e].copy())
+            buf[names[c]] = tuple(a[s:e].copy() for a in arrays)
         else:
             buf.pop(names[c], None)
 
@@ -1205,7 +1211,7 @@ def interval_join_kernel(
         keep = ts_a >= cut[seg_a]
         kept_seg = seg_a[keep]
         cnt = np.bincount(kept_seg, minlength=S).astype(np.int64)
-        _scatter_bufs(buf, names, seg_codes, turn_a[keep], ts_a[keep], cnt)
+        _scatter_bufs(buf, names, seg_codes, cnt, turn_a[keep], ts_a[keep])
 
     if not em_code:
         return _INTERVAL_EMPTY, {"u": u_buf, "t": t_buf}
@@ -1650,7 +1656,7 @@ def absence_kernel(
             em_ts.append(u_ts[timeout])
         keep = ~matched & ~timeout
         cnt = np.bincount(u_seg[keep], minlength=S).astype(np.int64)
-        _scatter_bufs(pend, names, seg_codes, u_turn[keep], u_ts[keep], cnt)
+        _scatter_bufs(pend, names, seg_codes, cnt, u_turn[keep], u_ts[keep])
 
     if flush:
         for nm in sorted(pend):
@@ -1743,23 +1749,16 @@ def outer_join_kernel(
         seg_ids = np.arange(S, dtype=np.int64)
         row_seg = np.repeat(seg_ids, cols.ends - cols.starts)
 
-        p_turns, p_tss, p_hits = [], [], []
-        p_cnt = np.empty(S, dtype=np.int64)
-        for i, c in enumerate(seg_codes):
-            t, ts_, h = pend.get(
-                names[c], (_EMPTY_I64, _EMPTY_I64, np.empty(0, dtype=bool))
-            )
-            p_turns.append(t)
-            p_tss.append(ts_)
-            p_hits.append(h)
-            p_cnt[i] = len(t)
+        p_turn, p_ts, p_hit, p_cnt = _gather_bufs(
+            pend, names, seg_codes, empty=_EMPTY_TRIPLE
+        )
         um, tm = cols.is_user, cols.is_tool
         # pend ∪ new users, (seg, ts)-sorted stable (pend first on ties):
         # one lexsort order applied to all four columns
         seg_cat = np.concatenate([np.repeat(seg_ids, p_cnt), row_seg[um]])
-        turn_cat = np.concatenate(p_turns + [cols.turn[um]])
-        ts_cat = np.concatenate(p_tss + [cols.ts[um]])
-        hit_cat = np.concatenate(p_hits + [np.zeros(int(um.sum()), dtype=bool)])
+        turn_cat = np.concatenate([p_turn, cols.turn[um]])
+        ts_cat = np.concatenate([p_ts, cols.ts[um]])
+        hit_cat = np.concatenate([p_hit, np.zeros(int(um.sum()), dtype=bool)])
         order = np.lexsort((np.arange(len(seg_cat)), ts_cat, seg_cat))
         u_seg, u_turn, u_ts, hit = (
             seg_cat[order], turn_cat[order], ts_cat[order], hit_cat[order]
@@ -1801,20 +1800,10 @@ def outer_join_kernel(
                 np.full(n_to, -1, dtype=np.int64),
             )
         keep = ~expired
-        k_seg, k_turn, k_ts, k_hit = (
-            u_seg[keep], u_turn[keep], u_ts[keep], hit[keep]
+        cnt = np.bincount(u_seg[keep], minlength=S).astype(np.int64)
+        _scatter_bufs(
+            pend, names, seg_codes, cnt, u_turn[keep], u_ts[keep], hit[keep]
         )
-        offs = np.concatenate(
-            [[0], np.cumsum(np.bincount(k_seg, minlength=S))]
-        )
-        for i, c in enumerate(seg_codes):
-            s0, e0 = offs[i], offs[i + 1]
-            if e0 > s0:
-                pend[names[c]] = (
-                    k_turn[s0:e0].copy(), k_ts[s0:e0].copy(), k_hit[s0:e0].copy()
-                )
-            else:
-                pend.pop(names[c], None)
 
     if flush:
         for nm in sorted(pend):

@@ -980,3 +980,28 @@ def test_pii_scrub_query_decoration(ray_session, sf_tiny):
     assert (out.loc[~dec, ["n_email", "n_ipv4", "n_phone"]] == 0).all().all()
     assert out.loc[dec, "scrubbed"].str.endswith("call <PHONE>").all()
     assert not out["scrubbed"].str.contains("@").any()
+
+
+def test_hll_partial_batch_drops_null_keys():
+    """Null keys don't name a sketch: rows with a null key are dropped (the
+    pre-vectorization pandas-groupby semantics), not scattered via a NaN
+    index."""
+    import pyarrow as pa
+
+    from dstream_ray.stages.sketches import HLL, hll_partial_batch
+
+    batch = pa.table(
+        {
+            "k": pa.array(["a", None, "b", "a", None]),
+            "v": pa.array(["u1", "u9", "u2", "u3", "u9"]),
+        }
+    )
+    out = hll_partial_batch(batch, key_col="k", value_col="v").to_pandas()
+    assert sorted(out["key"]) == ["a", "b"]
+    clean = hll_partial_batch(
+        batch.filter(pa.compute.is_valid(batch["k"])), key_col="k", value_col="v"
+    ).to_pandas()
+    merged = {r["key"]: bytes(r["sketch"]) for _, r in out.iterrows()}
+    for _, r in clean.iterrows():
+        assert merged[r["key"]] == bytes(r["sketch"])
+    assert HLL.from_bytes(merged["a"]).estimate() > 0
