@@ -93,6 +93,16 @@ def q_doc_fingerprint_rolling(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition metrics (distinct-word ratio,
+    top-token dominance, duplicate-bigram fraction) — one vectorized
+    tokenize+hash+sort pass per batch (stages/text.repetition_stats);
+    DuckDB recomputes all three from unnested token/bigram lists."""
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        text.repetition_stats, batch_format="pyarrow"
+    )
+
+
 def _pii_decorate(batch: pa.Table) -> pa.Table:
     """Deterministically splice synthetic PII (email / IPv4 / phone derived
     from doc_id) into 2 of every 3 docs — the synthetic corpus is clean

@@ -350,6 +350,41 @@ ORACLE_SQL["bpe_token_counts"] = (
     + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
 )
 
+# Repetition metrics: the token CTE is the exact split the byte-level
+# _TokenView performs; unigram stats unnest tokens, bigram stats unnest
+# index-built adjacent pairs (tokens contain no whitespace, so ' ' is an
+# unambiguous pair separator). // is DuckDB integer floor division —
+# the same floor(1000*x) integers the Ray stage emits.
+ORACLE_SQL["repetition_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))='' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+') END AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2)
+  GROUP BY 1
+),
+bgc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_distinct_bg
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        FROM toks WHERE len(t) > 1)
+  GROUP BY 1
+)
+SELECT k.doc_id,
+  CAST(COALESCE(u.n_tok, 0) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN COALESCE(u.n_tok,0) > 0 THEN (1000*u.n_distinct)//u.n_tok ELSE 0 END AS BIGINT) AS distinct_ratio_x1000,
+  CAST(CASE WHEN COALESCE(u.n_tok,0) > 0 THEN (1000*u.max_c)//u.n_tok ELSE 0 END AS BIGINT) AS top_tok_frac_x1000,
+  CAST(CASE WHEN COALESCE(b.n_bg,0) > 0 THEN (1000*(b.n_bg - b.n_distinct_bg))//b.n_bg ELSE 0 END AS BIGINT) AS dup_bigram_frac_x1000
+FROM toks k LEFT JOIN uni u USING (doc_id) LEFT JOIN bgc b USING (doc_id)
+"""
+
 # PII scrub: decoration, per-pattern counts and the scrubbed text are all
 # recomputed in SQL from the SAME pattern constants the Ray stage runs
 # (both engines are RE2, so replace semantics are byte-identical).

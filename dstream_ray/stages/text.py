@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from dstream_ray.common import poly_hash_strings, utf8_view
+from dstream_ray.common import poly_hash_spans, poly_hash_strings, utf8_view
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 
@@ -340,3 +340,76 @@ def pii_scrub_batch(batch: pa.Table) -> pa.Table:
         scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
     out["scrubbed"] = scrubbed
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules: within-doc repetition)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc within-document repetition metrics — the Gopher-rule family
+    (distinct-word ratio, most-common-token dominance, duplicate-bigram
+    fraction), each as floor(1000*x) integers so the SQL oracle compares
+    exactly.
+
+    One `_TokenView` tokenization + two polynomial span hashes (128-bit
+    token identity — collision-free at any realistic corpus) feed all
+    three metrics with sort/bincount/reduceat passes: cost is O(tokens
+    log tokens) per batch, zero per-row Python."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    tv = _TokenView(text)
+    n_docs, n_tok = tv.n, tv.n_tokens
+    parent = tv.parent  # ascending (tokens in buffer order)
+
+    def _distinct_and_max(par: np.ndarray, k1: np.ndarray, k2: np.ndarray, n_min: int):
+        """Per-doc (#distinct keys, max key multiplicity) over (par, k1, k2)
+        rows: one lexsort, run-length encode, bincount + reduceat."""
+        if len(par) == 0:
+            z = np.zeros(n_min, dtype=np.int64)
+            return z, z.copy()
+        order = np.lexsort((k2, k1, par))
+        p, a, b = par[order], k1[order], k2[order]
+        new_run = np.r_[True, (p[1:] != p[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        run_len = np.diff(np.r_[np.flatnonzero(new_run), len(p)])
+        run_parent = p[new_run]
+        n_distinct = np.bincount(run_parent, minlength=n_min).astype(np.int64)
+        max_c = np.zeros(n_min, dtype=np.int64)
+        doc_first = np.r_[True, run_parent[1:] != run_parent[:-1]]
+        if len(run_len):
+            seg_max = np.maximum.reduceat(run_len, np.flatnonzero(doc_first))
+            max_c[run_parent[doc_first]] = seg_max
+        return n_distinct, max_c
+
+    h1, h2 = poly_hash_spans(
+        tv.data, tv.tok_starts, tv.tok_len, bases=(1000003, 999983)
+    )
+    n_distinct, max_c = _distinct_and_max(parent, h1, h2, n_docs)
+
+    # bigrams: adjacent token pairs within one doc (tokens are position-
+    # ordered, so adjacency in the flat arrays == adjacency in the doc)
+    adj = parent[1:] == parent[:-1] if len(parent) else np.empty(0, dtype=bool)
+    bg_parent = parent[:-1][adj]
+    with np.errstate(over="ignore"):
+        bg1 = h1[:-1][adj] * np.uint64(1000003) + h2[1:][adj]
+        bg2 = h2[:-1][adj] * np.uint64(999983) + h1[1:][adj]
+    n_bg = np.bincount(bg_parent, minlength=n_docs).astype(np.int64)
+    n_distinct_bg, _ = _distinct_and_max(bg_parent, bg1, bg2, n_docs)
+
+    def ratio_x1000(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        out = np.zeros(n_docs, dtype=np.int64)
+        nz = den > 0
+        out[nz] = (1000 * num[nz]) // den[nz]
+        return out
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "distinct_ratio_x1000": pa.array(ratio_x1000(n_distinct, n_tok)),
+            "top_tok_frac_x1000": pa.array(ratio_x1000(max_c, n_tok)),
+            "dup_bigram_frac_x1000": pa.array(ratio_x1000(n_bg - n_distinct_bg, n_bg)),
+        }
+    )

@@ -1005,3 +1005,32 @@ def test_hll_partial_batch_drops_null_keys():
     for _, r in clean.iterrows():
         assert merged[r["key"]] == bytes(r["sketch"])
     assert HLL.from_bytes(merged["a"]).estimate() > 0
+
+
+def test_repetition_stats_kernel():
+    """Hand-checked Gopher-rule metrics incl. cross-doc bigram isolation,
+    empty docs, unicode tokens, and the floor(1000*x) integer contract."""
+    import pyarrow as pa
+
+    from dstream_ray.stages.text import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            # docs 0+1 adjacent in the buffer: "a" at the end of doc 0 and
+            # "a b" opening doc 1 must NOT create cross-doc bigrams
+            "text": pa.array(["a b a b a", "a b x", "", "w w w w", "☃ ☃ λ"]),
+        }
+    )
+    out = repetition_stats(batch).to_pandas().set_index("doc_id")
+    assert list(out["n_tokens"]) == [5, 3, 0, 4, 3]
+    assert out.loc[0, "distinct_ratio_x1000"] == 400  # 2/5
+    assert out.loc[0, "top_tok_frac_x1000"] == 600  # a: 3/5
+    assert out.loc[0, "dup_bigram_frac_x1000"] == 500  # {ab,ba,ab,ba}
+    assert out.loc[1, "dup_bigram_frac_x1000"] == 0  # ab, bx distinct
+    assert (out.loc[2] == 0).all()
+    assert out.loc[3, "distinct_ratio_x1000"] == 250
+    assert out.loc[3, "top_tok_frac_x1000"] == 1000
+    assert out.loc[3, "dup_bigram_frac_x1000"] == 666  # 2/3 duplicated
+    assert out.loc[4, "distinct_ratio_x1000"] == 666  # ☃ twice, λ once
+    assert out.loc[4, "top_tok_frac_x1000"] == 666

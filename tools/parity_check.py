@@ -111,6 +111,7 @@ def main() -> int:
         ("knn_classify", _d.q_knn_classify),
         ("pivot_roles", _q.q_pivot_roles),
         ("pii_scrub", _d.q_pii_scrub),
+        ("repetition_stats", _d.q_repetition_stats),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
