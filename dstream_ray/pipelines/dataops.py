@@ -93,6 +93,53 @@ def q_doc_fingerprint_rolling(sf_dir: str):
     )
 
 
+def q_decontamination(sf_dir: str, bench_mod: int = 50):
+    """Benchmark decontamination: flag every document sharing a word
+    3-shingle with the benchmark set (here the deterministic
+    ``doc_id % bench_mod == 0`` subset; in production the held-out eval
+    corpus). The canonical broadcast-small-side shape: the benchmark
+    shingle set is extracted DISTRIBUTED (a map_batches partial per
+    block, unioned on the driver — small by definition: eval suites are
+    KBs-MBs against a 100 TB corpus), broadcast once via ``ray.put``,
+    and every batch scores membership with one searchsorted — no
+    shuffle, no join. Shingle identity is the MinHash family's
+    (dedup.shingle_sets_batch), which the SQL oracle already recomputes
+    bit-for-bit."""
+    from dstream_ray.stages.dedup import shingle_sets_batch
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % bench_mod == 0
+        sub = b.filter(pa.array(keep))
+        vals, _ = shingle_sets_batch(sub["text"])
+        return pa.table(
+            {"s": pa.array(np.unique(vals).view(np.int64), type=pa.int64())}
+        )
+
+    bench = docs.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    sset = np.unique(bench["s"].to_numpy().view(np.uint64))  # sorted
+    ref = ray.put(sset)
+
+    def score(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)  # plasma-cached per worker: broadcast, not reshipped
+        vals, offs = shingle_sets_batch(b["text"])
+        idx = np.searchsorted(s, vals)
+        hit = (idx < len(s)) & (s[np.minimum(idx, len(s) - 1)] == vals) if len(s) else np.zeros(len(vals), dtype=bool)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        n_shared = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_shared_shingles": pa.array(n_shared),
+                "contaminated": pa.array(n_shared > 0),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition metrics (distinct-word ratio,
     top-token dominance, duplicate-bigram fraction) — one vectorized

@@ -918,6 +918,34 @@ _TOKS_TH = f"""toks AS (
   SELECT doc_id, list_transform(ts, t -> {_FNV_TOKEN}) AS hs FROM toks
 )"""
 
+# Decontamination: the shingle CTE is the MinHash family's (same token-FNV
+# + base-1000003 window fold, per-doc distinct); the benchmark set is the
+# doc_id % 50 == 0 subset and a doc's n_shared_shingles counts its distinct
+# shingles that appear in ANY benchmark doc.
+ORACLE_SQL["decontamination"] = f"""
+WITH {_TOKS_TH}, shing AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []
+      WHEN len(hs) < 3 THEN [list_sum(hs) % (1::HUGEINT << 64)]
+      ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2),
+        j -> ((hs[j] * 1000003 % (1::HUGEINT << 64) + hs[j+1]) % (1::HUGEINT << 64) * 1000003 % (1::HUGEINT << 64) + hs[j+2]) % (1::HUGEINT << 64)))
+    END AS sh
+  FROM th
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shing WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shing) r
+  WHERE r.s IN (SELECT s FROM bench)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_shingles,
+  COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
 # Count-min sketch over corpus tokens, recomputed cell-for-cell: h1 = the
 # FNV-1a token hash, h2 = the base-1000003 polynomial hash, cell(d) =
 # d*1024 + (h1 + d*h2) mod 1024. Width is a power of two, so the engine's

@@ -1034,3 +1034,29 @@ def test_repetition_stats_kernel():
     assert out.loc[3, "dup_bigram_frac_x1000"] == 666  # 2/3 duplicated
     assert out.loc[4, "distinct_ratio_x1000"] == 666  # ☃ twice, λ once
     assert out.loc[4, "top_tok_frac_x1000"] == 666
+
+
+def test_decontamination_flags_benchmark_overlap(ray_session, sf_tiny):
+    """Benchmark docs flag themselves; a doc sharing no 3-shingle with the
+    benchmark set stays clean; counts are bounded by the doc's own distinct
+    shingle count."""
+    import numpy as np
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages.dedup import shingle_sets_batch
+
+    out = d.q_decontamination(sf_tiny).to_pandas().set_index("doc_id")
+    bench_ids = [i for i in out.index if i % 50 == 0]
+    assert bench_ids, "sf_tiny must contain benchmark docs"
+    # every benchmark doc with at least one shingle is self-contaminated
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+    vals, offs = shingle_sets_batch(t["text"])
+    n_sh = np.diff(offs)
+    ids = t["doc_id"].to_numpy()
+    for i, did in enumerate(ids):
+        if did in bench_ids and n_sh[i] > 0:
+            assert bool(out.loc[did, "contaminated"])
+        assert out.loc[did, "n_shared_shingles"] <= n_sh[i]
+    assert (out["n_shared_shingles"] >= 0).all()

@@ -112,6 +112,7 @@ def main() -> int:
         ("pivot_roles", _q.q_pivot_roles),
         ("pii_scrub", _d.q_pii_scrub),
         ("repetition_stats", _d.q_repetition_stats),
+        ("decontamination", _d.q_decontamination),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
