@@ -38,6 +38,9 @@ ADVERSARIAL_QUERIES = [
     "top_tokens",
     "cms_tokens",  # library-only (count-min cells, HUGEINT double hashing)
     "tfidf_top_terms",  # library-only (integer-exact tf*N//df scores)
+    "pii_scrub",  # library-only (RE2 mask, byte-exact scrubbed text)
+    "repetition_stats",  # library-only (Gopher repetition rules)
+    "decontamination",  # library-only (broadcast shingle-set membership)
 ]
 
 
@@ -56,6 +59,9 @@ def _queries_and_oracles():
     qs.setdefault("dedup_exact", dataops.q_dedup_exact)
     qs.setdefault("cms_tokens", dataops.q_cms_tokens)
     qs.setdefault("tfidf_top_terms", dataops.q_tfidf_top_terms)
+    qs.setdefault("pii_scrub", dataops.q_pii_scrub)
+    qs.setdefault("repetition_stats", dataops.q_repetition_stats)
+    qs.setdefault("decontamination", dataops.q_decontamination)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)
