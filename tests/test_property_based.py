@@ -450,3 +450,44 @@ def test_epoch_split_invariance_tumbling_qsketch(data):
     single = run_split(tumbling_qsketch_kernel, rows, [0, rows.num_rows], width_s=WIDTH_S)
     multi = run_split(tumbling_qsketch_kernel, rows, bounds, width_s=WIDTH_S)
     pd.testing.assert_frame_equal(merged(single), merged(multi), check_dtype=False)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab☃x", min_size=1, max_size=3), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_repetition_stats_matches_counter_reference(docs):
+    """repetition_stats == the obvious per-doc Counter computation for any
+    token multiset (any token content, any doc mix, empty docs included)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from dstream_ray.stages.text import repetition_stats
+
+    texts = [" ".join(toks) for toks in docs]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = repetition_stats(batch).to_pandas()
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        c = Counter(toks)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        cb = Counter(bgs)
+        row = out.iloc[i]
+        assert row["n_tokens"] == n
+        assert row["distinct_ratio_x1000"] == ((1000 * len(c)) // n if n else 0)
+        assert row["top_tok_frac_x1000"] == ((1000 * max(c.values())) // n if n else 0)
+        assert row["dup_bigram_frac_x1000"] == (
+            (1000 * (len(bgs) - len(cb))) // len(bgs) if bgs else 0
+        )
