@@ -141,10 +141,22 @@ def regime_probe(n_workers: int | None = None, size: int = 2048) -> dict:
     }
 
 
+# Calm-window single-thread 2048^3 matmul on this VM class: 0.30-0.45 s
+# (best recorded 0.297). The burst-credit quota throttles per-core speed
+# UNIFORMLY when drained — the parallel-ratio probe then still reads "calm"
+# (e.g. 15.4/16 with t_single 1.48 s, a 5x-slow regime), so the single-
+# thread floor is a second, independent throttle signal.
+CALM_T_SINGLE_SEC = 0.45
+
+
 def _quota_bound(probe: dict) -> bool:
-    """Throttled iff the probe saw <50% of the cores it could measure."""
+    """Throttled iff the probe saw <50% of the cores it could measure OR
+    the single-thread run itself is >2x the calm floor (uniform slowdown)."""
     scale = min(probe["probe_n_workers"], NUM_CPUS)
-    return probe["regime_effective_cores"] < 0.5 * scale
+    return (
+        probe["regime_effective_cores"] < 0.5 * scale
+        or probe["probe_t_single_sec"] > 2 * CALM_T_SINGLE_SEC
+    )
 
 
 def warmup() -> None:
