@@ -500,7 +500,11 @@ def scaling_run() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--probe" in sys.argv:
+        # just the host-regime probe (quota forensics without a bench run)
+        p = regime_probe()
+        print(json.dumps({**p, "quota_bound": _quota_bound(p)}))
+    elif "--scaling" in sys.argv:
         print(json.dumps(scaling_run()))
     elif "--provider" in sys.argv:
         print(json.dumps(provider_run()))
