@@ -93,11 +93,13 @@ def q_doc_fingerprint_rolling(sf_dir: str):
     )
 
 
-def q_decontamination(sf_dir: str, bench_mod: int = 50):
+def q_decontamination(sf_dir: str, bench_mod: int | None = None):
     """Benchmark decontamination: flag every document sharing a word
-    3-shingle with the benchmark set (here the deterministic
+    3-shingle with the benchmark set (the deterministic
     ``doc_id % bench_mod == 0`` subset; in production the held-out eval
-    corpus). The canonical broadcast-small-side shape: the benchmark
+    corpus). ``bench_mod`` defaults from ``oracles.DECONTAM_BENCH_MOD`` —
+    the single benchmark-selection rule both sides share; a non-default
+    value is NOT covered by ``ORACLE_SQL['decontamination']``. The canonical broadcast-small-side shape: the benchmark
     shingle set is extracted DISTRIBUTED (a map_batches partial per
     block, unioned on the driver — small by definition: eval suites are
     KBs-MBs against a 100 TB corpus), broadcast once via ``ray.put``,
@@ -107,6 +109,10 @@ def q_decontamination(sf_dir: str, bench_mod: int = 50):
     bit-for-bit."""
     from dstream_ray.stages.dedup import shingle_sets_batch
 
+    if bench_mod is None:
+        from dstream_ray.pipelines.oracles import DECONTAM_BENCH_MOD
+
+        bench_mod = DECONTAM_BENCH_MOD
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     def bench_partial(b: pa.Table) -> pa.Table:

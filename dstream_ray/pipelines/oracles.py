@@ -350,41 +350,6 @@ ORACLE_SQL["bpe_token_counts"] = (
     + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
 )
 
-# Repetition metrics: the token CTE is the exact split the byte-level
-# _TokenView performs; unigram stats unnest tokens, bigram stats unnest
-# index-built adjacent pairs (tokens contain no whitespace, so ' ' is an
-# unambiguous pair separator). // is DuckDB integer floor division —
-# the same floor(1000*x) integers the Ray stage emits.
-ORACLE_SQL["repetition_stats"] = """
-WITH toks AS (
-  SELECT doc_id,
-         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))='' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+') END AS t
-  FROM documents
-),
-uni AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
-  FROM (SELECT doc_id, tok, count(*) AS c
-        FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2)
-  GROUP BY 1
-),
-bgc AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
-         CAST(count(DISTINCT b) AS BIGINT) AS n_distinct_bg
-  FROM (SELECT doc_id,
-               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
-        FROM toks WHERE len(t) > 1)
-  GROUP BY 1
-)
-SELECT k.doc_id,
-  CAST(COALESCE(u.n_tok, 0) AS BIGINT) AS n_tokens,
-  CAST(CASE WHEN COALESCE(u.n_tok,0) > 0 THEN (1000*u.n_distinct)//u.n_tok ELSE 0 END AS BIGINT) AS distinct_ratio_x1000,
-  CAST(CASE WHEN COALESCE(u.n_tok,0) > 0 THEN (1000*u.max_c)//u.n_tok ELSE 0 END AS BIGINT) AS top_tok_frac_x1000,
-  CAST(CASE WHEN COALESCE(b.n_bg,0) > 0 THEN (1000*(b.n_bg - b.n_distinct_bg))//b.n_bg ELSE 0 END AS BIGINT) AS dup_bigram_frac_x1000
-FROM toks k LEFT JOIN uni u USING (doc_id) LEFT JOIN bgc b USING (doc_id)
-"""
-
 # PII scrub: decoration, per-pattern counts and the scrubbed text are all
 # recomputed in SQL from the SAME pattern constants the Ray stage runs
 # (both engines are RE2, so replace semantics are byte-identical).
@@ -918,22 +883,65 @@ _TOKS_TH = f"""toks AS (
   SELECT doc_id, list_transform(ts, t -> {_FNV_TOKEN}) AS hs FROM toks
 )"""
 
-# Decontamination: the shingle CTE is the MinHash family's (same token-FNV
-# + base-1000003 window fold, per-doc distinct); the benchmark set is the
-# doc_id % 50 == 0 subset and a doc's n_shared_shingles counts its distinct
-# shingles that appear in ANY benchmark doc.
-ORACLE_SQL["decontamination"] = f"""
-WITH {_TOKS_TH}, shing AS (
+# Word-3-shingle CTE over th.hs — the MinHash family's shingle identity
+# (base-1000003 window fold mod 2^64, degenerate <3-token docs collapse to
+# the token-hash sum; per-doc DISTINCT). ONE definition shared by the
+# minhash_dedup / streaming_neardup / decontamination oracles so the SQL
+# twin of dedup.shingle_sets_batch cannot diverge between them.
+_M64 = "(1::HUGEINT << 64)"
+_SHING_CTE = f"""shing AS (
   SELECT doc_id,
     CASE
       WHEN len(hs) = 0 THEN []
-      WHEN len(hs) < 3 THEN [list_sum(hs) % (1::HUGEINT << 64)]
+      WHEN len(hs) < 3 THEN [list_sum(hs) % {_M64}]
       ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2),
-        j -> ((hs[j] * 1000003 % (1::HUGEINT << 64) + hs[j+1]) % (1::HUGEINT << 64) * 1000003 % (1::HUGEINT << 64) + hs[j+2]) % (1::HUGEINT << 64)))
+        j -> ((hs[j] * 1000003 % {_M64} + hs[j+1]) % {_M64} * 1000003 % {_M64} + hs[j+2]) % {_M64}))
     END AS sh
   FROM th
-), bench AS (
-  SELECT DISTINCT unnest(sh) AS s FROM shing WHERE doc_id % 50 = 0
+)"""
+
+# Repetition metrics (Gopher rules): reuses the shared toks CTE (the exact
+# split the byte-level _TokenView performs); unigram stats unnest tokens,
+# bigram stats unnest index-built adjacent pairs (tokens contain no
+# whitespace, so ' ' is an unambiguous pair separator). // is DuckDB
+# integer floor division — the same floor(1000*x) integers the Ray stage
+# emits.
+ORACLE_SQL["repetition_stats"] = f"""
+WITH {_TOKS_TH},
+uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM toks, unnest(ts) AS u(tok) GROUP BY 1, 2)
+  GROUP BY 1
+),
+bgc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_distinct_bg
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+        FROM toks WHERE len(ts) > 1)
+  GROUP BY 1
+)
+SELECT k.doc_id,
+  CAST(COALESCE(u.n_tok, 0) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN COALESCE(u.n_tok,0) > 0 THEN (1000*u.n_distinct)//u.n_tok ELSE 0 END AS BIGINT) AS distinct_ratio_x1000,
+  CAST(CASE WHEN COALESCE(u.n_tok,0) > 0 THEN (1000*u.max_c)//u.n_tok ELSE 0 END AS BIGINT) AS top_tok_frac_x1000,
+  CAST(CASE WHEN COALESCE(b.n_bg,0) > 0 THEN (1000*(b.n_bg - b.n_distinct_bg))//b.n_bg ELSE 0 END AS BIGINT) AS dup_bigram_frac_x1000
+FROM toks k LEFT JOIN uni u USING (doc_id) LEFT JOIN bgc b USING (doc_id)
+"""
+
+# Decontamination: the shingle CTE is the MinHash family's (same token-FNV
+# + base-1000003 window fold, per-doc distinct); the benchmark set is the
+# doc_id % DECONTAM_BENCH_MOD == 0 subset and a doc's n_shared_shingles
+# counts its distinct shingles that appear in ANY benchmark doc. The
+# constant is THE benchmark-selection rule: q_decontamination defaults
+# from it, so Ray and SQL cannot disagree on who is benchmark.
+DECONTAM_BENCH_MOD = 50
+
+ORACLE_SQL["decontamination"] = f"""
+WITH {_TOKS_TH}, {_SHING_CTE}, bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shing WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
 ), hits AS (
   SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n
   FROM (SELECT doc_id, unnest(sh) AS s FROM shing) r
@@ -998,16 +1006,7 @@ def _minhash_oracle_sql() -> str:
     M64 = "(1::HUGEINT << 64)"
     MERS = (1 << 61) - 1
     return f"""
-WITH {_TOKS_TH}, shing AS (
-  SELECT doc_id,
-    CASE
-      WHEN len(hs) = 0 THEN []
-      WHEN len(hs) < 3 THEN [list_sum(hs) % {M64}]
-      ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2),
-        j -> ((hs[j] * 1000003 % {M64} + hs[j+1]) % {M64} * 1000003 % {M64} + hs[j+2]) % {M64}))
-    END AS sh
-  FROM th
-), shrows AS (
+WITH {_TOKS_TH}, {_SHING_CTE}, shrows AS (
   SELECT doc_id, unnest(sh) AS s FROM shing
 ), perms(k) AS (
   SELECT unnest(generate_series(1, 64))
@@ -1076,16 +1075,7 @@ def _streaming_neardup_oracle_sql(num_partitions: int = 4) -> str:
     M64 = "(1::HUGEINT << 64)"
     MERS = (1 << 61) - 1
     return f"""
-WITH {_TOKS_TH}, shing AS (
-  SELECT doc_id,
-    CASE
-      WHEN len(hs) = 0 THEN []
-      WHEN len(hs) < 3 THEN [list_sum(hs) % {M64}]
-      ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2),
-        j -> ((hs[j] * 1000003 % {M64} + hs[j+1]) % {M64} * 1000003 % {M64} + hs[j+2]) % {M64}))
-    END AS sh
-  FROM th
-), shrows AS (
+WITH {_TOKS_TH}, {_SHING_CTE}, shrows AS (
   SELECT doc_id, unnest(sh) AS s FROM shing
 ), perms(k) AS (
   SELECT unnest(generate_series(1, 64))

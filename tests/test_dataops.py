@@ -1036,10 +1036,41 @@ def test_repetition_stats_kernel():
     assert out.loc[4, "top_tok_frac_x1000"] == 666
 
 
+def test_decontamination_known_overlap_structure(ray_session, tmp_path):
+    """Deterministic 3-doc corpus: the benchmark doc flags itself, a doc
+    sharing one 3-shingle is flagged with count 1, and a disjoint doc stays
+    clean."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    tbl = pa.table(
+        {
+            # benchmark = doc_id % 50 == 0 -> only doc 0
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",  # benchmark: shingles {abc, bcd}
+                    "x b c d y",  # shares exactly {bcd}
+                    "p q r s",  # disjoint
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([7, 9, 7], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = d.q_decontamination(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "contaminated"]) and out.loc[0, "n_shared_shingles"] == 2
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_shared_shingles"] == 1
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_shared_shingles"] == 0
+
+
 def test_decontamination_flags_benchmark_overlap(ray_session, sf_tiny):
-    """Benchmark docs flag themselves; a doc sharing no 3-shingle with the
-    benchmark set stays clean; counts are bounded by the doc's own distinct
-    shingle count."""
+    """Benchmark docs flag themselves; counts are bounded by the doc's own
+    distinct shingle count."""
     import numpy as np
 
     import dstream_ray.pipelines.dataops as d
