@@ -218,7 +218,12 @@ def q_pii_scrub(sf_dir: str):
 
 # 128-bit content key (see common.DEDUP_HASH_BASES): the oracle groups by
 # raw text, so only key injectivity matters, not the hash values.
-from dstream_ray.common import DEDUP_HASH_BASES  # noqa: E402
+from dstream_ray.common import (  # noqa: E402
+    DEDUP_HASH_BASES,
+    fnv1a_u64,
+    poly_hash_strings,
+    token_hash_arrays,
+)
 
 
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
@@ -1059,6 +1064,81 @@ def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CURATION_STOP = ("the", "a", "and", "of", "to")
+
+
+def _curation_norm_quality(b: pa.Table) -> pa.Table:
+    """Curation stage 1: whitespace-collapse + lowercase normalize, then the
+    quality band (10 <= tokens <= 1000, stopword ratio <= 1/5)."""
+    import pyarrow.compute as pc
+
+    norm = pc.utf8_lower(
+        pc.utf8_trim_whitespace(pc.replace_substring_regex(b["text"], r"[ \t\n\x0b\x0c\r]+", " "))
+    )
+    flat, offsets = token_hash_arrays(norm)
+    n_tok = np.diff(offsets)
+    stop_hashes = np.sort(
+        np.array([dedup._token_hashes(s)[0] for s in CURATION_STOP], dtype=np.uint64)
+    )
+    is_stop = np.isin(flat, stop_hashes)
+    doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
+    n_stop = np.bincount(doc_idx[is_stop], minlength=len(n_tok)).astype(np.int64)
+    ok = (n_tok >= 10) & (n_tok <= 1000) & (5 * n_stop <= n_tok)
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "norm_text": norm,
+        }
+    ).filter(pa.array(ok))
+
+
+def _curation_dedup_partial(b: pa.Table) -> pa.Table:
+    # survivor key: min of zero-padded doc_id || '|' || lang per content
+    # hash — an arg-min that carries the surviving row's lang through
+    # the aggregate without a join (SQL mirrors the same composite).
+    # Content key = vectorized 2×64-bit polynomial hash (the oracle
+    # groups by md5(norm_text); only key injectivity must agree).
+    h1, h2 = poly_hash_strings(b["norm_text"], bases=DEDUP_HASH_BASES)
+    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (
+        pd.Series(ids.astype("U"), dtype="object").str.zfill(12)
+        + "|"
+        + pd.Series(b["lang"].to_pylist(), dtype="object")
+    )
+    df = pd.DataFrame(
+        {"h1": h1.astype(np.int64), "h2": h2.astype(np.int64), "k": key}
+    ).groupby(["h1", "h2"], as_index=False).agg(k=("k", "min"))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _curation_decode_key(b: pd.DataFrame) -> pd.DataFrame:
+    parts = b["k"].str.partition("|")
+    return pd.DataFrame(
+        {
+            "doc_id": parts[0].astype("int64"),
+            "lang": parts[2].astype("object"),
+        }
+    )
+
+
+def _curate(docs: rd.Dataset) -> pd.DataFrame:
+    """normalize → quality filter → exact dedup → balanced sample over an
+    already-read (doc_id, lang, text) Dataset — shared by curation_pipeline
+    and curation_v2 (which prepends decontamination)."""
+    from ray.data.aggregate import Min
+
+    survivors = (
+        docs.map_batches(_curation_norm_quality, batch_format="pyarrow")
+        .map_batches(_curation_dedup_partial, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Min("k", alias_name="k"))
+        .map_batches(_curation_decode_key, batch_format="pandas")
+        .materialize()
+    )
+    return _balanced_sample_by_lang(survivors)
+
+
 def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """The composed training-data curation flow as ONE Dataset pipeline:
     normalize → quality filter → exact dedup (survivor = min doc_id per
@@ -1066,75 +1146,47 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     surviving (doc_id, lang) — what you'd feed a tokenizer. Every stage's
     semantics are SQL-mirrored, so the whole composition is value-hash
     oracle-gated end to end."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
+    return _curate(_read_documents(sf_dir, ["doc_id", "lang", "text"]))
 
-    from dstream_ray.common import fnv1a_u64, token_hash_arrays
 
-    STOP = {"the", "a", "and", "of", "to"}
+def q_curation_v2(sf_dir: str) -> pd.DataFrame:
+    """curation_pipeline with benchmark DECONTAMINATION composed in front:
+    docs sharing any word 3-shingle with the benchmark set
+    (doc_id % DECONTAM_BENCH_MOD == 0 — which the filter also drops, being
+    self-contaminated) are removed BEFORE normalize/quality/dedup/sample,
+    the order a production feed runs. The decon filter is the broadcast
+    shingle-set membership of q_decontamination (no shuffle added); the
+    whole five-stage composition is value-hash oracle-gated end to end."""
+    from dstream_ray.pipelines.oracles import DECONTAM_BENCH_MOD
+    from dstream_ray.stages.dedup import shingle_sets_batch
 
-    def norm_and_quality(b: pa.Table) -> pa.Table:
-        norm = pc.utf8_lower(
-            pc.utf8_trim_whitespace(pc.replace_substring_regex(b["text"], r"[ \t\n\x0b\x0c\r]+", " "))
-        )
-        flat, offsets = token_hash_arrays(norm)
-        n_tok = np.diff(offsets)
-        stop_hashes = np.sort(
-            np.array([dedup._token_hashes(s)[0] for s in STOP], dtype=np.uint64)
-        )
-        is_stop = np.isin(flat, stop_hashes)
-        doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
-        n_stop = np.bincount(doc_idx[is_stop], minlength=len(n_tok)).astype(np.int64)
-        ok = (n_tok >= 10) & (n_tok <= 1000) & (5 * n_stop <= n_tok)
-        out = pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "lang": b["lang"],
-                "norm_text": norm,
-            }
-        ).filter(pa.array(ok))
-        return out
+    docs = _read_documents(sf_dir, ["doc_id", "lang", "text"])
 
-    from dstream_ray.common import poly_hash_strings
-
-    def dedup_partial(b: pa.Table) -> pa.Table:
-        # survivor key: min of zero-padded doc_id || '|' || lang per content
-        # hash — an arg-min that carries the surviving row's lang through
-        # the aggregate without a join (SQL mirrors the same composite).
-        # Content key = vectorized 2×64-bit polynomial hash (the oracle
-        # groups by md5(norm_text); only key injectivity must agree).
-        h1, h2 = poly_hash_strings(b["norm_text"], bases=DEDUP_HASH_BASES)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = (
-            pd.Series(ids.astype("U"), dtype="object").str.zfill(12)
-            + "|"
-            + pd.Series(b["lang"].to_pylist(), dtype="object")
-        )
-        df = pd.DataFrame(
-            {"h1": h1.astype(np.int64), "h2": h2.astype(np.int64), "k": key}
-        ).groupby(["h1", "h2"], as_index=False).agg(k=("k", "min"))
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def decode_key(b: pd.DataFrame) -> pd.DataFrame:
-        parts = b["k"].str.partition("|")
-        return pd.DataFrame(
-            {
-                "doc_id": parts[0].astype("int64"),
-                "lang": parts[2].astype("object"),
-            }
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+        vals, _ = shingle_sets_batch(sub["text"])
+        return pa.table(
+            {"s": pa.array(np.unique(vals).view(np.int64), type=pa.int64())}
         )
 
-    survivors = (
-        _read_documents(sf_dir, ["doc_id", "lang", "text"])
-        .map_batches(norm_and_quality, batch_format="pyarrow")
-        .map_batches(dedup_partial, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(Min("k", alias_name="k"))
-        .map_batches(decode_key, batch_format="pandas")
-        .materialize()
-    )
+    bench = docs.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    sset = np.unique(bench["s"].to_numpy().view(np.uint64))
+    ref = ray.put(sset)
 
-    return _balanced_sample_by_lang(survivors)
+    def decon_filter(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        vals, offs = shingle_sets_batch(b["text"])
+        if len(s):
+            idx = np.searchsorted(s, vals)
+            hit = (idx < len(s)) & (s[np.minimum(idx, len(s) - 1)] == vals)
+        else:
+            hit = np.zeros(len(vals), dtype=bool)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        clean = (cs[offs[1:]] - cs[offs[:-1]]) == 0
+        return b.filter(pa.array(clean))
+
+    return _curate(docs.map_batches(decon_filter, batch_format="pyarrow"))
 
 
 PACK_CTX = 512

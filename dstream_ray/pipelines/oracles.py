@@ -1431,6 +1431,34 @@ FROM h JOIN thr USING (lang)
 WHERE gate < thr.t::HUGEINT
 """
 
+# curation_v2 = decontamination composed in FRONT of the curation flow.
+# Built from the curation_pipeline oracle by substitution so the two stay
+# single-sourced: the decon CTEs (shared _TOKS_TH/_SHING_CTE + the
+# DECONTAM_BENCH_MOD rule) define `clean`, and the curation body runs
+# verbatim over `clean` instead of `documents`.
+assert ORACLE_SQL["curation_pipeline"].lstrip().startswith("WITH normed AS (")
+assert ORACLE_SQL["curation_pipeline"].count("FROM documents") == 1
+ORACLE_SQL["curation_v2"] = (
+    f"""
+WITH {_TOKS_TH}, {_SHING_CTE}, bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shing WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT r.doc_id
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shing) r
+  WHERE r.s IN (SELECT s FROM bench)
+), clean AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)"""
+    + ORACLE_SQL["curation_pipeline"]
+    .lstrip()
+    .replace("WITH normed AS (", ", normed AS (", 1)
+    .replace("FROM documents", "FROM clean")
+    # the curation body's token CTE collides with _TOKS_TH's `toks`
+    .replace(" toks AS (", " ctoks AS (")
+    .replace("FROM toks", "FROM ctoks")
+)
+
 # watermark-closure engine runs hit the same content oracles — early
 # emission must not change the committed results
 ORACLE_SQL["streaming_tumbling_wm"] = ORACLE_SQL["tumbling_window"]

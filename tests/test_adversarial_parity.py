@@ -41,6 +41,7 @@ ADVERSARIAL_QUERIES = [
     "pii_scrub",  # library-only (RE2 mask, byte-exact scrubbed text)
     "repetition_stats",  # library-only (Gopher repetition rules)
     "decontamination",  # library-only (broadcast shingle-set membership)
+    "curation_v2",  # library-only (decontamination composed into curation)
 ]
 
 
@@ -62,6 +63,7 @@ def _queries_and_oracles():
     qs.setdefault("pii_scrub", dataops.q_pii_scrub)
     qs.setdefault("repetition_stats", dataops.q_repetition_stats)
     qs.setdefault("decontamination", dataops.q_decontamination)
+    qs.setdefault("curation_v2", dataops.q_curation_v2)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

@@ -1091,3 +1091,19 @@ def test_decontamination_flags_benchmark_overlap(ray_session, sf_tiny):
             assert bool(out.loc[did, "contaminated"])
         assert out.loc[did, "n_shared_shingles"] <= n_sh[i]
     assert (out["n_shared_shingles"] >= 0).all()
+
+
+def test_curation_v2_excludes_contaminated(ray_session, sf_tiny):
+    """Every curation_v2 survivor is uncontaminated per q_decontamination,
+    and the decon stage strictly reduces (or keeps) the survivor pool."""
+    import dstream_ray.pipelines.dataops as d
+
+    v2 = d.q_curation_v2(sf_tiny)
+    contaminated = set(
+        d.q_decontamination(sf_tiny)
+        .to_pandas()
+        .query("contaminated")["doc_id"]
+    )
+    assert not (set(v2["doc_id"]) & contaminated)
+    v1 = d.q_curation_pipeline(sf_tiny)
+    assert len(v2) <= len(v1)

@@ -113,6 +113,7 @@ def main() -> int:
         ("pii_scrub", _d.q_pii_scrub),
         ("repetition_stats", _d.q_repetition_stats),
         ("decontamination", _d.q_decontamination),
+        ("curation_v2", _d.q_curation_v2),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
