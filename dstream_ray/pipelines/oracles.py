@@ -1459,6 +1459,10 @@ WITH {_TOKS_TH}, {_SHING_CTE}, bench AS (
     .replace("FROM toks", "FROM ctoks")
 )
 
+# the streaming scrub operator's committed sink equals the batch pii_scrub
+# query (same decoration, same RE2 patterns, same column names)
+ORACLE_SQL["streaming_scrub"] = ORACLE_SQL["pii_scrub"]
+
 # watermark-closure engine runs hit the same content oracles — early
 # emission must not change the committed results
 ORACLE_SQL["streaming_tumbling_wm"] = ORACLE_SQL["tumbling_window"]

@@ -949,6 +949,27 @@ def _run_streaming_neardup(sf_dir: str):
     from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
 
     workdir = tempfile.mkdtemp(prefix="dstream_q_neardup_")
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=_docs_feed(sf_dir, workdir),
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=4,
+            files_per_epoch=1,
+            operators={"neardup": {}},
+        )
+    )
+    job.run()
+    _STREAMING_CACHE[key] = job
+    return job
+
+
+def _docs_feed(sf_dir: str, workdir: str, decorate: bool = False) -> str:
+    """Documents-derived transcript feed (one doc per conversation),
+    doc_id-ordered, 3 one-file shards -> epochs. ``decorate=True`` splices
+    the deterministic doc_id-derived PII (dataops._pii_decorate — the same
+    decoration ORACLE_SQL['pii_scrub'] rebuilds) into the text."""
+    import pyarrow.parquet as pq_mod
+
     feed_dir = os.path.join(workdir, "feed")
     os.makedirs(feed_dir, exist_ok=True)
     docs = pq_mod.read_table(
@@ -956,6 +977,10 @@ def _run_streaming_neardup(sf_dir: str):
     )
     order = pc.sort_indices(docs["doc_id"])
     docs = docs.take(order)
+    if decorate:
+        from dstream_ray.pipelines.dataops import _pii_decorate
+
+        docs = _pii_decorate(docs)
     doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = docs.num_rows
     tbl = pa.table(
@@ -977,18 +1002,52 @@ def _run_streaming_neardup(sf_dir: str):
             tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
             os.path.join(feed_dir, f"feed-{i:02d}.parquet"),
         )
+    return feed_dir
+
+
+def _run_streaming_scrub(sf_dir: str):
+    """A tiny engine run dedicated to the stateless 'scrub' operator over
+    the PII-DECORATED documents feed: multi-epoch exactly-once ingest-time
+    masking whose committed sink the pii_scrub SQL oracle recomputes."""
+    key = ("scrub", sf_dir)
+    if key in _STREAMING_CACHE:
+        return _STREAMING_CACHE[key]
+    import tempfile
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = tempfile.mkdtemp(prefix="dstream_q_scrub_")
     job = StreamingJob(
         StreamingConfig(
-            feed_dir=feed_dir,
+            feed_dir=_docs_feed(sf_dir, workdir, decorate=True),
             out_dir=os.path.join(workdir, "out"),
             num_partitions=4,
             files_per_epoch=1,
-            operators={"neardup": {}},
+            operators={"scrub": {}},
         )
     )
     job.run()
     _STREAMING_CACHE[key] = job
     return job
+
+
+def q_streaming_scrub(sf_dir: str) -> pd.DataFrame:
+    """Committed sink of the 'scrub' engine operator (ingest-time PII
+    masking, stages/capture.scrub_kernel) over the decorated documents
+    feed: every emitted turn's text is the RE2-scrubbed version and the
+    per-pattern match counts ride along. Gated end-to-end: DuckDB rebuilds
+    the decoration from doc_id and recomputes counts + scrubbed text with
+    regexp_replace (same RE2 engine) — ORACLE_SQL['pii_scrub'] verbatim."""
+    out = _run_streaming_scrub(sf_dir).sink.read_op("scrub").to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_id": out["conv_id"].str[1:].astype("int64"),
+            "n_email": out["n_email"].astype("int64"),
+            "n_ipv4": out["n_ipv4"].astype("int64"),
+            "n_phone": out["n_phone"].astype("int64"),
+            "scrubbed": out["text"].astype("object"),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
 
 
 def q_streaming_neardup(sf_dir: str) -> pd.DataFrame:

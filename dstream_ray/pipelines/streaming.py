@@ -49,6 +49,7 @@ from dstream_ray.stages.capture import (
     content_dedup_kernel,
     neardup_kernel,
     relay_kernel,
+    scrub_kernel,
     upsert_kernel,
 )
 from dstream_ray.stages.cep import cep_kernel
@@ -121,6 +122,9 @@ WINDOW_OPERATORS = {
     # streaming NEAR-dup suppression: banded-MinHash bucket collision vs
     # the partition's history (generational eviction via rotate_rows)
     "neardup": neardup_kernel,
+    # ingest-time PII masking (stateless 1:1 RE2 scrub + match counts):
+    # raw PII never reaches anything downstream of the sink
+    "scrub": scrub_kernel,
     # stream-table dimension enrichment (broadcast-small-side left join)
     "enrich": enrich_kernel,
     # latest-per-key compaction (Kafka compacted-topic / CDC materialization)
@@ -130,7 +134,7 @@ WINDOW_OPERATORS = {
 # kernels that consume the FULL relay output (text and all) instead of the
 # projected residual layout — content-identity / passthrough operators need
 # the payload bytes
-RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "neardup", "enrich", "upsert"}
+RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "neardup", "scrub", "enrich", "upsert"}
 
 
 @dataclass

@@ -25,6 +25,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from dstream_ray.state.checkpoint import fsync_dir
+
 
 class ExactlyOnceParquetSink:
     def __init__(self, root: str):
@@ -69,8 +71,6 @@ class ExactlyOnceParquetSink:
     def promote(final_paths: list[str]) -> None:
         """Second phase: atomic renames. Idempotent — a missing .tmp with the
         final file present means a previous attempt already promoted it."""
-        from dstream_ray.state.checkpoint import fsync_dir
-
         for final in final_paths:
             tmp = final + ".tmp"
             if os.path.exists(tmp):

@@ -16,8 +16,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from dstream_ray.common import DEDUP_HASH_BASES, FNV_PRIME, poly_hash_strings
+from dstream_ray.common import DEDUP_HASH_BASES, FNV_PRIME, poly_hash_strings, utf8_view
 from dstream_ray.stages.dedup import MinHasher
+from dstream_ray.stages.text import PII_PATTERNS
 
 _EMPTY_U64 = np.empty(0, dtype=np.uint64)
 
@@ -548,8 +549,6 @@ def _relay_by_key(
     # width is sized from the batch AND carried state so a key wider than
     # the historical norm is never silently truncated (a truncated key
     # aliasing an 80-byte prefix used to drop rows as duplicates)
-    from dstream_ray.common import utf8_view
-
     kdata, kstarts, kends = utf8_view(new_rows["cdc_key"])
     klens = kends - kstarts
     thr_list = [last_key.get(nm, "").encode() for nm in names]
@@ -610,3 +609,37 @@ def _relay_by_key(
         pa.array(TS_BASE_US + new_turn * 1_000_000).cast(pa.timestamp("us")),
     )
     return out.drop_columns(["cdc_key"]), _state()
+
+
+def scrub_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Ingest-time PII masking: every turn's text is scrubbed with the
+    batch stage's RE2 patterns (stages/text.PII_PATTERNS — emails, IPv4s,
+    phone numbers → placeholder tokens) and the per-pattern match counts
+    ride along as columns. STATELESS (1:1 rows, state = {} forever), so
+    epoch-split invariance is structural; the value of running it in the
+    engine is placement — masking happens before anything downstream of
+    the exactly-once sink can see raw PII. Oracle: the committed sink
+    equals ORACLE_SQL['pii_scrub'] over the same (decorated) feed."""
+    import pyarrow.compute as pc
+
+    if new_rows.num_rows == 0:
+        return new_rows, {}
+    text = new_rows["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = new_rows
+    for name, pattern, _ in PII_PATTERNS:
+        out = out.append_column(
+            f"n_{name}",
+            pc.cast(pc.count_substring_regex(text, pattern), pa.int64()),
+        )
+    scrubbed = text
+    for _, pattern, repl in PII_PATTERNS:
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
+    out = out.set_column(out.schema.get_field_index("text"), "text", scrubbed)
+    return out, {}

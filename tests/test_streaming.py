@@ -556,3 +556,45 @@ def test_kill_and_resume_new_stateful_operators(ray_session, tmp_path, feed_dir)
             a = a.groupby(["window_id", "bucket"], as_index=False)[col].agg(how)
             b = b.groupby(["window_id", "bucket"], as_index=False)[col].agg(how)
         sorted_eq(a, b, k)
+
+
+def test_scrub_operator_masks_in_engine(ray_session, tmp_path, feed_dir):
+    """The stateless 'scrub' operator through a real multi-epoch run: the
+    committed sink is row-for-row the batch RE2 scrub of the relay output
+    (1:1 rows, masked text, counts riding along), for any epoch split."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dstream_ray.stages.text import pii_scrub_batch
+
+    # decorate a copy of the module feed with one email per row so the
+    # scrub has material (the generated transcripts are clean)
+    deco_dir = tmp_path / "feed_deco"
+    deco_dir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{feed_dir}/*.parquet"))):
+        t = pq.read_table(f)
+        import pyarrow.compute as pc_
+
+        txt = pc_.binary_join_element_wise(
+            t["text"], pa.scalar(" ping bot@x.io ok"), ""
+        )
+        pq.write_table(
+            t.set_column(t.schema.get_field_index("text"), "text", txt),
+            str(deco_dir / f"feed-{i:02d}.parquet"),
+        )
+    cfg = make_cfg(tmp_path, deco_dir, operators={"scrub": {}}, files_per_epoch=1)
+    job = StreamingJob(cfg)
+    job.run()
+    got = job.sink.read_op("scrub").to_pandas()
+    feed = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(str(deco_dir / "*.parquet")))]
+    )
+    exp = pii_scrub_batch(
+        pa.table({"doc_id": pa.array(range(feed.num_rows), type=pa.int64()),
+                  "text": feed["text"]})
+    ).to_pandas()
+    assert len(got) == feed.num_rows
+    assert (got["n_email"] >= 1).all()  # every row got a decoration
+    assert sorted(got["text"]) == sorted(exp["scrubbed"])
+    assert not got["text"].str.contains("@").any()

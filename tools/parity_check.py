@@ -114,6 +114,7 @@ def main() -> int:
         ("repetition_stats", _d.q_repetition_stats),
         ("decontamination", _d.q_decontamination),
         ("curation_v2", _d.q_curation_v2),
+        ("streaming_scrub", _q.q_streaming_scrub),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
