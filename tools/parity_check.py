@@ -115,6 +115,7 @@ def main() -> int:
         ("decontamination", _d.q_decontamination),
         ("curation_v2", _d.q_curation_v2),
         ("streaming_scrub", _q.q_streaming_scrub),
+        ("mixture_sample", _d.q_mixture_sample),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
