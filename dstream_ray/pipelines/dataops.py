@@ -93,6 +93,37 @@ def q_doc_fingerprint_rolling(sf_dir: str):
     )
 
 
+def _bench_shingle_set(docs, bench_mod: int):
+    """Distributed extract of the benchmark docs' distinct shingle hashes:
+    per-block partials unioned on the driver (small by definition — eval
+    suites are KBs-MBs against the corpus). Returns the SORTED uint64
+    array ready for searchsorted membership."""
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % bench_mod == 0))
+        vals, _ = dedup.shingle_sets_batch(sub["text"])
+        return pa.table(
+            {"s": pa.array(np.unique(vals).view(np.int64), type=pa.int64())}
+        )
+
+    bench = docs.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    return np.unique(bench["s"].to_numpy().view(np.uint64))
+
+
+def _shared_shingle_counts(b: pa.Table, sset: np.ndarray) -> np.ndarray:
+    """Per-doc count of the doc's distinct shingles present in the sorted
+    set — one searchsorted over the whole batch."""
+    vals, offs = dedup.shingle_sets_batch(b["text"])
+    if len(sset):
+        idx = np.searchsorted(sset, vals)
+        hit = (idx < len(sset)) & (sset[np.minimum(idx, len(sset) - 1)] == vals)
+    else:
+        hit = np.zeros(len(vals), dtype=bool)
+    cs = np.concatenate([[0], np.cumsum(hit)])
+    return (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+
+
 def q_decontamination(sf_dir: str, bench_mod: int | None = None):
     """Benchmark decontamination: flag every document sharing a word
     3-shingle with the benchmark set (the deterministic
@@ -107,34 +138,16 @@ def q_decontamination(sf_dir: str, bench_mod: int | None = None):
     shuffle, no join. Shingle identity is the MinHash family's
     (dedup.shingle_sets_batch), which the SQL oracle already recomputes
     bit-for-bit."""
-    from dstream_ray.stages.dedup import shingle_sets_batch
-
     if bench_mod is None:
         from dstream_ray.pipelines.oracles import DECONTAM_BENCH_MOD
 
         bench_mod = DECONTAM_BENCH_MOD
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-
-    def bench_partial(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ids % bench_mod == 0
-        sub = b.filter(pa.array(keep))
-        vals, _ = shingle_sets_batch(sub["text"])
-        return pa.table(
-            {"s": pa.array(np.unique(vals).view(np.int64), type=pa.int64())}
-        )
-
-    bench = docs.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
-    sset = np.unique(bench["s"].to_numpy().view(np.uint64))  # sorted
-    ref = ray.put(sset)
+    ref = ray.put(_bench_shingle_set(docs, bench_mod))
 
     def score(b: pa.Table) -> pa.Table:
-        s = ray.get(ref)  # plasma-cached per worker: broadcast, not reshipped
-        vals, offs = shingle_sets_batch(b["text"])
-        idx = np.searchsorted(s, vals)
-        hit = (idx < len(s)) & (s[np.minimum(idx, len(s) - 1)] == vals) if len(s) else np.zeros(len(vals), dtype=bool)
-        cs = np.concatenate([[0], np.cumsum(hit)])
-        n_shared = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+        # ray.get of the broadcast set is plasma-cached per worker
+        n_shared = _shared_shingle_counts(b, ray.get(ref))
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -1158,32 +1171,12 @@ def q_curation_v2(sf_dir: str) -> pd.DataFrame:
     shingle-set membership of q_decontamination (no shuffle added); the
     whole five-stage composition is value-hash oracle-gated end to end."""
     from dstream_ray.pipelines.oracles import DECONTAM_BENCH_MOD
-    from dstream_ray.stages.dedup import shingle_sets_batch
 
     docs = _read_documents(sf_dir, ["doc_id", "lang", "text"])
-
-    def bench_partial(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        sub = b.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
-        vals, _ = shingle_sets_batch(sub["text"])
-        return pa.table(
-            {"s": pa.array(np.unique(vals).view(np.int64), type=pa.int64())}
-        )
-
-    bench = docs.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
-    sset = np.unique(bench["s"].to_numpy().view(np.uint64))
-    ref = ray.put(sset)
+    ref = ray.put(_bench_shingle_set(docs, DECONTAM_BENCH_MOD))
 
     def decon_filter(b: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        vals, offs = shingle_sets_batch(b["text"])
-        if len(s):
-            idx = np.searchsorted(s, vals)
-            hit = (idx < len(s)) & (s[np.minimum(idx, len(s) - 1)] == vals)
-        else:
-            hit = np.zeros(len(vals), dtype=bool)
-        cs = np.concatenate([[0], np.cumsum(hit)])
-        clean = (cs[offs[1:]] - cs[offs[:-1]]) == 0
+        clean = _shared_shingle_counts(b, ray.get(ref)) == 0
         return b.filter(pa.array(clean))
 
     return _curate(docs.map_batches(decon_filter, batch_format="pyarrow"))
@@ -1682,7 +1675,6 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     (gate, doc_id) order."""
     from ray.data.aggregate import Sum
 
-    from dstream_ray.common import fnv1a_u64, token_hash_arrays
     from dstream_ray.pipelines.oracles import MIX_SHARE_X1000, MIX_WEIGHTS
 
     def project(b: pa.Table) -> pa.Table:
@@ -1728,13 +1720,19 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     bounds = {(lang, g) for lang, (g, _) in cut.items() if g <= 1_000_000}
     pass_ids: set = set()
     if bounds:
-        import pyarrow.compute as pc
+        bound_gates = np.array(sorted({g for _, g in bounds}), dtype=np.int64)
+        bound_langs = {lang: g for lang, g in bounds}
 
         def at_bound(b: pa.Table) -> pa.Table:
-            lang = b["lang"].to_pandas().astype(str)
-            gate = b["gate"].to_pandas()
-            m = pd.Series(list(zip(lang, gate))).isin(bounds).to_numpy()
-            return b.filter(pa.array(m))
+            gate = b["gate"].to_numpy(zero_copy_only=False)
+            m = np.isin(gate, bound_gates)  # cheap gate prefilter
+            if not m.any():
+                return b.slice(0, 0)
+            sub = b.filter(pa.array(m))
+            lg = pd.Series(sub["lang"].to_pylist(), dtype="object")
+            want = lg.map(bound_langs).fillna(-1).to_numpy(dtype=np.int64)
+            keep_m = sub["gate"].to_numpy(zero_copy_only=False) == want
+            return sub.filter(pa.array(keep_m))
 
         edge = docs.map_batches(at_bound, batch_format="pyarrow").to_pandas()
         for lang, (g, left) in cut.items():
@@ -1743,17 +1741,16 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
             )
             cum = e["n_tok"].cumsum()
             pass_ids.update(e.loc[cum <= left, "doc_id"])
-    cut_ref = ray.put((cut, pass_ids))
+    cut_gate = {lang: g for lang, (g, _) in cut.items()}
+    cut_ref = ray.put((cut_gate, np.array(sorted(pass_ids), dtype=np.int64)))
 
     def keep(b: pa.Table) -> pa.Table:
         c, edge_ok = ray.get(cut_ref)
-        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        lang = pd.Series(b["lang"].to_pylist(), dtype="object")
         gate = b["gate"].to_numpy(zero_copy_only=False)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        cutg = np.array([c.get(x, (0, 0))[0] for x in lang], dtype=np.int64)
-        ok = (gate < cutg) | np.array(
-            [i in edge_ok for i in ids], dtype=bool
-        )
+        cutg = lang.map(c).fillna(0).to_numpy(dtype=np.int64)
+        ok = (gate < cutg) | np.isin(ids, edge_ok)
         return b.filter(pa.array(ok))
 
     out = (

@@ -944,8 +944,6 @@ def _run_streaming_neardup(sf_dir: str):
         return _STREAMING_CACHE[key]
     import tempfile
 
-    import pyarrow.parquet as pq_mod
-
     from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
 
     workdir = tempfile.mkdtemp(prefix="dstream_q_neardup_")

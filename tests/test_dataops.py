@@ -1094,25 +1094,27 @@ def test_decontamination_flags_benchmark_overlap(ray_session, sf_tiny):
 
 
 def test_curation_v2_excludes_contaminated(ray_session, sf_tiny):
-    """Every curation_v2 survivor is uncontaminated per q_decontamination,
-    and the decon stage strictly reduces (or keeps) the survivor pool."""
+    """Every curation_v2 survivor is uncontaminated per q_decontamination.
+    (No row-count relation to curation_pipeline is asserted: the balanced
+    sampler re-derives its per-lang thresholds on the post-decon pool, so
+    v2 can legitimately emit more OR fewer rows than v1.)"""
     import dstream_ray.pipelines.dataops as d
 
     v2 = d.q_curation_v2(sf_tiny)
+    assert len(v2) > 0
     contaminated = set(
         d.q_decontamination(sf_tiny)
         .to_pandas()
         .query("contaminated")["doc_id"]
     )
     assert not (set(v2["doc_id"]) & contaminated)
-    v1 = d.q_curation_pipeline(sf_tiny)
-    assert len(v2) <= len(v1)
 
 
 def test_mixture_sample_budget_invariants(ray_session, sf_tiny):
-    """Per-language token sums never exceed the budget share, the sample is
-    maximal in gate order (the next doc in priority order would overshoot),
-    and only weighted languages appear."""
+    """Per-language token sums never exceed the budget share and only
+    weighted languages appear (maximality in gate order is covered by the
+    SQL parity gate — the running-sum window keeps every doc with
+    cum <= budget, so an under-filled sample hash-mismatches)."""
     import duckdb
 
     import dstream_ray.pipelines.dataops as d
