@@ -169,6 +169,223 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+SUBSTRING_DUP_BROADCAST_MAX = 2_000_000  # dup shingles; above this, hash-join
+
+
+def _doc_shingle_stats(b: pa.Table):
+    """Per-doc shingle arrays a substring-dedup batch needs: positionful
+    values+offsets (``shingle_all_batch``) and per-(doc, shingle) distinct
+    pairs for the doc-frequency partial."""
+    vals, offs = dedup.shingle_all_batch(b["text"])
+    uvals, uoffs = dedup.shingle_sets_batch(b["text"])
+    return vals, offs, uvals, uoffs
+
+
+def q_substring_dedup(
+    sf_dir: str,
+    min_docs: int | None = None,
+    keep_max_x1000: int | None = None,
+    mode: str = "auto",
+):
+    """Duplicated-span stats per document — the word-shingle approximation
+    of substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": remove long substrings occurring >= 2
+    times in the corpus). A doc's shingle POSITION counts as duplicated
+    when its shingle value appears in >= ``min_docs`` DISTINCT documents
+    (cross-document duplication; within-doc repetition alone doesn't
+    count — that is ``repetition_stats``' job).
+
+    Scale shape: pass 1 computes per-shingle document frequencies the
+    pre-aggregated way (per-batch per-doc-DISTINCT shingle value counts —
+    a doc lives in exactly one batch, so per-batch counts are valid
+    partials) and ONE shingle-keyed groupby keeps the df >= min_docs
+    survivors. Pass 2 scores positions: when the duplicated-shingle set
+    fits (``SUBSTRING_DUP_BROADCAST_MAX``) it rides to every task via
+    ``ray.put`` and one searchsorted per batch finishes the job
+    SHUFFLE-FREE; above the threshold (``mode='join'``) the per-(doc,
+    shingle, n_pos) pairs hash-join the dup set on the shingle hash and
+    re-aggregate per doc — both paths pytest-pinned equal. Defaults come
+    from ``oracles.SUBSTRING_DUP_MIN_DOCS`` / ``SUBSTRING_KEEP_MAX_X1000``
+    (the single rule both sides share); non-default values are NOT covered
+    by ``ORACLE_SQL['substring_dedup']``."""
+    from ray.data.aggregate import Sum
+
+    from dstream_ray.pipelines.oracles import (
+        SUBSTRING_DUP_MIN_DOCS,
+        SUBSTRING_KEEP_MAX_X1000,
+    )
+
+    if min_docs is None:
+        min_docs = SUBSTRING_DUP_MIN_DOCS
+    if keep_max_x1000 is None:
+        keep_max_x1000 = SUBSTRING_KEEP_MAX_X1000
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        uvals, _ = dedup.shingle_sets_batch(b["text"])
+        u, c = np.unique(uvals, return_counts=True)
+        return pa.table({"s": pa.array(u.view(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    import pyarrow.compute as pc
+
+    dup_ds = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("s").aggregate(Sum("n", alias_name="n"))
+              .map_batches(
+                  lambda b: b.filter(pc.greater_equal(b["n"], min_docs)),
+                  batch_format="pyarrow"))
+
+    def finish(doc_ids, n_spans, n_dup) -> pa.Table:
+        frac = np.zeros(len(doc_ids), dtype=np.int64)
+        nz = n_spans > 0
+        frac[nz] = (1000 * n_dup[nz]) // n_spans[nz]
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "n_spans": pa.array(n_spans.astype(np.int64)),
+            "n_dup_spans": pa.array(n_dup.astype(np.int64)),
+            "dup_frac_x1000": pa.array(frac),
+            "kept": pa.array(frac < keep_max_x1000),
+        })
+
+    if mode == "auto":
+        mode = "broadcast" if dup_ds.count() <= SUBSTRING_DUP_BROADCAST_MAX else "join"
+
+    if mode == "broadcast":
+        dup_pd = dup_ds.to_pandas()  # bounded by the broadcast gate
+        ref = ray.put(np.sort(dup_pd["s"].to_numpy().view(np.uint64)))
+
+        def score(b: pa.Table) -> pa.Table:
+            sset = ray.get(ref)  # plasma-cached per worker
+            vals, offs = dedup.shingle_all_batch(b["text"])
+            if len(sset):
+                idx = np.searchsorted(sset, vals)
+                hit = (idx < len(sset)) & (sset[np.minimum(idx, len(sset) - 1)] == vals)
+            else:
+                hit = np.zeros(len(vals), dtype=bool)
+            cs = np.concatenate([[0], np.cumsum(hit)])
+            n_dup = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+            return finish(b["doc_id"], np.diff(offs), n_dup)
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # LARGE path: per-(doc, shingle) position counts hash-join the dup set
+    # on the shingle hash (both sides stay distributed), then one doc-keyed
+    # re-aggregate; per-doc totals come from a cheap shuffle-free pass and
+    # join the dup counts on doc_id.
+    def pos_pairs(b: pa.Table) -> pa.Table:
+        vals, offs = dedup.shingle_all_batch(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(offs))
+        df = pd.DataFrame({"doc_id": doc, "s": vals.view(np.int64)})
+        g = df.groupby(["doc_id", "s"], as_index=False).agg(n_pos=("s", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def totals(b: pa.Table) -> pa.Table:
+        _, offs = dedup.shingle_all_batch(b["text"])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_spans": pa.array(np.diff(offs).astype(np.int64)),
+        })
+
+    n_join = _pool()[1]
+    dup_counts = (docs.map_batches(pos_pairs, batch_format="pyarrow")
+                  .join(dup_ds.select_columns(["s"]), join_type="inner",
+                        num_partitions=n_join, on=("s",))
+                  .groupby("doc_id").aggregate(Sum("n_pos", alias_name="n_dup")))
+    joined = (docs.map_batches(totals, batch_format="pyarrow")
+              .join(dup_counts, join_type="left_outer",
+                    num_partitions=n_join, on=("doc_id",)))
+
+    def score_joined(b: pa.Table) -> pa.Table:
+        n_dup = b["n_dup"].to_numpy(zero_copy_only=False)
+        n_dup = np.where(np.isnan(n_dup.astype(np.float64)), 0, n_dup).astype(np.int64)
+        return finish(
+            b["doc_id"],
+            b["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_dup,
+        )
+
+    return joined.map_batches(score_joined, batch_format="pyarrow")
+
+
+def q_quality_classify(sf_dir: str):
+    """Model-based quality filtering in the fastText/DCLM-classifier shape
+    with a deterministic stand-in for learned weights: token weight
+    w(t) = (fnv64(t) % QUALITY_WEIGHT_MOD) - 1000 in [-1000, 1000]; doc
+    score = sum over token positions; kept = score >= 0. One vectorized
+    hash+reduceat pass per batch, shuffle-free; DuckDB recomputes every
+    weight from the shared token-FNV CTE. avg_weight divides through the
+    shifted NONNEGATIVE numerator because DuckDB ``//`` truncates while
+    numpy floors (oracles.py notes the same on its side)."""
+    from dstream_ray.common import token_hash_arrays
+    from dstream_ray.pipelines.oracles import QUALITY_WEIGHT_MOD
+
+    half = QUALITY_WEIGHT_MOD // 2
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, offs = token_hash_arrays(b["text"])
+        w = (flat % np.uint64(QUALITY_WEIGHT_MOD)).astype(np.int64) - half
+        n_tok = np.diff(offs).astype(np.int64)
+        sc = np.zeros(len(n_tok), dtype=np.int64)
+        ne = n_tok > 0
+        if ne.any():
+            cs = np.concatenate([[0], np.cumsum(w)])
+            sc = cs[offs[1:]] - cs[offs[:-1]]
+        avg = np.zeros(len(n_tok), dtype=np.int64)
+        avg[ne] = (1000 * (sc[ne] + half * n_tok[ne])) // n_tok[ne] - 1000 * half
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "score": pa.array(sc),
+            "avg_weight_x1000": pa.array(avg),
+            "kept": pa.array(sc >= 0),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def q_domain_filter(sf_dir: str):
+    """Domain/source-level filtering (the C4/RefinedWeb URL-rule shape): a
+    source survives iff its mean doc length (permille integer) is at least
+    the corpus mean; surviving docs pass through unchanged.
+
+    Scale shape: one tiny source-keyed aggregate (source cardinality is
+    small by construction — domains, not docs) plus one scalar corpus
+    aggregate; the surviving-source set broadcasts via ``ray.put`` and the
+    corpus filter is a shuffle-free map_batches membership test."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+    per_src = (docs.groupby("source")
+               .aggregate(Count(alias_name="n"),
+                          Sum("n_chars", alias_name="tc"))
+               .to_pandas())  # tiny: one row per source
+    tot = per_src["tc"].sum()
+    cnt = per_src["n"].sum()
+    gm = (1000 * int(tot)) // int(cnt) if cnt else 0
+    kept_src = per_src.loc[
+        (1000 * per_src["tc"].astype(np.int64)) // per_src["n"].astype(np.int64) >= gm,
+        "source",
+    ].to_numpy()
+    ref = ray.put(np.sort(kept_src.astype("U")))
+
+    def keep(b: pa.Table) -> pa.Table:
+        kset = ray.get(ref)
+        src = b["source"].to_numpy(zero_copy_only=False).astype("U")
+        idx = np.searchsorted(kset, src)
+        hit = (idx < len(kset)) & (kset[np.minimum(idx, len(kset) - 1)] == src)
+        out = b.filter(pa.array(hit))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "source": out["source"],
+            "n_chars": out["n_chars"],
+        })
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def _pii_decorate(batch: pa.Table) -> pa.Table:
     """Deterministically splice synthetic PII (email / IPv4 / phone derived
     from doc_id) into 2 of every 3 docs — the synthetic corpus is clean

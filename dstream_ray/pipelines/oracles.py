@@ -954,6 +954,81 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
+# Substring-level dedup (word-shingle approximation of Lee et al. 2022's
+# duplicated-substring removal): a doc's shingle POSITIONS (no uniquing —
+# the non-distinct sibling CTE below) count as duplicated when their
+# shingle value occurs in >= SUBSTRING_DUP_MIN_DOCS DISTINCT documents;
+# kept = duplicated-span permille below SUBSTRING_KEEP_MAX_X1000. The
+# constants are THE rule both sides share (dataops.q_substring_dedup
+# defaults from them).
+SUBSTRING_DUP_MIN_DOCS = 2
+SUBSTRING_KEEP_MAX_X1000 = 500
+
+_SHING_ALL_CTE = f"""shing_all AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(hs) = 0 THEN []
+      WHEN len(hs) < 3 THEN [list_sum(hs) % {_M64}]
+      ELSE list_transform(generate_series(1, len(hs) - 2),
+        j -> ((hs[j] * 1000003 % {_M64} + hs[j+1]) % {_M64} * 1000003 % {_M64} + hs[j+2]) % {_M64})
+    END AS sh
+  FROM th
+)"""
+
+ORACLE_SQL["substring_dedup"] = f"""
+WITH {_TOKS_TH}, {_SHING_ALL_CTE},
+pos AS (SELECT doc_id, unnest(sh) AS s FROM shing_all),
+docsh AS (SELECT DISTINCT doc_id, s FROM pos),
+dup AS (SELECT s FROM docsh GROUP BY s HAVING count(*) >= {SUBSTRING_DUP_MIN_DOCS}),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM pos GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  CAST(CASE WHEN COALESCE(a.n_spans, 0) > 0 THEN (1000 * a.n_dup) // a.n_spans ELSE 0 END AS BIGINT) AS dup_frac_x1000,
+  (CASE WHEN COALESCE(a.n_spans, 0) > 0 THEN (1000 * a.n_dup) // a.n_spans ELSE 0 END) < {SUBSTRING_KEEP_MAX_X1000} AS kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+# Model-based quality filtering with a deterministic stand-in for learned
+# weights (the fastText/DCLM-classifier shape): token weight = a pure
+# function of the FNV token hash, w(t) = (h % QUALITY_WEIGHT_MOD) - MOD//2
+# in [-1000, 1000]; doc score = sum over token POSITIONS. avg_weight is
+# computed through a shifted NONNEGATIVE division ((score + 1000*n) is
+# >= 0) because DuckDB's // truncates toward zero while numpy floors —
+# the shift makes both sides exact-equal.
+QUALITY_WEIGHT_MOD = 2001
+
+ORACLE_SQL["quality_classify"] = f"""
+WITH {_TOKS_TH},
+sc AS (
+  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(list_sum(list_transform(hs, h -> (h % {QUALITY_WEIGHT_MOD})::BIGINT - {QUALITY_WEIGHT_MOD // 2})), 0) AS BIGINT) AS score
+  FROM th)
+SELECT doc_id, n_tokens, score,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (1000 * (score + {QUALITY_WEIGHT_MOD // 2} * n_tokens)) // n_tokens - {1000 * (QUALITY_WEIGHT_MOD // 2)}
+       ELSE 0 END AS BIGINT) AS avg_weight_x1000,
+  score >= 0 AS kept
+FROM sc
+"""
+
+# Domain/source-level filtering (the C4/RefinedWeb URL-level rule shape):
+# a source survives iff its mean doc length (permille-scaled integer) is
+# at least the corpus-wide mean; surviving docs pass through. All values
+# nonnegative, so // is exact on both sides.
+ORACLE_SQL["domain_filter"] = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS tc
+  FROM documents GROUP BY 1),
+g AS (SELECT CAST((1000 * sum(n_chars)) // count(*) AS BIGINT) AS gm FROM documents)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN s USING (source) CROSS JOIN g
+WHERE (1000 * s.tc) // s.n >= g.gm
+"""
+
 # Count-min sketch over corpus tokens, recomputed cell-for-cell: h1 = the
 # FNV-1a token hash, h2 = the base-1000003 polynomial hash, cell(d) =
 # d*1024 + (h1 + d*h2) mod 1024. Width is a power of two, so the engine's

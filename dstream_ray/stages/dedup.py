@@ -111,6 +111,41 @@ def shingle_sets_batch(strings, w: int = 3):
     return _segments_to_unique(doc_idx, acc, n)
 
 
+def shingle_all_batch(strings, w: int = 3):
+    """Position-preserving sibling of :func:`shingle_sets_batch`: per-doc
+    word-w-shingle hashes in POSITION ORDER with NO uniquing, as
+    ``(flat_values, doc_offsets[n+1])``. Same shingle identity (FNV token
+    hashes folded base-1000003 mod 2^64; degenerate <w-token docs collapse
+    to the token-hash sum = one position). Used where per-position counts
+    matter, e.g. duplicated-span fractions in substring dedup."""
+    flat, offsets = token_hash_arrays(strings)
+    counts = np.diff(offsets)
+    n = len(counts)
+    first = offsets[:-1]
+    reg_counts = np.where(counts >= w, counts - w + 1, 0)
+    wstart, _ = _flat_window_starts(first, reg_counts)
+    with np.errstate(over="ignore"):
+        acc = flat[wstart].copy() if len(wstart) else np.empty(0, dtype=np.uint64)
+        for j in range(1, w):
+            acc = acc * SHINGLE_MIX + flat[wstart + j]
+    out_counts = np.where(counts >= w, counts - w + 1,
+                          (counts > 0).astype(np.int64))
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    out = np.empty(out_offsets[-1], dtype=np.uint64)
+    # regular docs' windows are contiguous and already in doc order in acc;
+    # scatter them to their output segments in one vectorized index build
+    pos, _ = _flat_window_starts(out_offsets[:-1], reg_counts)
+    out[pos] = acc
+    deg = (counts > 0) & (counts < w)
+    if deg.any():
+        ne = counts > 0
+        with np.errstate(over="ignore"):
+            sums_ne = np.add.reduceat(flat, first[ne])
+        out[out_offsets[:-1][deg]] = sums_ne[deg[ne]]
+    return out, out_offsets
+
+
 def minhash_signatures_batch(
     values: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:

@@ -43,6 +43,9 @@ ADVERSARIAL_QUERIES = [
     "decontamination",  # library-only (broadcast shingle-set membership)
     "curation_v2",  # library-only (decontamination composed into curation)
     "mixture_sample",  # library-only (token-budget language mixing)
+    "substring_dedup",  # library-only (cross-doc duplicated-span fractions)
+    "quality_classify",  # library-only (hashed linear quality model)
+    "domain_filter",  # library-only (source-mean-length survival rule)
 ]
 
 
@@ -66,6 +69,9 @@ def _queries_and_oracles():
     qs.setdefault("decontamination", dataops.q_decontamination)
     qs.setdefault("curation_v2", dataops.q_curation_v2)
     qs.setdefault("mixture_sample", dataops.q_mixture_sample)
+    qs.setdefault("substring_dedup", dataops.q_substring_dedup)
+    qs.setdefault("quality_classify", dataops.q_quality_classify)
+    qs.setdefault("domain_filter", dataops.q_domain_filter)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

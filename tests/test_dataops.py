@@ -1132,3 +1132,132 @@ def test_mixture_sample_budget_invariants(ray_session, sf_tiny):
     for lang, w in MIX_WEIGHTS.items():
         budget = (w * int(total) * MIX_SHARE_X1000) // 100_000
         assert got.get(lang, 0) <= budget, (lang, got.get(lang), budget)
+
+
+def test_substring_dedup_known_structure(ray_session, tmp_path):
+    """Deterministic 4-doc corpus: cross-doc duplicated spans count, purely
+    within-doc repetition does NOT, and degenerate/empty docs behave."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",      # shingles abc bcd cde; shares abc,bcd with doc1
+                    "a b c d x",      # abc bcd cdx
+                    "p q r p q r p q",  # pqr qrp rpq pqr qrp rpq — within-doc only
+                    "",               # empty
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([9, 9, 15, 0], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = d.q_substring_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_spans"] == 3 and out.loc[0, "n_dup_spans"] == 2
+    assert out.loc[0, "dup_frac_x1000"] == 666 and not bool(out.loc[0, "kept"])
+    assert out.loc[1, "n_dup_spans"] == 2
+    # within-doc repetition alone is not cross-doc duplication
+    assert out.loc[2, "n_spans"] == 6 and out.loc[2, "n_dup_spans"] == 0
+    assert bool(out.loc[2, "kept"])
+    assert out.loc[3, "n_spans"] == 0 and bool(out.loc[3, "kept"])
+
+
+def test_substring_dedup_join_equals_broadcast(ray_session, sf_tiny):
+    """The hash-join scale path and the broadcast path are pinned equal."""
+    import pandas as pd
+
+    import dstream_ray.pipelines.dataops as d
+
+    a = (d.q_substring_dedup(sf_tiny, mode="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (d.q_substring_dedup(sf_tiny, mode="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_shingle_all_batch_matches_scalar(ray_session):
+    """Position-order non-unique shingles agree with the scalar reference
+    and unique-reduce to shingle_sets_batch on every doc shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dstream_ray.stages import dedup
+
+    docs = ["a b c d e", "x y", "", "a a a a", "q",
+            "a b c a b c a b c", "one two three four"]
+    arr = pa.array(docs)
+    vals, offs = dedup.shingle_all_batch(arr)
+    for i, doc in enumerate(docs):
+        th = dedup._token_hashes(doc)
+        if len(th) == 0:
+            want = np.empty(0, dtype=np.uint64)
+        elif len(th) < 3:
+            want = np.array([th.sum()], dtype=np.uint64)
+        else:
+            with np.errstate(over="ignore"):
+                acc = th[: len(th) - 2].copy()
+                for j in range(1, 3):
+                    acc = acc * np.uint64(1000003) + th[j: len(th) - 2 + j]
+            want = acc
+        assert np.array_equal(vals[offs[i]:offs[i + 1]], want), i
+    sv, so = dedup.shingle_sets_batch(arr)
+    for i in range(len(docs)):
+        assert np.array_equal(
+            np.unique(vals[offs[i]:offs[i + 1]]), np.sort(sv[so[i]:so[i + 1]])
+        )
+
+
+def test_quality_classify_matches_reference(ray_session, sf_tiny):
+    """Scores equal a per-doc scalar recomputation of the hashed linear
+    model; kept == (score >= 0); avg floors exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.pipelines.oracles import QUALITY_WEIGHT_MOD
+    from dstream_ray.stages.dedup import _token_hashes
+
+    out = d.q_quality_classify(sf_tiny).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    half = QUALITY_WEIGHT_MOD // 2
+    rng = np.random.default_rng(0)
+    for i in rng.choice(len(ids), size=min(40, len(ids)), replace=False):
+        th = _token_hashes(texts[i])
+        w = (th % np.uint64(QUALITY_WEIGHT_MOD)).astype(np.int64) - half
+        row = out.loc[ids[i]]
+        assert row["n_tokens"] == len(th)
+        assert row["score"] == int(w.sum())
+        assert bool(row["kept"]) == (int(w.sum()) >= 0)
+        if len(th):
+            assert row["avg_weight_x1000"] == (
+                1000 * (int(w.sum()) + half * len(th))
+            ) // len(th) - 1000 * half
+
+
+def test_domain_filter_rule(ray_session, sf_tiny):
+    """Surviving sources are exactly those with permille mean length >= the
+    corpus mean; surviving docs pass through unchanged."""
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    out = d.q_domain_filter(sf_tiny).to_pandas()
+    t = pq.read_table(
+        f"{sf_tiny}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+    gm = (1000 * int(t["n_chars"].sum())) // len(t)
+    stats = t.groupby("source").agg(n=("doc_id", "size"), tc=("n_chars", "sum"))
+    kept = set(stats.index[(1000 * stats["tc"]) // stats["n"] >= gm])
+    assert set(out["source"]) == {s for s in kept if s in set(t["source"])}
+    want = t[t["source"].isin(kept)]
+    assert len(out) == len(want)
+    assert set(out["doc_id"]) == set(want["doc_id"])

@@ -116,6 +116,9 @@ def main() -> int:
         ("curation_v2", _d.q_curation_v2),
         ("streaming_scrub", _q.q_streaming_scrub),
         ("mixture_sample", _d.q_mixture_sample),
+        ("substring_dedup", _d.q_substring_dedup),
+        ("quality_classify", _d.q_quality_classify),
+        ("domain_filter", _d.q_domain_filter),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
