@@ -820,6 +820,84 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding corpus, then drop within-cluster near-duplicates keeping the
+    smallest-id representative of every epsilon-ball. Cluster assignment is
+    the sampled INTEGER coarse quantizer (``vec_id < SEMDEDUP_LISTS``
+    centroids at fixed-point ``floor(x * SEMDEDUP_SCALE)``, argmax integer
+    dot, smaller id on ties — the ``q_knn_ivf_int`` scheme at 1e3 scale so
+    SQUARED dots stay in int64); a vector is a duplicate iff some
+    smaller-id cluster-mate has ``cos^2 >= TAU2_NUM/TAU2_DEN`` with
+    positive dot (the square-root-free integer form of cos >= 0.3 — the
+    synthetic embeddings' cosine tops out ~0.51; production SemDeDup runs
+    0.9+). Fully SQL-gated: DuckDB recomputes assignment, every pairwise
+    dot, and the keep rule bit-for-bit.
+
+    Scale shape: centroids broadcast via ``ray.put``; assignment is one
+    vectorized matmul per batch; the quadratic term is bounded PER CLUSTER
+    (the paper's own trick — k scales with corpus so cluster sizes stay
+    fixed) and clusters dedup in parallel via one cluster-keyed exchange."""
+    from dstream_ray.pipelines.oracles import (
+        SEMDEDUP_LISTS,
+        SEMDEDUP_SCALE,
+        SEMDEDUP_TAU2_DEN,
+        SEMDEDUP_TAU2_NUM,
+    )
+
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", SEMDEDUP_LISTS)],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    C = np.floor(ann._stack(ctbl["embedding"])[corder] * float(SEMDEDUP_SCALE))
+    c_ref = ray.put(C)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        M = np.floor(ann._stack(b["embedding"]) * float(SEMDEDUP_SCALE))
+        # every product < 2^53 at 1e3 scale -> the float64 matmul is exact;
+        # np.argmax takes the FIRST max = smaller centroid id on ties,
+        # matching the oracle's ORDER BY s DESC, j
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": b["embedding"],
+                "cluster": pa.array(np.argmax(M @ cents.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        M = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            * float(SEMDEDUP_SCALE)
+        ).astype(np.int64)
+        S = M @ M.T  # int64 matmul: exact, squared terms stay < 2^63
+        n2 = np.diag(S)
+        cond = (S > 0) & (
+            SEMDEDUP_TAU2_DEN * S * S >= SEMDEDUP_TAU2_NUM * np.outer(n2, n2)
+        )
+        # duplicate iff any SMALLER-id row (strictly below the diagonal in
+        # vec_id order) is within the epsilon-ball
+        dup = np.tril(cond, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(np.int64),
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "kept": ~dup,
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -1335,6 +1335,63 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# SemDeDup-style semantic dedup (Abbas et al. 2023: cluster embeddings,
+# drop within-cluster near-duplicates, keep one representative). Clustering
+# is the sampled integer coarse quantizer (vec_id < SEMDEDUP_LISTS
+# centroids), everything at fixed-point floor(x * SEMDEDUP_SCALE) — the
+# 1e3 scale (not the knn_ivf family's 1e6) keeps the SQUARED pairwise
+# dots inside BIGINT/int64: |x| <= 0.53 -> dot <= 64*530^2 ~ 1.8e7,
+# 100*dot^2 <= 3.3e16 and 9*n2a*n2b <= 2.9e15, all < 2^63 (and every
+# unsquared product < 2^53, so numpy's float64 matmul is exact too). A
+# vector is a duplicate iff some SMALLER-id vector in its cluster has
+# cos^2 >= TAU2_NUM/TAU2_DEN with a positive dot — the integer-exact form
+# of cos >= 0.3 that needs no square roots.
+SEMDEDUP_LISTS = 16
+SEMDEDUP_SCALE = 1000
+SEMDEDUP_TAU2_NUM = 9
+SEMDEDUP_TAU2_DEN = 100
+
+ORACLE_SQL["semantic_dedup"] = f"""
+WITH ei AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {SEMDEDUP_SCALE}) AS BIGINT)) AS e
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM ei
+), cv AS (
+  SELECT vec_id AS j, unnest(e) AS w, generate_subscripts(e, 1) AS d
+  FROM ei WHERE vec_id < {SEMDEDUP_LISTS}
+), dots AS (
+  SELECT ev.vec_id, cv.j, sum(ev.x * cv.w) AS s
+  FROM ev JOIN cv USING (d) GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+    FROM dots
+  ) WHERE rn = 1
+), norms AS (
+  SELECT vec_id, sum(x * x) AS n2 FROM ev GROUP BY 1
+), pdots AS (
+  SELECT a.vec_id AS vi, b.vec_id AS vj, sum(x.x * y.x) AS s
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN ev x ON x.vec_id = a.vec_id
+  JOIN ev y ON y.vec_id = b.vec_id AND y.d = x.d
+  GROUP BY 1, 2
+), dup AS (
+  SELECT DISTINCT p.vi AS vec_id
+  FROM pdots p
+  JOIN norms na ON na.vec_id = p.vi
+  JOIN norms nb ON nb.vec_id = p.vj
+  WHERE p.s > 0
+    AND {SEMDEDUP_TAU2_DEN} * p.s * p.s >= {SEMDEDUP_TAU2_NUM} * na.n2 * nb.n2
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       a.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+FROM assign a
+"""
+
 ORACLE_SQL["knn_lsh"] = _knn_lsh_oracle_sql()
 ORACLE_SQL["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
 ORACLE_SQL["knn_ivf"] = _knn_ivf_oracle_sql()

@@ -1261,3 +1261,70 @@ def test_domain_filter_rule(ray_session, sf_tiny):
     want = t[t["source"].isin(kept)]
     assert len(out) == len(want)
     assert set(out["doc_id"]) == set(want["doc_id"])
+
+
+def test_semantic_dedup_matches_bruteforce_reference(ray_session, sf_tiny):
+    """kept flags equal an independent per-cluster brute-force recompute of
+    the integer epsilon-ball rule; every cluster keeps its min vec_id."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.pipelines.oracles import (
+        SEMDEDUP_SCALE,
+        SEMDEDUP_TAU2_DEN,
+        SEMDEDUP_TAU2_NUM,
+    )
+
+    out = d.q_semantic_dedup(sf_tiny).to_pandas().sort_values("vec_id")
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    M = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+        * float(SEMDEDUP_SCALE)
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    cl = out.set_index("vec_id")["cluster"]
+    kept = out.set_index("vec_id")["kept"]
+    for c in sorted(set(cl)):
+        members = [i for i in range(len(ids)) if cl[ids[i]] == c]
+        assert bool(kept[ids[members[0]]])  # min id always survives
+        for pos, i in enumerate(members):
+            dup = False
+            for j in members[:pos]:
+                s = int(M[i] @ M[j])
+                if s > 0 and SEMDEDUP_TAU2_DEN * s * s >= (
+                    SEMDEDUP_TAU2_NUM * int(M[i] @ M[i]) * int(M[j] @ M[j])
+                ):
+                    dup = True
+                    break
+            assert bool(kept[ids[i]]) == (not dup), ids[i]
+
+
+def test_semantic_dedup_known_structure(ray_session, tmp_path):
+    """A near-identical pair collapses to its min id; an orthogonal vector
+    in the same cluster survives."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(16, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # vec 16 ~ centroid 0 (near-dup of vec 0), vec 17 ~ -centroid 0
+    vecs = np.vstack([base, base[0] * 0.999, -base[0]])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(18), type=pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(18, dtype=np.int32), type=pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = d.q_semantic_dedup(str(tmp_path)).to_pandas().set_index("vec_id")
+    assert out.loc[0, "cluster"] == 0 and bool(out.loc[0, "kept"])
+    assert out.loc[16, "cluster"] == 0 and not bool(out.loc[16, "kept"])
+    assert bool(out.loc[17, "kept"])  # negative dot can never be a dup

@@ -119,6 +119,7 @@ def main() -> int:
         ("substring_dedup", _d.q_substring_dedup),
         ("quality_classify", _d.q_quality_classify),
         ("domain_filter", _d.q_domain_filter),
+        ("semantic_dedup", _d.q_semantic_dedup),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
