@@ -820,6 +820,42 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
+def q_stratified_split(sf_dir: str):
+    """Deterministic train/val/test assignment: bucket =
+    ``fnv1a(str(doc_id)) % 100`` (the checkpoint family's vectorized
+    string-FNV, ``common.fnv1a_u64``), train/val/test at the
+    ``oracles.SPLIT_TRAIN_X100``/``SPLIT_VAL_X100`` thresholds. The
+    industrial split shape: shuffle-free, single streaming pass,
+    reproducible across runs and nodes because the HASH (not row order or
+    a seed table) decides membership, and new data splits consistently
+    without re-splitting the old. Stratification across languages is
+    statistical (the hash is independent of lang) and pytest-checked;
+    DuckDB recomputes the FNV bucket per doc bit-for-bit."""
+    from dstream_ray.common import fnv1a_u64
+    from dstream_ray.pipelines.oracles import SPLIT_TRAIN_X100, SPLIT_VAL_X100
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (fnv1a_u64(pa.array(ids.astype("U"))) % np.uint64(100)).astype(
+            np.int64
+        )
+        name = np.where(
+            bucket < SPLIT_TRAIN_X100,
+            "train",
+            np.where(bucket < SPLIT_VAL_X100, "val", "test"),
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "bucket": pa.array(bucket),
+            "split": pa.array(name.astype("U"), type=pa.string()),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        split, batch_format="pyarrow"
+    )
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding corpus, then drop within-cluster near-duplicates keeping the

@@ -1029,6 +1029,29 @@ FROM documents d JOIN s USING (source) CROSS JOIN g
 WHERE (1000 * s.tc) // s.n >= g.gm
 """
 
+# Deterministic train/val/test split: bucket = fnv1a(str(doc_id)) % 100,
+# train < SPLIT_TRAIN_X100 <= val < SPLIT_VAL_X100 <= test. Shuffle-free
+# and reproducible across runs/nodes (the hash, not row order, decides);
+# stratification across languages is statistical — the hash is independent
+# of lang — and pytest-checked at corpus scale.
+SPLIT_TRAIN_X100 = 80
+SPLIT_VAL_X100 = 90
+
+ORACLE_SQL["stratified_split"] = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(CAST(doc_id AS VARCHAR), ''), c -> ord(c)::HUGEINT)),
+      (h, x) -> (xor(h, x) * 1099511628211) % (1::HUGEINT << 64)) % 100 AS b
+  FROM documents)
+SELECT doc_id, lang, CAST(b AS BIGINT) AS bucket,
+  CASE WHEN b < {SPLIT_TRAIN_X100} THEN 'train'
+       WHEN b < {SPLIT_VAL_X100} THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
 # Count-min sketch over corpus tokens, recomputed cell-for-cell: h1 = the
 # FNV-1a token hash, h2 = the base-1000003 polynomial hash, cell(d) =
 # d*1024 + (h1 + d*h2) mod 1024. Width is a power of two, so the engine's

@@ -46,6 +46,7 @@ ADVERSARIAL_QUERIES = [
     "substring_dedup",  # library-only (cross-doc duplicated-span fractions)
     "quality_classify",  # library-only (hashed linear quality model)
     "domain_filter",  # library-only (source-mean-length survival rule)
+    "stratified_split",  # library-only (FNV-bucket train/val/test split)
 ]
 
 
@@ -72,6 +73,7 @@ def _queries_and_oracles():
     qs.setdefault("substring_dedup", dataops.q_substring_dedup)
     qs.setdefault("quality_classify", dataops.q_quality_classify)
     qs.setdefault("domain_filter", dataops.q_domain_filter)
+    qs.setdefault("stratified_split", dataops.q_stratified_split)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

@@ -1328,3 +1328,25 @@ def test_semantic_dedup_known_structure(ray_session, tmp_path):
     assert out.loc[0, "cluster"] == 0 and bool(out.loc[0, "kept"])
     assert out.loc[16, "cluster"] == 0 and not bool(out.loc[16, "kept"])
     assert bool(out.loc[17, "kept"])  # negative dot can never be a dup
+
+
+def test_stratified_split_proportions_and_determinism(ray_session, sf_tiny):
+    """Split proportions concentrate near 80/10/10 overall AND within each
+    language (the hash is independent of lang); re-running yields the
+    identical assignment."""
+    import dstream_ray.pipelines.dataops as d
+
+    out = d.q_stratified_split(sf_tiny).to_pandas()
+    again = d.q_stratified_split(sf_tiny).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.70 <= frac.get("train", 0) <= 0.90
+    assert 0.04 <= frac.get("val", 0) <= 0.16
+    assert 0.04 <= frac.get("test", 0) <= 0.16
+    for lang, g in out.groupby("lang"):
+        if len(g) >= 50:
+            assert 0.6 <= (g["split"] == "train").mean() <= 0.95, lang
+    # buckets and names agree
+    assert ((out["bucket"] < 80) == (out["split"] == "train")).all()

@@ -120,6 +120,7 @@ def main() -> int:
         ("quality_classify", _d.q_quality_classify),
         ("domain_filter", _d.q_domain_filter),
         ("semantic_dedup", _d.q_semantic_dedup),
+        ("stratified_split", _d.q_stratified_split),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
