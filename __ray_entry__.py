@@ -94,7 +94,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     cep_pattern (batch twin of streaming_cep — identical kernel and oracle,
     kept in local parity) cedes its slot to streaming_neardup, the new
     ingest-time banded-MinHash near-dup suppressor gated end-to-end through
-    its own engine run over the documents feed."""
+    its own engine run over the documents feed. Round 4 (late) cedes nine
+    more slots to gate the round-4 training-data family end-to-end:
+    events_hourly / lineitem_pricing / orders_by_segment / top_lineitems /
+    semi_anti_orders (generic relational demos beyond the reference —
+    relational coverage stays gated via big_spenders / asof_join /
+    range_join), lang_stats (aggregation twin of langid_markers, which
+    stays gated), centroid_by_label (embedding aggregation; the knn family
+    stays gated), sample_balanced (stratified_split + mixture_sample gate
+    the sampling family), and curation_pipeline (superseded by curation_v2,
+    which composes decontamination in front of the identical flow) — all
+    nine keep full local parity in tools/parity_check.py. In their place:
+    pii_scrub, repetition_stats (Gopher rules), decontamination,
+    curation_v2, mixture_sample, stratified_split, semantic_dedup,
+    substring_dedup, quality_classify."""
     from dstream_ray.pipelines import dataops as d
     from dstream_ray.pipelines import queries as q
 
@@ -123,41 +136,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_hll": q.q_streaming_hll,  # windowed HLL sketch, register-exact oracle
         "streaming_qsketch": q.q_streaming_qsketch,  # windowed log-histogram quantile sketch
         "streaming_neardup": q.q_streaming_neardup,  # banded-MinHash ingest-time near-dup suppression
-        # generic stream analytics + relational coverage
-        "events_hourly": q.q_events_hourly,
-        "lineitem_pricing": q.q_lineitem_pricing,
-        "orders_by_segment": q.q_orders_by_segment,
+        # relational coverage (events_hourly / lineitem_pricing /
+        # orders_by_segment / top_lineitems / semi_anti_orders ceded their
+        # slots to the round-4 curation family; all keep local parity)
         "big_spenders": d.q_big_spenders,  # native hash join path
-        "top_lineitems": d.q_top_lineitems,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
-        "semi_anti_orders": q.q_semi_anti_orders,
         # training-data ops: text analysis
         "doc_stats": d.q_doc_stats,
         "bpe_token_counts": d.q_bpe_token_counts,
         "langid_markers": d.q_langid_markers,
-        "lang_stats": d.q_lang_stats,
         "doc_fingerprint_rolling": d.q_doc_fingerprint_rolling,  # SQL-gated (HUGEINT rolling hash)
+        "pii_scrub": d.q_pii_scrub,  # RE2 whole-batch email/IP/phone masking
+        "repetition_stats": d.q_repetition_stats,  # Gopher repetition rules
+        "quality_classify": d.q_quality_classify,  # hashed-feature linear quality classifier
         # corpus curation (text_normalize / dedup_exact are library-only:
-        # both stages are gated end-to-end inside curation_pipeline, and
-        # their standalone oracles stay in ORACLE_SQL for local parity)
-        "sample_balanced": d.q_sample_balanced,  # deterministic stratum-balanced downsample
+        # both stages are gated end-to-end inside curation_v2, and their
+        # standalone oracles stay in ORACLE_SQL for local parity)
+        "decontamination": d.q_decontamination,  # broadcast eval-shingle suppression
+        "curation_v2": d.q_curation_v2,  # decon + normalize->quality->dedup->sample, gated end-to-end
+        "mixture_sample": d.q_mixture_sample,  # token-budget language-mixture sampling
+        "stratified_split": d.q_stratified_split,  # deterministic hash-bucket train/val/test split
         "pack_sequences": d.q_pack_sequences,  # distributed prefix-sum sequence packing
         "pack_nobreak": d.q_pack_nobreak,  # greedy first-fit, no doc breaking
-        "curation_pipeline": d.q_curation_pipeline,  # composed normalize->quality->dedup->sample, gated end-to-end
         "len_quantiles": d.q_len_quantiles,  # exact distributed-histogram quantiles
         "top_tokens": d.q_top_tokens,  # exact vocabulary heavy hitters
         # training-data ops: dedup family
         "minhash_dedup": d.q_minhash_dedup,  # full pipeline SQL-gated (recursive-CTE components)
         "simhash": d.q_simhash,  # SQL-gated (exact FNV+majority-bit recomputation)
         "ngram_jaccard": d.q_ngram_jaccard,
+        "substring_dedup": d.q_substring_dedup,  # repeated n-gram span suppression
+        "semantic_dedup": d.q_semantic_dedup,  # SemDeDup-style cluster-then-prune, integer-exact
         "embedding_neardup": d.q_embedding_neardup,
         "embedding_neardup_lsh": d.q_embedding_neardup_lsh,  # SQL-gated (integer-exact LSH buckets)
         # training-data ops: similarity search
         "knn_bruteforce": d.q_knn_bruteforce,
         "knn_lsh": d.q_knn_lsh,  # SQL-gated (integer-exact LSH + multi-probe in SQL)
         "knn_ivf": d.q_knn_ivf_int,  # SQL-gated (integer-exact sampled coarse quantizer)
-        "centroid_by_label": d.q_centroid_by_label,
         "hll_registers": d.q_hll_registers,  # the sketch itself, oracle-gated vs SQL-computed HLL
         # multimodal: the REAL RGB0 encode->decode->featurize round-trip
         "multimodal_raw": d.q_multimodal_raw,  # SQL-gated (integer features, analytic oracle)

@@ -110,17 +110,19 @@ def main() -> int:
         ("tfidf_top_terms", _d.q_tfidf_top_terms),
         ("knn_classify", _d.q_knn_classify),
         ("pivot_roles", _q.q_pivot_roles),
-        ("pii_scrub", _d.q_pii_scrub),
-        ("repetition_stats", _d.q_repetition_stats),
-        ("decontamination", _d.q_decontamination),
-        ("curation_v2", _d.q_curation_v2),
         ("streaming_scrub", _q.q_streaming_scrub),
-        ("mixture_sample", _d.q_mixture_sample),
-        ("substring_dedup", _d.q_substring_dedup),
-        ("quality_classify", _d.q_quality_classify),
         ("domain_filter", _d.q_domain_filter),
-        ("semantic_dedup", _d.q_semantic_dedup),
-        ("stratified_split", _d.q_stratified_split),
+        # late-round-4 cessions: generic relational demos + twins whose
+        # families stay driver-gated (see __ray_entry__.queries docstring)
+        ("events_hourly", _q.q_events_hourly),
+        ("lineitem_pricing", _q.q_lineitem_pricing),
+        ("orders_by_segment", _q.q_orders_by_segment),
+        ("top_lineitems", _d.q_top_lineitems),
+        ("semi_anti_orders", _q.q_semi_anti_orders),
+        ("lang_stats", _d.q_lang_stats),
+        ("centroid_by_label", _d.q_centroid_by_label),
+        ("sample_balanced", _d.q_sample_balanced),
+        ("curation_pipeline", _d.q_curation_pipeline),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
