@@ -308,6 +308,160 @@ def q_substring_dedup(
     return joined.map_batches(score_joined, batch_format="pyarrow")
 
 
+def q_line_dedup(sf_dir: str, w: int | None = None, mode: str = "auto"):
+    """Line-level dedup with keep-FIRST semantics (C4 / RefinedWeb
+    "repeated line removal"; beyond-reference training-data op). A "line"
+    is a fixed-width NON-OVERLAPPING token chunk
+    (``dedup.chunk_hashes_batch`` — the corpus has no newlines; real
+    newline splitting is the same kernel with a different span function).
+    Unlike ``substring_dedup`` (which SCORES duplicated spans) this
+    REWRITES the corpus: a chunk occurrence survives iff it is the
+    globally FIRST occurrence of its hash in (doc_id, chunk_idx) order.
+    Per doc we emit the retained-chunk count and the 32-bit halves of the
+    kept-hash sum, which pin the rewritten corpus content exactly without
+    re-materializing text.
+
+    Scale shape: pass 1 emits (hash, order-key) chunk rows per batch and
+    ONE hash-keyed groupby takes count + min(order-key); only hashes with
+    count >= 2 enter the first-occurrence map (singletons are trivially
+    kept), so the map is proportional to the DUPLICATED vocabulary, not
+    the corpus. Pass 2 re-derives chunks per batch and scores them: when
+    the map fits (``LINE_DEDUP_BROADCAST_MAX``) it rides to every task
+    via ``ray.put`` and one searchsorted finishes SHUFFLE-FREE; above it
+    the chunk rows hash-join the map (``mode='join'``, pytest-pinned
+    equal). Defaults come from ``oracles.LINE_DEDUP_W`` — the one rule
+    ``ORACLE_SQL['line_dedup']`` shares; non-default ``w`` is not oracle-
+    covered."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    from dstream_ray.pipelines.oracles import (
+        LINE_CHUNK_IDX_CAP,
+        LINE_DEDUP_BROADCAST_MAX,
+        LINE_DEDUP_W,
+    )
+
+    if w is None:
+        w = LINE_DEDUP_W
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    lo_mask = np.uint64(0xFFFFFFFF)
+
+    def chunk_keys(b: pa.Table):
+        h, intra, offs = dedup.chunk_hashes_batch(b["text"], w)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(intra) and (intra[-1] >= LINE_CHUNK_IDX_CAP
+                           or ids.max() >= (1 << 42)):
+            raise ValueError("line_dedup order key out of range "
+                             "(chunk_idx < 2^21, doc_id < 2^42)")
+        doc = np.repeat(ids, np.diff(offs))
+        return h, doc * LINE_CHUNK_IDX_CAP + intra, offs, ids
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        h, key, _, _ = chunk_keys(b)
+        return pa.table({"h": pa.array(h.view(np.int64)), "k": pa.array(key)})
+
+    firsts = (docs.map_batches(chunk_rows, batch_format="pyarrow")
+              .groupby("h")
+              .aggregate(Count(alias_name="n"), Min("k", alias_name="kmin"))
+              .map_batches(
+                  lambda b: b.filter(pc.greater_equal(b["n"], 2))
+                             .select(["h", "kmin"]),
+                  batch_format="pyarrow"))
+
+    def finish(doc_ids, n_chunks, n_kept, lo, hi) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "n_chunks": pa.array(n_chunks.astype(np.int64)),
+            "n_kept": pa.array(n_kept.astype(np.int64)),
+            "kept_lo_sum": pa.array(lo.astype(np.int64)),
+            "kept_hi_sum": pa.array(hi.astype(np.int64)),
+        })
+
+    if mode == "auto":
+        mode = "broadcast" if firsts.count() <= LINE_DEDUP_BROADCAST_MAX else "join"
+
+    def _segsum(x: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(x)])
+        return (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+
+    if mode == "broadcast":
+        fp = firsts.to_pandas()  # bounded by the broadcast gate
+        hv = fp["h"].to_numpy().view(np.uint64)
+        order = np.argsort(hv, kind="mergesort")
+        ref = ray.put((hv[order], fp["kmin"].to_numpy()[order]))
+
+        def score(b: pa.Table) -> pa.Table:
+            hs, kmins = ray.get(ref)  # plasma-cached per worker
+            h, key, offs, ids = chunk_keys(b)
+            if len(hs) and len(h):
+                idx = np.searchsorted(hs, h)
+                safe = np.minimum(idx, len(hs) - 1)
+                in_map = hs[safe] == h
+                kept = ~in_map | (kmins[safe] == key)
+            else:
+                kept = np.ones(len(h), dtype=bool)
+            lo = np.where(kept, (h & lo_mask).astype(np.int64), 0)
+            hi = np.where(kept, (h >> np.uint64(32)).astype(np.int64), 0)
+            return finish(ids, np.diff(offs), _segsum(kept, offs),
+                          _segsum(lo, offs), _segsum(hi, offs))
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # LARGE path: chunk rows hash-join the duplicated-hash map (both sides
+    # stay distributed), score per row, one doc-keyed re-aggregate; docs
+    # with zero chunks come back via a shuffle-free totals pass + left join.
+    def scored_rows(b: pa.Table) -> pa.Table:
+        h, key, offs, ids = chunk_keys(b)
+        doc = np.repeat(ids.astype(np.int64), np.diff(offs))
+        return pa.table({
+            "doc_id": pa.array(doc), "h": pa.array(h.view(np.int64)),
+            "k": pa.array(key),
+            "lo": pa.array((h & lo_mask).astype(np.int64)),
+            "hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+        })
+
+    def totals(b: pa.Table) -> pa.Table:
+        _, _, offs, ids = chunk_keys(b)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_chunks": pa.array(np.diff(offs).astype(np.int64))})
+
+    n_join = _pool()[1]
+    rows = (docs.map_batches(scored_rows, batch_format="pyarrow")
+            .join(firsts, join_type="left_outer", num_partitions=n_join,
+                  on=("h",)))
+
+    def score_joined(b: pa.Table) -> pa.Table:
+        # int64-exact null handling (a float cast would round above 2^53)
+        kept_arr = pc.fill_null(pc.equal(b["kmin"], b["k"]), True)
+        kept = kept_arr.to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "one": pa.array(np.ones(len(kept), dtype=np.int64)),
+            "kept": pa.array(kept.astype(np.int64)),
+            "lo": pa.array(np.where(kept, b["lo"].to_numpy(zero_copy_only=False), 0)),
+            "hi": pa.array(np.where(kept, b["hi"].to_numpy(zero_copy_only=False), 0)),
+        })
+
+    agg = (rows.map_batches(score_joined, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("kept", alias_name="n_kept"),
+                      Sum("lo", alias_name="kept_lo_sum"),
+                      Sum("hi", alias_name="kept_hi_sum")))
+    joined = (docs.map_batches(totals, batch_format="pyarrow")
+              .join(agg, join_type="left_outer", num_partitions=n_join,
+                    on=("doc_id",)))
+
+    def fill(b: pa.Table) -> pa.Table:
+        def col(name):  # int64-exact null fill (no float round-trip)
+            return (pc.fill_null(pc.cast(b[name], pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        return finish(b["doc_id"].to_numpy(zero_copy_only=False),
+                      b["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64),
+                      col("n_kept"), col("kept_lo_sum"), col("kept_hi_sum"))
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_quality_classify(sf_dir: str):
     """Model-based quality filtering in the fastText/DCLM-classifier shape
     with a deterministic stand-in for learned weights: token weight

@@ -992,6 +992,56 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+# Line-level dedup (C4/RefinedWeb "repeated line removal", keep-FIRST
+# occurrence): a "line" is a fixed-width NON-OVERLAPPING token chunk
+# (LINE_DEDUP_W tokens; the corpus has no newlines — splitting on real
+# newlines is the same operator with a different span function). Unlike
+# substring_dedup (which SCORES duplicated spans), this REWRITES the
+# corpus: a chunk occurrence survives iff it is the globally first
+# occurrence of its hash in (doc_id, chunk_idx) order. kept_lo/hi_sum are
+# the 32-bit halves of the kept-chunk hash sum, so the rewritten corpus
+# content (not just counts) is value-checked without re-materializing
+# text. The combined order key doc_id * LINE_CHUNK_IDX_CAP + chunk_idx is
+# exact while chunk_idx < 2^21 and doc_id < 2^42 (the Ray kernel asserts).
+LINE_DEDUP_W = 10
+LINE_CHUNK_IDX_CAP = 1 << 21
+LINE_DEDUP_BROADCAST_MAX = 2_000_000  # first-occurrence map rows; above -> join
+
+ORACLE_SQL["line_dedup"] = f"""
+WITH {_TOKS_TH},
+ch AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN []
+    ELSE list_transform(
+      generate_series(1, CAST(ceil(len(hs) / {LINE_DEDUP_W}.0) AS BIGINT)),
+      j -> list_reduce(hs[(j-1)*{LINE_DEDUP_W}+1 : least(j*{LINE_DEDUP_W}, len(hs))],
+                       (a, x) -> (a * 1000003 % {_M64} + x) % {_M64}))
+    END AS cl
+  FROM th),
+pos AS (
+  SELECT doc_id, unnest(cl) AS h,
+         unnest(generate_series(1, len(cl))) - 1 AS j
+  FROM ch),
+firsts AS (
+  SELECT h, min(doc_id * {LINE_CHUNK_IDX_CAP} + j) AS kmin FROM pos GROUP BY h),
+agg AS (
+  SELECT p.doc_id,
+    CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN p.doc_id * {LINE_CHUNK_IDX_CAP} + p.j = f.kmin
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    CAST(sum(CASE WHEN p.doc_id * {LINE_CHUNK_IDX_CAP} + p.j = f.kmin
+             THEN p.h % 4294967296 ELSE 0 END) AS BIGINT) AS kept_lo_sum,
+    CAST(sum(CASE WHEN p.doc_id * {LINE_CHUNK_IDX_CAP} + p.j = f.kmin
+             THEN p.h // 4294967296 ELSE 0 END) AS BIGINT) AS kept_hi_sum
+  FROM pos p JOIN firsts f USING (h) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(COALESCE(a.kept_lo_sum, 0) AS BIGINT) AS kept_lo_sum,
+  CAST(COALESCE(a.kept_hi_sum, 0) AS BIGINT) AS kept_hi_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
 # Model-based quality filtering with a deterministic stand-in for learned
 # weights (the fastText/DCLM-classifier shape): token weight = a pure
 # function of the FNV token hash, w(t) = (h % QUALITY_WEIGHT_MOD) - MOD//2

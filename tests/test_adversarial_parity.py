@@ -43,10 +43,11 @@ ADVERSARIAL_QUERIES = [
     "decontamination",  # library-only (broadcast shingle-set membership)
     "curation_v2",  # library-only (decontamination composed into curation)
     "mixture_sample",  # library-only (token-budget language mixing)
-    "substring_dedup",  # library-only (cross-doc duplicated-span fractions)
-    "quality_classify",  # library-only (hashed linear quality model)
+    "substring_dedup",  # cross-doc duplicated-span fractions
+    "quality_classify",  # hashed linear quality model
     "domain_filter",  # library-only (source-mean-length survival rule)
-    "stratified_split",  # library-only (FNV-bucket train/val/test split)
+    "stratified_split",  # FNV-bucket train/val/test split
+    "line_dedup",  # library-only (keep-first non-overlapping chunk dedup)
 ]
 
 
@@ -74,6 +75,7 @@ def _queries_and_oracles():
     qs.setdefault("quality_classify", dataops.q_quality_classify)
     qs.setdefault("domain_filter", dataops.q_domain_filter)
     qs.setdefault("stratified_split", dataops.q_stratified_split)
+    qs.setdefault("line_dedup", dataops.q_line_dedup)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

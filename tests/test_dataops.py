@@ -1182,6 +1182,84 @@ def test_substring_dedup_join_equals_broadcast(ray_session, sf_tiny):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_line_dedup_known_structure(ray_session, tmp_path):
+    """Keep-FIRST chunk dedup on a deterministic corpus (w=2 for legible
+    chunks): cross-doc repeats drop, WITHIN-doc repeats after the first
+    drop too (unlike substring_dedup's scoring), tail chunks hash over
+    what's present, empty docs emit zero chunks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    texts = [
+        "a b c d",    # chunks [ab, cd] — both first: kept 2/2
+        "a b x y",    # [ab, xy] — ab seen in doc0: kept 1/2
+        "c d c d",    # [cd, cd] — both occurrences of doc0's cd: kept 0/2
+        "e",          # tail chunk [e]: kept 1/1
+        "",           # no chunks
+        "z w z w",    # [zw, zw] — within-doc keep-first: kept 1/2
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = d.q_line_dedup(str(tmp_path), w=2).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_chunks"] == 2 and out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "n_chunks"] == 2 and out.loc[1, "n_kept"] == 1
+    assert out.loc[2, "n_chunks"] == 2 and out.loc[2, "n_kept"] == 0
+    assert out.loc[2, "kept_lo_sum"] == 0 and out.loc[2, "kept_hi_sum"] == 0
+    assert out.loc[3, "n_chunks"] == 1 and out.loc[3, "n_kept"] == 1
+    assert out.loc[4, "n_chunks"] == 0 and out.loc[4, "n_kept"] == 0
+    assert out.loc[5, "n_chunks"] == 2 and out.loc[5, "n_kept"] == 1
+
+
+def test_line_dedup_join_equals_broadcast(ray_session, sf_tiny):
+    """The hash-join scale path and the broadcast path are pinned equal."""
+    import pandas as pd
+
+    import dstream_ray.pipelines.dataops as d
+
+    a = (d.q_line_dedup(sf_tiny, mode="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (d.q_line_dedup(sf_tiny, mode="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_chunk_hashes_batch_matches_scalar(ray_session):
+    """Non-overlapping chunk hashes agree with a scalar Horner reference on
+    every doc shape (empty, whitespace, shorter than w, exact multiple,
+    ragged tail)."""
+    import numpy as np
+
+    from dstream_ray.stages import dedup
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "bb", "ccc", "tok", "x1", "yz"]
+    docs = ["", "   ", "a", "a b", " ".join(rng.choice(vocab, 10)),
+            " ".join(rng.choice(vocab, 23)), " ".join(rng.choice(vocab, 40))]
+    for w in (2, 3, 10):
+        flat, intra, offs = dedup.chunk_hashes_batch(docs, w)
+        for i, doc in enumerate(docs):
+            th = dedup._token_hashes(doc)
+            exp = []
+            for s in range(0, len(th), w):
+                seg = th[s:s + w]
+                acc = seg[0]
+                with np.errstate(over="ignore"):
+                    for x in seg[1:]:
+                        acc = acc * dedup.SHINGLE_MIX + x
+                exp.append(acc)
+            got = flat[offs[i]:offs[i + 1]]
+            assert got.tolist() == exp, (w, i, doc)
+            assert intra[offs[i]:offs[i + 1]].tolist() == list(range(len(exp)))
+
+
 def test_shingle_all_batch_matches_scalar(ray_session):
     """Position-order non-unique shingles agree with the scalar reference
     and unique-reduce to shingle_sets_batch on every doc shape."""

@@ -123,6 +123,8 @@ def main() -> int:
         ("centroid_by_label", _d.q_centroid_by_label),
         ("sample_balanced", _d.q_sample_balanced),
         ("curation_pipeline", _d.q_curation_pipeline),
+        # extension-session additions
+        ("line_dedup", _d.q_line_dedup),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
