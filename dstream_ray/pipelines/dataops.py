@@ -1428,6 +1428,68 @@ def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return top.reset_index(drop=True).astype({"cnt": "int64"})
 
 
+def build_inverted_index(sf_dir: str) -> rd.Dataset:
+    """The postings table of an inverted index over the documents corpus:
+    one row per (token, doc_id) with the in-doc term frequency. This IS
+    the index in columnar form — write it partitioned/sorted by token (or
+    a token-hash bucket) and lookups are a pruned scan. Per-batch partials
+    run entirely in Arrow C kernels (split → flatten → hash groupby); a
+    doc lives in exactly one batch, so per-batch (token, doc) rows are
+    globally unique without a dedup pass."""
+    import pyarrow.compute as pc
+
+    def postings_partial(b: pa.Table) -> pa.Table:
+        ls = pc.utf8_split_whitespace(b["text"])
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(ls)
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        mask = pc.not_equal(flat, "")
+        t = pa.table({"token": flat.filter(mask),
+                      "doc_id": pa.array(doc[mask.to_numpy(zero_copy_only=False)])})
+        g = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate([([], "count_all")])
+        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "token": g["token"],
+            "doc_id": g["doc_id"],
+            "tf": pc.cast(g["count_all"], pa.int64()),
+            "lo": pa.array(doc_ids % (1 << 32)),
+            "hi": pa.array(doc_ids >> 32),
+        })
+
+    return (_read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(postings_partial, batch_format="pyarrow"))
+
+
+def q_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Inverted-index build, value-checked: per-token document frequency,
+    total term frequency, posting-list extrema, and an order-free exact
+    posting-set check (the 32-bit halves of the doc_id sum — int64-safe at
+    any df since each half sums values < 2^32). ONE vocabulary-bounded
+    groupby over the postings table from :func:`build_inverted_index`;
+    posting LISTS are never materialized per token (hot tokens at corpus
+    scale would be unbounded rows), the postings TABLE is the index."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    agg = (build_inverted_index(sf_dir)
+           .groupby("token")
+           .aggregate(Count(alias_name="df"),
+                      Sum("tf", alias_name="tf"),
+                      Min("doc_id", alias_name="min_doc"),
+                      Max("doc_id", alias_name="max_doc"),
+                      Sum("lo", alias_name="posting_lo_sum"),
+                      Sum("hi", alias_name="posting_hi_sum")))
+
+    def tidy(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = ["df", "tf", "min_doc", "max_doc",
+                "posting_lo_sum", "posting_hi_sum"]
+        return pa.table({"token": b["token"],
+                         **{c: pc.cast(b[c], pa.int64()) for c in cols}})
+
+    return agg.map_batches(tidy, batch_format="pyarrow")
+
+
 def q_tfidf_top_terms(
     sf_dir: str, k: int = 3, broadcast_max_terms: int = 500_000,
     mode: str = "auto",

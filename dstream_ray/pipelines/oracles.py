@@ -1742,6 +1742,32 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY score DESC, term) <= 3
 """
 
+# Inverted-index build: per-token df / tf / posting extrema plus an
+# order-free exact posting-set check (32-bit halves of the doc_id sum —
+# each half sums values < 2^32, so BIGINT is exact at any df). The token
+# split is the shared whitespace rule; empty docs contribute nothing.
+ORACLE_SQL["inverted_index"] = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS token
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+),
+pd AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM pos GROUP BY 1, 2
+)
+SELECT token,
+  CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(tf) AS BIGINT) AS tf,
+  CAST(min(doc_id) AS BIGINT) AS min_doc,
+  CAST(max(doc_id) AS BIGINT) AS max_doc,
+  CAST(sum(doc_id % 4294967296) AS BIGINT) AS posting_lo_sum,
+  CAST(sum(doc_id // 4294967296) AS BIGINT) AS posting_hi_sum
+FROM pd GROUP BY token
+"""
+
 ORACLE_SQL["top_tokens"] = """
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),

@@ -48,6 +48,7 @@ ADVERSARIAL_QUERIES = [
     "domain_filter",  # library-only (source-mean-length survival rule)
     "stratified_split",  # FNV-bucket train/val/test split
     "line_dedup",  # library-only (keep-first non-overlapping chunk dedup)
+    "inverted_index",  # library-only (postings build: df/tf/extrema/set check)
 ]
 
 
@@ -76,6 +77,7 @@ def _queries_and_oracles():
     qs.setdefault("domain_filter", dataops.q_domain_filter)
     qs.setdefault("stratified_split", dataops.q_stratified_split)
     qs.setdefault("line_dedup", dataops.q_line_dedup)
+    qs.setdefault("inverted_index", dataops.q_inverted_index)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

@@ -1231,6 +1231,39 @@ def test_line_dedup_join_equals_broadcast(ray_session, sf_tiny):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_inverted_index_known_structure(ray_session, tmp_path):
+    """Postings build on a deterministic corpus: df counts DISTINCT docs,
+    tf counts occurrences, extrema and the order-free posting-set check
+    pin the exact doc set; empty/whitespace docs contribute nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    texts = ["a b a", "b c", "   ", "a"]
+    tbl = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (d.q_inverted_index(str(tmp_path)).to_pandas()
+           .set_index("token").sort_index())
+    assert list(out.index) == ["a", "b", "c"]
+    assert out.loc["a", "df"] == 2 and out.loc["a", "tf"] == 3
+    assert out.loc["a", "min_doc"] == 10 and out.loc["a", "max_doc"] == 13
+    assert out.loc["a", "posting_lo_sum"] == 23  # 10 + 13
+    assert out.loc["b", "df"] == 2 and out.loc["b", "tf"] == 2
+    assert out.loc["c", "df"] == 1 and out.loc["c", "min_doc"] == 11
+    assert (out["posting_hi_sum"] == 0).all()  # doc_ids < 2^32
+    # the postings table itself (the index) has one row per (token, doc)
+    post = d.build_inverted_index(str(tmp_path)).to_pandas()
+    assert len(post) == 5  # (a,10) (b,10) (b,11) (c,11) (a,13)
+    assert post.set_index(["token", "doc_id"]).loc[("a", 10), "tf"] == 2
+
+
 def test_chunk_hashes_batch_matches_scalar(ray_session):
     """Non-overlapping chunk hashes agree with a scalar Horner reference on
     every doc shape (empty, whitespace, shorter than w, exact multiple,

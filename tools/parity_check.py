@@ -125,6 +125,7 @@ def main() -> int:
         ("curation_pipeline", _d.q_curation_pipeline),
         # extension-session additions
         ("line_dedup", _d.q_line_dedup),
+        ("inverted_index", _d.q_inverted_index),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
