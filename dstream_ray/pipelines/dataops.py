@@ -1490,6 +1490,42 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(tidy, batch_format="pyarrow")
 
 
+VOCAB_COVER_PCTS = (50, 90, 99)
+
+
+def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
+    """Nucleus vocabulary coverage (tokenizer-design metric): the smallest
+    number of token TYPES whose summed counts reach >= 50/90/99% of the
+    total token mass, under the deterministic (count desc, token asc)
+    order. ONE vocabulary-bounded distributed count-agg (the top_tokens
+    partial), then an O(vocab) driver sort + cumulative read-off — the
+    len_quantiles precedent: driver work scales with DISTINCT tokens, not
+    corpus rows. Thresholds compare 100*cumsum >= pct*total in integers
+    (no float mass fractions)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
+
+    counts = (_read_documents(sf_dir, ["text"])
+              .map_batches(tok_partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())  # vocabulary-bounded
+    counts = counts.sort_values(["cnt", "token"], ascending=[False, True])
+    cnt = counts["cnt"].to_numpy().astype(np.int64)
+    total = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    row = {"total_tokens": total, "vocab_size": len(cnt)}
+    for pct in VOCAB_COVER_PCTS:
+        k = int(np.searchsorted(100 * cum, pct * total)) + 1 if len(cnt) else 0
+        row[f"cover_{pct}"] = k
+    return pd.DataFrame([row]).astype("int64")
+
+
 def q_tfidf_top_terms(
     sf_dir: str, k: int = 3, broadcast_max_terms: int = 500_000,
     mode: str = "auto",

@@ -1768,6 +1768,30 @@ SELECT token,
 FROM pd GROUP BY token
 """
 
+# Nucleus vocabulary coverage: smallest number of token TYPES reaching
+# >= pct% of total token mass under (count desc, token asc) order; the
+# threshold compares 100*cumsum >= pct*total in integers.
+ORACLE_SQL["vocab_coverage"] = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS token
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+o AS (
+  SELECT cnt,
+         sum(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk
+  FROM c),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vs FROM c)
+SELECT t.total AS total_tokens, t.vs AS vocab_size,
+  CAST(min(CASE WHEN 100 * o.cum >= 50 * t.total THEN o.rk END) AS BIGINT) AS cover_50,
+  CAST(min(CASE WHEN 100 * o.cum >= 90 * t.total THEN o.rk END) AS BIGINT) AS cover_90,
+  CAST(min(CASE WHEN 100 * o.cum >= 99 * t.total THEN o.rk END) AS BIGINT) AS cover_99
+FROM o, t GROUP BY t.total, t.vs
+"""
+
 ORACLE_SQL["top_tokens"] = """
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),

@@ -49,6 +49,7 @@ ADVERSARIAL_QUERIES = [
     "stratified_split",  # FNV-bucket train/val/test split
     "line_dedup",  # library-only (keep-first non-overlapping chunk dedup)
     "inverted_index",  # library-only (postings build: df/tf/extrema/set check)
+    "vocab_coverage",  # library-only (nucleus vocab size at 50/90/99% mass)
 ]
 
 
@@ -78,6 +79,7 @@ def _queries_and_oracles():
     qs.setdefault("stratified_split", dataops.q_stratified_split)
     qs.setdefault("line_dedup", dataops.q_line_dedup)
     qs.setdefault("inverted_index", dataops.q_inverted_index)
+    qs.setdefault("vocab_coverage", dataops.q_vocab_coverage)
     from dstream_ray.pipelines import queries as _q
 
     qs.setdefault("rollup_usage", _q.q_rollup_usage)

@@ -1264,6 +1264,29 @@ def test_inverted_index_known_structure(ray_session, tmp_path):
     assert post.set_index(["token", "doc_id"]).loc[("a", 10), "tf"] == 2
 
 
+def test_vocab_coverage_known_structure(ray_session, tmp_path):
+    """Hand-checked nucleus coverage: counts a=5 b=3 c=1 d=1 (total 10) →
+    cover_50 needs {a} (5 >= 5), cover_90 needs {a,b,c} (9 >= 9),
+    cover_99 needs all four (10 >= 9.9 ⇔ 1000 >= 990)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+
+    texts = ["a a a b b", "a a b c", "d"]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = d.q_vocab_coverage(str(tmp_path)).iloc[0]
+    assert out["total_tokens"] == 10 and out["vocab_size"] == 4
+    assert out["cover_50"] == 1 and out["cover_90"] == 3 and out["cover_99"] == 4
+
+
 def test_chunk_hashes_batch_matches_scalar(ray_session):
     """Non-overlapping chunk hashes agree with a scalar Horner reference on
     every doc shape (empty, whitespace, shorter than w, exact multiple,

@@ -126,6 +126,7 @@ def main() -> int:
         # extension-session additions
         ("line_dedup", _d.q_line_dedup),
         ("inverted_index", _d.q_inverted_index),
+        ("vocab_coverage", _d.q_vocab_coverage),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
