@@ -2144,6 +2144,140 @@ def q_knn_ivf_int(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+PQ_M = 8          # subspaces (64-dim vectors -> 8 dims per subspace)
+PQ_K = 16         # codewords per subspace (sampled, vec_id < PQ_K)
+PQ_SCALE = 1_000_000.0  # the ANN family's fixed-point scheme
+
+
+def q_pq_encode(sf_dir: str) -> rd.Dataset:
+    """Product quantization (Jégou et al. 2011) of the embedding corpus —
+    the memory-scale path for ANN at 10^11+ vectors (64 float32 dims ->
+    PQ_M uint8-range codes). Codebooks are INTEGER-EXACT by construction
+    so DuckDB recomputes every code bit-for-bit: codeword k of subspace m
+    is the (floor(x*1e6)-quantized) sub-vector of the corpus vector
+    ``vec_id == k`` (FAISS-style sampled codebook — the Lloyd-refined
+    variant belongs with the float quantizers under recall pytests);
+    assignment is the integer squared-L2 argmin with smaller-k tiebreak
+    (np.argmin takes the first minimum). Every squared distance is a sum
+    of 8 products of values |.| <= ~8e6, < 2^53, so the vectorized
+    float64 einsum is exact and equals DuckDB's BIGINT arithmetic.
+
+    Scale shape: the PQ_M*PQ_K codebook rides to every task via
+    ``ray.put``; encoding is one map_batches (no shuffle, no driver
+    loop); per-vec output is PQ_M codes + the integer reconstruction
+    error (the ADC table for search is a per-query constant built from
+    the same codebook)."""
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_K)],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    C = np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)  # (K, D)
+    d_sub = C.shape[1] // PQ_M
+    c_ref = ray.put(C)
+
+    def encode(b: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)  # (n, D)
+        cols = {"vec_id": b["vec_id"]}
+        err = np.zeros(len(X), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]            # (n, d)
+            cs = cents[:, m * d_sub:(m + 1) * d_sub]         # (K, d)
+            # exact integer squared L2 in float64 (all terms < 2^53)
+            dists = ((sub * sub).sum(axis=1)[:, None]
+                     - 2.0 * (sub @ cs.T)
+                     + (cs * cs).sum(axis=1)[None, :])       # (n, K)
+            code = np.argmin(dists, axis=1)                  # first min = smaller k
+            cols[f"code_{m}"] = pa.array(code.astype(np.int64))
+            err += dists[np.arange(len(X)), code].astype(np.int64)
+        cols["recon_err"] = pa.array(err)
+        return pa.table(cols)
+
+    return _read_embeddings(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+def q_pq_search(sf_dir: str) -> pd.DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ codes of
+    :func:`q_pq_encode` — the query path of product-quantized ANN: each
+    query precomputes a PQ_M x PQ_K table of integer squared distances to
+    every codeword, and a database vector's distance is the sum of PQ_M
+    table lookups on its codes (never touching the raw vector). All
+    arithmetic stays in the exact-integer domain of the fixed-point
+    codebook, so DuckDB recomputes codes, tables, lookups and ranking
+    bit-for-bit. Ties break on smaller neighbor id; self-matches are
+    excluded (query vectors are corpus vectors).
+
+    Scale shape: the (queries x tables) bundle is broadcast via
+    ``ray.put``; each batch encodes itself and emits per-query partial
+    top-k rows (nq*k per batch), merged by the tiny driver merge — the
+    brute-force path's shape with lookups instead of a matmul."""
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_K)],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    C = np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)  # (K, D)
+    d_sub = C.shape[1] // PQ_M
+    q = _load_queries(sf_dir)
+    Qf = np.floor(np.asarray(q["vecs"], dtype=np.float64) * PQ_SCALE)
+    nq = len(q["ids"])
+    T = np.zeros((nq, PQ_M, PQ_K))
+    for m in range(PQ_M):
+        qs = Qf[:, m * d_sub:(m + 1) * d_sub]
+        cs = C[:, m * d_sub:(m + 1) * d_sub]
+        T[:, m, :] = ((qs * qs).sum(axis=1)[:, None]
+                      - 2.0 * (qs @ cs.T)
+                      + (cs * cs).sum(axis=1)[None, :])
+    ref = ray.put((np.asarray(q["ids"], dtype=np.int64), T, C))
+
+    def adc_partial(b: pa.Table) -> pa.Table:
+        qids, tables, cents = ray.get(ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = np.zeros((len(qids), len(X)))
+        for m in range(PQ_M):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            cs = cents[:, m * d_sub:(m + 1) * d_sub]
+            dd = ((sub * sub).sum(axis=1)[:, None]
+                  - 2.0 * (sub @ cs.T)
+                  + (cs * cs).sum(axis=1)[None, :])
+            codes = np.argmin(dd, axis=1)
+            dist += tables[:, m, codes]
+        out_q, out_n, out_d = [], [], []
+        k = min(KNN_K + 1, dist.shape[1])
+        for qi in range(len(qids)):
+            row = dist[qi]
+            top = np.argpartition(row, k - 1)[:k]
+            top = top[np.lexsort((vec_ids[top], row[top]))]
+            out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+            out_n.append(vec_ids[top])
+            out_d.append(row[top].astype(np.int64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adc": pa.array(np.concatenate(out_d)),
+        })
+
+    partials = (_read_embeddings(sf_dir)
+                .map_batches(adc_partial, batch_format="pyarrow",
+                             batch_size=4096)
+                .to_pandas())
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["adc", "neighbor_id"]).head(KNN_K).reset_index(drop=True)
+        out.append(pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "adc": g["adc"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
 def q_big_spenders(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer with Ray Data's native hash join (both sides
     treated as large; contrast with the broadcast join in queries.py),

@@ -1768,6 +1768,86 @@ SELECT token,
 FROM pd GROUP BY token
 """
 
+# Product quantization: codeword k of subspace m is the floor(x*1e6)
+# sub-vector of the corpus vector vec_id == k; assignment = integer
+# squared-L2 argmin with smaller-k tiebreak; recon_err sums the PQ_M
+# minimum distances. Mirrors dataops.q_pq_encode's constants (M=8, K=16
+# over 64 dims -> 8 dims/subspace).
+ORACLE_SQL["pq_encode"] = """
+WITH vals AS (
+  SELECT vec_id,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
+         unnest(generate_series(1, len(embedding))) AS j
+  FROM embeddings
+),
+sub AS (SELECT vec_id, x, j, CAST((j - 1) // 8 AS BIGINT) AS m FROM vals),
+cb AS (SELECT vec_id AS k, x AS c, j, m FROM sub WHERE vec_id < 16),
+dist AS (
+  SELECT a.vec_id, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, m, k, dd,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS rn
+  FROM dist
+)
+SELECT vec_id,
+  CAST(max(CASE WHEN m = 0 THEN k END) AS BIGINT) AS code_0,
+  CAST(max(CASE WHEN m = 1 THEN k END) AS BIGINT) AS code_1,
+  CAST(max(CASE WHEN m = 2 THEN k END) AS BIGINT) AS code_2,
+  CAST(max(CASE WHEN m = 3 THEN k END) AS BIGINT) AS code_3,
+  CAST(max(CASE WHEN m = 4 THEN k END) AS BIGINT) AS code_4,
+  CAST(max(CASE WHEN m = 5 THEN k END) AS BIGINT) AS code_5,
+  CAST(max(CASE WHEN m = 6 THEN k END) AS BIGINT) AS code_6,
+  CAST(max(CASE WHEN m = 7 THEN k END) AS BIGINT) AS code_7,
+  CAST(sum(dd) AS BIGINT) AS recon_err
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+# ADC top-k search over the PQ codes: per-query integer distance tables
+# to every codeword, database distance = sum of PQ_M lookups on the
+# assigned codes. Same constants as pq_encode; queries = vec_id < 8
+# (the knn family's query set), k = 10, self-matches excluded.
+ORACLE_SQL["pq_search"] = """
+WITH vals AS (
+  SELECT vec_id,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
+         unnest(generate_series(1, len(embedding))) AS j
+  FROM embeddings
+),
+sub AS (SELECT vec_id, x, j, CAST((j - 1) // 8 AS BIGINT) AS m FROM vals),
+cb AS (SELECT vec_id AS k, x AS c, j, m FROM sub WHERE vec_id < 16),
+dist AS (
+  SELECT a.vec_id, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS rn
+    FROM dist) WHERE rn = 1
+),
+qd AS (
+  SELECT a.vec_id AS qid, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  WHERE a.vec_id < 8
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.dd) AS BIGINT) AS adc
+  FROM codes c JOIN qd q ON q.m = c.m AND q.k = c.k
+  WHERE c.vec_id <> q.qid
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+  FROM adc) WHERE rank <= 10
+"""
+
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the
 # threshold compares 100*cumsum >= pct*total in integers.

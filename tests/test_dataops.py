@@ -1264,6 +1264,48 @@ def test_inverted_index_known_structure(ray_session, tmp_path):
     assert post.set_index(["token", "doc_id"]).loc[("a", 10), "tf"] == 2
 
 
+def test_pq_encode_codebook_vectors_are_exact(ray_session, sf_tiny):
+    """Structural invariant: the sampled codebook vectors (vec_id < PQ_K)
+    encode to THEMSELVES in every subspace with zero reconstruction
+    error; all codes are in [0, PQ_K) and recon_err >= 0."""
+    import dstream_ray.pipelines.dataops as d
+
+    out = d.q_pq_encode(sf_tiny).to_pandas().set_index("vec_id").sort_index()
+    code_cols = [f"code_{m}" for m in range(d.PQ_M)]
+    assert ((out[code_cols] >= 0) & (out[code_cols] < d.PQ_K)).all().all()
+    assert (out["recon_err"] >= 0).all()
+    cb = out.loc[out.index < d.PQ_K]
+    assert (cb["recon_err"] == 0).all()
+    for m in range(d.PQ_M):
+        assert (cb[f"code_{m}"] == cb.index).all()
+
+
+def test_pq_search_recall_beats_random(ray_session, sf_tiny):
+    """ADC top-10 over 16-codeword PQ on random 64-d vectors: recall vs
+    exact fixed-point L2 must far exceed the ~0.02 random baseline
+    (measured ~0.30 on this corpus)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages import ann
+
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet")
+    X = np.floor(ann._stack(t["embedding"]) * 1e6)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    got = d.q_pq_search(sf_tiny)
+    recs = []
+    for qid in sorted(got["query_id"].unique()):
+        qv = X[ids == qid][0]
+        dist = ((X - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, dist))
+        exact = [i for i in ids[order] if i != qid][:10]
+        approx = got[got["query_id"] == qid]["neighbor_id"].tolist()
+        assert len(approx) == 10
+        recs.append(len(set(exact) & set(approx)) / 10)
+    assert sum(recs) / len(recs) >= 0.15, recs
+
+
 def test_vocab_coverage_known_structure(ray_session, tmp_path):
     """Hand-checked nucleus coverage: counts a=5 b=3 c=1 d=1 (total 10) →
     cover_50 needs {a} (5 >= 5), cover_90 needs {a,b,c} (9 >= 9),

@@ -127,6 +127,8 @@ def main() -> int:
         ("line_dedup", _d.q_line_dedup),
         ("inverted_index", _d.q_inverted_index),
         ("vocab_coverage", _d.q_vocab_coverage),
+        ("pq_encode", _d.q_pq_encode),
+        ("pq_search", _d.q_pq_search),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
