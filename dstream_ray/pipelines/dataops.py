@@ -247,6 +247,7 @@ def q_substring_dedup(
             "kept": pa.array(frac < keep_max_x1000),
         })
 
+    dup_ds = dup_ds.materialize()  # small (dup shingles); count + reuse, no re-execute
     if mode == "auto":
         mode = "broadcast" if dup_ds.count() <= SUBSTRING_DUP_BROADCAST_MAX else "join"
 
@@ -377,6 +378,7 @@ def q_line_dedup(sf_dir: str, w: int | None = None, mode: str = "auto"):
             "kept_hi_sum": pa.array(hi.astype(np.int64)),
         })
 
+    firsts = firsts.materialize()  # small (duplicated vocabulary); reuse, no re-execute
     if mode == "auto":
         mode = "broadcast" if firsts.count() <= LINE_DEDUP_BROADCAST_MAX else "join"
 
@@ -1586,6 +1588,7 @@ def q_tfidf_top_terms(
                .groupby("doc_id").head(k).reset_index(drop=True))
         return out[["doc_id", "term", "tf", "df", "score"]]
 
+    df_ds = df_ds.materialize()  # vocabulary-bounded; reuse, no re-execute
     if mode == "auto":
         mode = "broadcast" if df_ds.count() <= broadcast_max_terms else "join"
 
