@@ -80,8 +80,16 @@ def _queries_and_oracles():
     qs.setdefault("line_dedup", dataops.q_line_dedup)
     qs.setdefault("inverted_index", dataops.q_inverted_index)
     qs.setdefault("vocab_coverage", dataops.q_vocab_coverage)
+    # late-round-4 cessions (driver slots went to the curation family;
+    # full local parity retained — see __ray_entry__.queries docstring)
+    qs.setdefault("sample_balanced", dataops.q_sample_balanced)
+    qs.setdefault("curation_pipeline", dataops.q_curation_pipeline)
+    qs.setdefault("lang_stats", dataops.q_lang_stats)
+    qs.setdefault("centroid_by_label", dataops.q_centroid_by_label)
+    qs.setdefault("top_lineitems", dataops.q_top_lineitems)
     from dstream_ray.pipelines import queries as _q
 
+    qs.setdefault("events_hourly", _q.q_events_hourly)
     qs.setdefault("rollup_usage", _q.q_rollup_usage)
     qs.setdefault("pivot_roles", _q.q_pivot_roles)
     qs.setdefault("cohort_retention", _q.q_cohort_retention)
