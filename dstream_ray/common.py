@@ -98,6 +98,34 @@ def utf8_view(strings: pa.Array | pa.ChunkedArray | list[str]):
 HASH_SPAN_SCALAR_CUTOFF = 4096
 
 
+def token_strings_arrays(strings) -> tuple[pa.Array, np.ndarray]:
+    """Token STRINGS per doc (the string twin of :func:`token_hash_arrays`):
+    a ``pa.StringArray`` of every whitespace token in doc order plus int64
+    ``doc_offsets[n+1]``. Built on the byte-level tokenizer
+    (:func:`token_spans`), NOT ``pc.utf8_split_whitespace`` — on this host
+    the Arrow split kernel nondeterministically emits phantom whitespace
+    tokens on runs of whitespace (observed: ``'   '`` → ``['', ' ']`` in
+    some worker executions), so every string-token kernel routes through
+    this deterministic path instead. Fully vectorized: one fancy-indexed
+    byte gather + ``Array.from_buffers``."""
+    data, starts, ends = utf8_view(strings)
+    tok_starts, tok_lengths, doc_offsets = token_spans(data, starts, ends)
+    n_tok = len(tok_starts)
+    total = int(tok_lengths.sum())
+    if total >= (1 << 31):  # string offsets are int32; batches never get here
+        raise ValueError("token_strings_arrays: batch token bytes exceed int32")
+    out_off = np.zeros(n_tok + 1, dtype=np.int32)
+    np.cumsum(tok_lengths, out=out_off[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        out_off[:-1].astype(np.int64), tok_lengths)
+    src = np.repeat(tok_starts, tok_lengths) + intra
+    buf = np.ascontiguousarray(data[src]) if total else np.empty(0, np.uint8)
+    tokens = pa.Array.from_buffers(
+        pa.utf8(), n_tok,
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(buf.tobytes())])
+    return tokens, doc_offsets
+
+
 def _fnv1a_bytes(buf) -> int:
     h = 14695981039346656037
     for b in buf:

@@ -464,6 +464,86 @@ def q_line_dedup(sf_dir: str, w: int | None = None, mode: str = "auto"):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+CURRICULUM_SHARDS = 8
+CURRICULUM_BUCKET_W = 4096  # coarse score-bucket width for the rank exchange
+
+
+def q_curriculum_shards(sf_dir: str) -> pd.DataFrame:
+    """Curriculum ordering: an EXACT distributed global rank of every doc
+    by (quality score, doc_id) ascending, exported as a shard assignment
+    shard = rank * CURRICULUM_SHARDS // n (range-sharded curriculum: shard
+    0 = lowest-quality octile ... S-1 = highest) — the ordering step of
+    easy-to-hard training schedules.
+
+    Scale shape (no global sort, no driver row stream): per-batch scores
+    (the shared hashed-weight kernel) histogram into coarse score BUCKETS;
+    one tiny bucket-keyed count aggregate + a driver prefix scan give each
+    bucket its global base rank; then one bucket-keyed exchange ranks each
+    bucket internally (vectorized argsort per bucket — buckets are a
+    bounded-width range partition of the score domain, ~score_range/4096
+    groups, never per-doc groups). Total rows through the wide exchange =
+    n, driver work = O(buckets)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def scored(b: pa.Table) -> pa.Table:
+        _, sc = quality_scores_batch(b["text"])
+        bucket = np.floor_divide(sc, CURRICULUM_BUCKET_W)
+        return pa.table({"doc_id": b["doc_id"], "score": pa.array(sc),
+                         "bucket": pa.array(bucket)})
+
+    sc_ds = docs.map_batches(scored, batch_format="pyarrow").materialize()
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["bucket"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"bucket": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    hist = (sc_ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("bucket"))  # O(buckets)
+    n = int(hist["cnt"].sum())
+    base = dict(zip(hist["bucket"].astype(int),
+                    np.r_[0, np.cumsum(hist["cnt"].to_numpy(np.int64))][:-1]))
+    base_ref = ray.put(base)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(), g["score"].to_numpy()))
+        g = g.iloc[order]
+        rank = ray.get(base_ref)[int(g["bucket"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "score": g["score"].to_numpy(np.int64),
+            "rank": rank,
+            "shard": rank * CURRICULUM_SHARDS // n,
+        })
+
+    return (sc_ds.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pandas")
+            .to_pandas())
+
+
+def quality_scores_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """The hashed-weight quality score shared by q_quality_classify and
+    q_curriculum_shards: per-doc (n_tokens, score) in one vectorized
+    hash+cumsum pass; w(t) = (fnv64(t) % QUALITY_WEIGHT_MOD) - 1000."""
+    from dstream_ray.common import token_hash_arrays
+    from dstream_ray.pipelines.oracles import QUALITY_WEIGHT_MOD
+
+    half = QUALITY_WEIGHT_MOD // 2
+    flat, offs = token_hash_arrays(texts)
+    w = (flat % np.uint64(QUALITY_WEIGHT_MOD)).astype(np.int64) - half
+    n_tok = np.diff(offs).astype(np.int64)
+    sc = np.zeros(len(n_tok), dtype=np.int64)
+    if (n_tok > 0).any():
+        cs = np.concatenate([[0], np.cumsum(w)])
+        sc = cs[offs[1:]] - cs[offs[:-1]]
+    return n_tok, sc
+
+
 def q_quality_classify(sf_dir: str):
     """Model-based quality filtering in the fastText/DCLM-classifier shape
     with a deterministic stand-in for learned weights: token weight
@@ -473,20 +553,13 @@ def q_quality_classify(sf_dir: str):
     weight from the shared token-FNV CTE. avg_weight divides through the
     shifted NONNEGATIVE numerator because DuckDB ``//`` truncates while
     numpy floors (oracles.py notes the same on its side)."""
-    from dstream_ray.common import token_hash_arrays
     from dstream_ray.pipelines.oracles import QUALITY_WEIGHT_MOD
 
     half = QUALITY_WEIGHT_MOD // 2
 
     def score(b: pa.Table) -> pa.Table:
-        flat, offs = token_hash_arrays(b["text"])
-        w = (flat % np.uint64(QUALITY_WEIGHT_MOD)).astype(np.int64) - half
-        n_tok = np.diff(offs).astype(np.int64)
-        sc = np.zeros(len(n_tok), dtype=np.int64)
+        n_tok, sc = quality_scores_batch(b["text"])
         ne = n_tok > 0
-        if ne.any():
-            cs = np.concatenate([[0], np.cumsum(w)])
-            sc = cs[offs[1:]] - cs[offs[:-1]]
         avg = np.zeros(len(n_tok), dtype=np.int64)
         avg[ne] = (1000 * (sc[ne] + half * n_tok[ne])) // n_tok[ne] - 1000 * half
         return pa.table({
@@ -609,6 +682,7 @@ from dstream_ray.common import (  # noqa: E402
     fnv1a_u64,
     poly_hash_strings,
     token_hash_arrays,
+    token_strings_arrays,
 )
 
 
@@ -1412,10 +1486,10 @@ def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def tok_partial(b: pa.Table) -> pa.Table:
-        # utf8_split_whitespace keeps boundary empties ('' tokens); drop them
-        # to match str.split() semantics (same unicode ws class incl. \\x0b)
-        flat = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
-        flat = flat.filter(pc.not_equal(flat, ""))
+        # byte-level tokenizer (str.split() semantics); NOT
+        # utf8_split_whitespace, which flakes on whitespace runs here —
+        # see common.token_strings_arrays
+        flat, _ = token_strings_arrays(b["text"])
         vc = pc.value_counts(flat)
         return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
 
@@ -1441,14 +1515,11 @@ def build_inverted_index(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
 
     def postings_partial(b: pa.Table) -> pa.Table:
-        ls = pc.utf8_split_whitespace(b["text"])
-        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(ls)
+        flat, offs = token_strings_arrays(b["text"])  # no phantom/'' tokens
         doc = np.repeat(
-            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens)
-        mask = pc.not_equal(flat, "")
-        t = pa.table({"token": flat.filter(mask),
-                      "doc_id": pa.array(doc[mask.to_numpy(zero_copy_only=False)])})
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs))
+        t = pa.table({"token": flat, "doc_id": pa.array(doc)})
         g = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate([([], "count_all")])
         doc_ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
@@ -1508,8 +1579,7 @@ def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def tok_partial(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
-        flat = flat.filter(pc.not_equal(flat, ""))
+        flat, _ = token_strings_arrays(b["text"])  # byte-level; no flakes
         vc = pc.value_counts(flat)
         return pa.table({"token": vc.field("values"), "cnt": vc.field("counts")})
 
@@ -1552,14 +1622,10 @@ def q_tfidf_top_terms(
     n_docs = docs.count()
 
     def df_partial(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(b["text"])
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
+        flat, offs = token_strings_arrays(b["text"])  # byte-level; no flakes
         pairs = pd.DataFrame({
-            "doc": np.repeat(np.arange(b.num_rows),
-                             np.asarray(pc.list_value_length(toks)))[
-                keep.to_numpy(zero_copy_only=False)],
-            "term": flat.filter(keep).to_pandas(),
+            "doc": np.repeat(np.arange(b.num_rows), np.diff(offs)),
+            "term": flat.to_pandas(),
         }).drop_duplicates()
         vc = pairs["term"].value_counts()
         return pa.table({"term": pa.array(vc.index, type=pa.string()),
@@ -1569,15 +1635,11 @@ def q_tfidf_top_terms(
              .groupby("term").aggregate(Sum("df", alias_name="df")))
 
     def tf_pairs(b: pa.Table) -> pd.DataFrame:
-        toks = pc.utf8_split_whitespace(b["text"])
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
+        flat, offs = token_strings_arrays(b["text"])  # byte-level; no flakes
         doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
         pairs = pd.DataFrame({
-            "doc_id": np.repeat(doc_ids,
-                                np.asarray(pc.list_value_length(toks)))[
-                keep.to_numpy(zero_copy_only=False)],
-            "term": flat.filter(keep).to_pandas(),
+            "doc_id": np.repeat(doc_ids, np.diff(offs)),
+            "term": flat.to_pandas(),
         })
         return pairs.groupby(["doc_id", "term"], as_index=False).agg(
             tf=("term", "size"))

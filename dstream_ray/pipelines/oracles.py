@@ -1065,6 +1065,25 @@ SELECT doc_id, n_tokens, score,
 FROM sc
 """
 
+# Curriculum ordering: exact global rank by (quality score, doc_id) asc
+# (score = the quality_classify hashed-weight sum), shard = rank*S//n —
+# both sides pure integers; rank is 0-based.
+ORACLE_SQL["curriculum_shards"] = f"""
+WITH {_TOKS_TH},
+sc AS (
+  SELECT doc_id,
+    CAST(COALESCE(list_sum(list_transform(hs, h -> (h % {QUALITY_WEIGHT_MOD})::BIGINT - {QUALITY_WEIGHT_MOD // 2})), 0) AS BIGINT) AS score
+  FROM th),
+rk AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score, doc_id) - 1 AS rank
+  FROM sc),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc)
+SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+       CAST(rank * 8 // t.n AS BIGINT) AS shard
+FROM rk, t
+"""
+
 # Domain/source-level filtering (the C4/RefinedWeb URL-level rule shape):
 # a source survives iff its mean doc length (permille-scaled integer) is
 # at least the corpus-wide mean; surviving docs pass through. All values

@@ -50,6 +50,7 @@ ADVERSARIAL_QUERIES = [
     "line_dedup",  # library-only (keep-first non-overlapping chunk dedup)
     "inverted_index",  # library-only (postings build: df/tf/extrema/set check)
     "vocab_coverage",  # library-only (nucleus vocab size at 50/90/99% mass)
+    "curriculum_shards",  # library-only (exact global quality rank -> shards)
 ]
 
 
@@ -80,6 +81,7 @@ def _queries_and_oracles():
     qs.setdefault("line_dedup", dataops.q_line_dedup)
     qs.setdefault("inverted_index", dataops.q_inverted_index)
     qs.setdefault("vocab_coverage", dataops.q_vocab_coverage)
+    qs.setdefault("curriculum_shards", dataops.q_curriculum_shards)
     # late-round-4 cessions (driver slots went to the curation family;
     # full local parity retained — see __ray_entry__.queries docstring)
     qs.setdefault("sample_balanced", dataops.q_sample_balanced)

@@ -48,6 +48,28 @@ def test_hash_spans_matches_scalar_incl_outliers():
     assert [int(x) for x in got] == exp
 
 
+def test_token_strings_arrays_matches_str_split():
+    """The byte-level token-STRING kernel matches str.split() on every doc
+    shape — including runs of whitespace, where pc.utf8_split_whitespace
+    was observed to nondeterministically emit phantom ' ' tokens in worker
+    executions on this host (the reason every string-token kernel routes
+    through this function)."""
+    import numpy as np
+
+    from dstream_ray.common import token_strings_arrays
+
+    cases = [
+        [], [""], ["   "], ["a"],
+        ["a b  c", "", "  x ", "\t\n\x0b\x0c\r", "one two", "trail "],
+        ["a" * 300 + " b", " lead", "x  \t y"],
+    ]
+    for docs in cases:
+        toks, offs = token_strings_arrays(docs)
+        assert toks.to_pylist() == [t for d in docs for t in d.split()]
+        assert offs.tolist() == np.cumsum(
+            [0] + [len(d.split()) for d in docs]).tolist()
+
+
 def test_poly_hash_strings_matches_scalar_horner():
     from dstream_ray.common import poly_hash_strings
 

@@ -1306,6 +1306,28 @@ def test_pq_search_recall_beats_random(ray_session, sf_tiny):
     assert sum(recs) / len(recs) >= 0.15, recs
 
 
+def test_curriculum_shards_structure(ray_session, sf_tiny):
+    """The distributed rank is an exact permutation of [0, n): shards are
+    contiguous rank ranges of near-equal size, monotone in score, and
+    agree with a local argsort of the same scores."""
+    import numpy as np
+
+    import dstream_ray.pipelines.dataops as d
+
+    out = d.q_curriculum_shards(sf_tiny).sort_values("rank").reset_index(drop=True)
+    n = len(out)
+    assert out["rank"].tolist() == list(range(n))
+    # rank order == lexicographic (score, doc_id) order
+    pairs = list(zip(out["score"], out["doc_id"]))
+    assert pairs == sorted(pairs)
+    # shards are balanced: size in {floor(n/S), ceil(n/S)} and monotone
+    sizes = out.groupby("shard").size()
+    assert set(sizes.index) == set(range(d.CURRICULUM_SHARDS))
+    assert sizes.min() >= n // d.CURRICULUM_SHARDS
+    assert sizes.max() <= -(-n // d.CURRICULUM_SHARDS)
+    assert (out["shard"].diff().fillna(0) >= 0).all()
+
+
 def test_vocab_coverage_known_structure(ray_session, tmp_path):
     """Hand-checked nucleus coverage: counts a=5 b=3 c=1 d=1 (total 10) →
     cover_50 needs {a} (5 >= 5), cover_90 needs {a,b,c} (9 >= 9),

@@ -129,6 +129,7 @@ def main() -> int:
         ("vocab_coverage", _d.q_vocab_coverage),
         ("pq_encode", _d.q_pq_encode),
         ("pq_search", _d.q_pq_search),
+        ("curriculum_shards", _d.q_curriculum_shards),
     ]:
         qs.setdefault(_name, _fn)
         if _name in _ALL_SQL:
