@@ -479,6 +479,34 @@ LEFT JOIN (SELECT * FROM transcripts WHERE role = 'tool') t
 # partitioned by conv, ordered by turn (dstream_ray.stages.windows.
 # running_kernel through the engine; each row's outputs depend only on its
 # conv prefix, which the kernel's O(1) carry summarises exactly)
+# Per-row online z-score anomaly flag: (n, S, SS) over the conv's PRIOR
+# turn lengths, flag iff n >= ANOMALY_MIN_PRIOR and
+# (n*x - S)^2 > Z^2*(n*SS - S^2) — integer z-sigma test, no float stats.
+# THE rule both sides share (the engine run configures the kernel from
+# these constants).
+ANOMALY_Z = 3
+ANOMALY_MIN_PRIOR = 8
+
+ORACLE_SQL["streaming_anomaly"] = f"""
+WITH {TRANSCRIPTS_CTE},
+w AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(count(*) OVER pw AS BIGINT) AS n_prior,
+         CAST(COALESCE(sum(length(text)) OVER pw, 0) AS BIGINT) AS s_prior,
+         CAST(COALESCE(sum(length(text) * length(text)) OVER pw, 0) AS BIGINT) AS ss_prior
+  FROM transcripts
+  WINDOW pw AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, n_chars, n_prior,
+  n_prior >= {ANOMALY_MIN_PRIOR} AND
+  (n_prior * n_chars - s_prior) * (n_prior * n_chars - s_prior)
+    > {ANOMALY_Z * ANOMALY_Z} * (n_prior * ss_prior - s_prior * s_prior)
+  AS is_anomaly
+FROM w
+"""
+
 ORACLE_SQL["streaming_running"] = f"""
 WITH {TRANSCRIPTS_CTE}
 SELECT conv_id,

@@ -1003,6 +1003,60 @@ def _docs_feed(sf_dir: str, workdir: str, decorate: bool = False) -> str:
     return feed_dir
 
 
+def _run_streaming_anomaly(sf_dir: str):
+    """A tiny engine run dedicated to the 'anomaly' operator (per-row
+    online z-score flag, windows.anomaly_kernel) over the transcripts
+    feed, configured from the oracle's shared constants."""
+    key = ("anomaly", sf_dir)
+    if key in _STREAMING_CACHE:
+        return _STREAMING_CACHE[key]
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.pipelines.oracles import ANOMALY_MIN_PRIOR, ANOMALY_Z
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = tempfile.mkdtemp(prefix="dstream_q_anom_")
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    feed = q_transcripts_feed(sf_dir).to_pandas()
+    feed = feed.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    tbl = pa.Table.from_pandas(
+        feed.drop(columns=["partition_id"]), preserve_index=False)
+    n = tbl.num_rows
+    bounds = np.linspace(0, n, 4).astype(int)
+    for i in range(3):
+        pq_mod.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(feed_dir, f"feed-{i:02d}.parquet"))
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=4,
+            files_per_epoch=1,
+            operators={"anomaly": {"z": ANOMALY_Z,
+                                   "min_prior": ANOMALY_MIN_PRIOR}},
+        )
+    )
+    job.run()
+    _STREAMING_CACHE[key] = job
+    return job
+
+
+def q_streaming_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Committed sink of the 'anomaly' engine operator: every turn with
+    its prior-count and the integer z-sigma flag, through a real
+    multi-epoch exactly-once run; the SQL oracle recomputes the window
+    stats and the flag from the transcripts CTE."""
+    out = _run_streaming_anomaly(sf_dir).sink.read_op("anomaly").to_pandas()
+    return (out[["conv_id", "turn_idx", "n_chars", "n_prior", "is_anomaly"]]
+            .astype({"turn_idx": "int64", "n_chars": "int64",
+                     "n_prior": "int64", "is_anomaly": "bool"})
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
 def _run_streaming_scrub(sf_dir: str):
     """A tiny engine run dedicated to the stateless 'scrub' operator over
     the PII-DECORATED documents feed: multi-epoch exactly-once ingest-time

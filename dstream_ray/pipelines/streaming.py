@@ -56,6 +56,7 @@ from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
 from dstream_ray.stages.windows import (
     absence_kernel,
+    anomaly_kernel,
     interval_join_kernel,
     outer_join_kernel,
     running_kernel,
@@ -113,6 +114,9 @@ WINDOW_OPERATORS = {
     # per-row running window functions (ROW_NUMBER / LAG / running SUM per
     # conv): one output row per input row, O(1) state per conv
     "running": running_kernel,
+    # per-row online z-score anomaly flag (integer-exact prefix mean/var
+    # test): one output row per input row, O(1) (n, S, SS) state per conv
+    "anomaly": anomaly_kernel,
     # gaps-and-islands: per-row session-id + in-session position labels
     "sessionize": sessionize_kernel,
     # per-conv streaming content dedup (suppress repeated identical texts)

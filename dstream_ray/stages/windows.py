@@ -1910,6 +1910,94 @@ def running_kernel(
     return out, {"run": st}
 
 
+_ANOMALY_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "n_prior": pa.array([], type=pa.int64()),
+        "is_anomaly": pa.array([], type=pa.bool_()),
+    }
+)
+
+
+def anomaly_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+    z: int = 3,
+    min_prior: int = 8,
+) -> tuple[pa.Table, dict]:
+    """Per-row streaming anomaly flag over the keyed stream — the online
+    z-score shape (flag a turn whose length deviates from its conv's
+    running mean by more than ``z`` sigma), INTEGER-EXACT so a SQL window
+    oracle recomputes it bit-for-bit: with ``(n, S, SS)`` the count / sum /
+    sum-of-squares of the conv's PRIOR turn lengths, a turn of length ``x``
+    is anomalous iff ``n >= min_prior`` and
+    ``(n*x - S)^2 > z^2 * (n*SS - S^2)`` (the z-sigma test with both sides
+    multiplied by ``n^2`` — no float mean/stddev anywhere). Exact while
+    ``z^2 * n * SS < 2^63``: at 10^4-char turns that allows ~10^6 turns per
+    conv — the feed domain; beyond it, overflow would need per-conv
+    rescaling, not a different algorithm.
+
+    Every input row emits exactly one output row immediately. State per
+    conv is O(1) and survives ``flush`` (non-terminal engine-wide), so a
+    later run keeps accumulating the same prefix stats. Fully vectorized:
+    one exclusive cumsum pair rebased per segment; Python touches only the
+    per-conv carry dict. Epoch-split invariant by construction (each row's
+    flag depends only on its conv prefix) — property-tested."""
+    st: dict = dict(state.get("anom", {}))
+    if not new_rows.num_rows:
+        return _ANOMALY_EMPTY, {"anom": st}
+
+    cols = prep(new_rows)
+    names = cols.conv_names()
+    n_rows = len(cols.codes)
+    starts, ends = cols.starts, cols.ends
+    seg_len = ends - starts
+    seg_names = [names[cols.codes[s]] for s in starts]
+    carry = np.array(
+        [st.get(nm, (0, 0, 0)) for nm in seg_names], dtype=np.int64
+    ).reshape(len(seg_names), 3)
+    base_n, base_s, base_ss = carry[:, 0], carry[:, 1], carry[:, 2]
+
+    seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), seg_len)
+    pos = np.arange(n_rows, dtype=np.int64) - np.repeat(starts, seg_len)
+    x = cols.n_chars.astype(np.int64)
+    x2 = x * x
+    cs, cs2 = np.cumsum(x), np.cumsum(x2)
+    excl = cs - x
+    excl2 = cs2 - x2
+    n_prior = base_n[seg_id] + pos
+    s_prior = base_s[seg_id] + excl - np.repeat(excl[starts], seg_len)
+    ss_prior = base_ss[seg_id] + excl2 - np.repeat(excl2[starts], seg_len)
+
+    lhs = n_prior * x - s_prior
+    flag = (n_prior >= min_prior) & (
+        lhs * lhs > z * z * (n_prior * ss_prior - s_prior * s_prior)
+    )
+
+    last = ends - 1
+    for i, nm in enumerate(seg_names):
+        st[nm] = (
+            int(base_n[i] + seg_len[i]),
+            int(s_prior[last[i]] + x[last[i]]),
+            int(ss_prior[last[i]] + x2[last[i]]),
+        )
+
+    out = pa.table(
+        {
+            "conv_id": cols.conv_strings(np.arange(n_rows)),
+            "turn_idx": pa.array(cols.turn),
+            "n_chars": pa.array(x),
+            "n_prior": pa.array(n_prior),
+            "is_anomaly": pa.array(flag),
+        }
+    )
+    return out, {"anom": st}
+
+
 _SESSIONIZE_EMPTY = pa.table(
     {
         "conv_id": pa.array([], type=pa.string()),

@@ -402,11 +402,16 @@ def test_epoch_split_invariance_per_row_labels(data, gap_s):
     """Per-row label operators (running window functions, gaps-and-islands
     sessionize): any feed, any epoch split — every row's labels depend
     only on its conv prefix, which the O(1) carry summarises exactly."""
-    from dstream_ray.stages.windows import running_kernel, sessionize_kernel
+    from dstream_ray.stages.windows import (
+        anomaly_kernel,
+        running_kernel,
+        sessionize_kernel,
+    )
 
     tbl, bounds = data
     rows = to_residual_rows(tbl)
-    for kernel, kw in [(running_kernel, {}), (sessionize_kernel, {"gap_s": gap_s})]:
+    for kernel, kw in [(running_kernel, {}), (sessionize_kernel, {"gap_s": gap_s}),
+                       (anomaly_kernel, {"z": 2, "min_prior": 3})]:
         single = run_split(kernel, rows, [0, rows.num_rows], **kw)
         multi = run_split(kernel, rows, bounds, **kw)
         pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)

@@ -111,6 +111,7 @@ def main() -> int:
         ("knn_classify", _d.q_knn_classify),
         ("pivot_roles", _q.q_pivot_roles),
         ("streaming_scrub", _q.q_streaming_scrub),
+        ("streaming_anomaly", _q.q_streaming_anomaly),
         ("domain_filter", _d.q_domain_filter),
         # late-round-4 cessions: generic relational demos + twins whose
         # families stay driver-gated (see __ray_entry__.queries docstring)
