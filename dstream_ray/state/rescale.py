@@ -67,6 +67,7 @@ CONV_KEYED = {
     "absence",
     "outer_join",
     "running",
+    "anomaly",  # conv-keyed (n, sum, sumsq) carry — pure dict split
     "sessionize",
     "tumbling_distinct",
     "tumbling_quantile",

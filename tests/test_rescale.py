@@ -22,6 +22,7 @@ OPS = {
     "interval_join": {"within_s": WIDTH_S},
     "outer_join": {"within_s": WIDTH_S},
     "running": {},
+    "anomaly": {"z": 2, "min_prior": 3},
     "sessionize": {"gap_s": GAP_S},
     "tumbling_distinct": {"width_s": WIDTH_S},
     "tumbling_global": {"width_s": WIDTH_S},
