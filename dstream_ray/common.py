@@ -60,6 +60,24 @@ def fnv1a_u64(strings: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     return out
 
 
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3's fmix64 finalizer, vectorized over a uint64 array.
+
+    FNV-1a disperses poorly in the high bits for short similar keys
+    (``c7:0`` vs ``c7:1``); the finalizer restores avalanche so the hash
+    can drive ORDER (bottom-k sampling) or bucketing. Identical constants
+    to stages/sketches.hll_idx_rank and the HUGEINT SQL emulation the
+    oracles use, so hash-ordered results are SQL-checkable."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def utf8_view(strings: pa.Array | pa.ChunkedArray | list[str]):
     """Zero-copy view of a string array's UTF-8 bytes.
 

@@ -64,6 +64,8 @@ from dstream_ray.stages.windows import (
     tumbling_counts_kernel,
     tumbling_hll_kernel,
     tumbling_qsketch_kernel,
+    tumbling_sample_kernel,
+    tumbling_topk_kernel,
     tumbling_distinct_kernel,
     tumbling_global_kernel,
     tumbling_quantile_kernel,
@@ -95,6 +97,12 @@ WINDOW_OPERATORS = {
     # GLOBAL windowed approx-quantile sketch: mergeable log-bucket histogram
     # partials per partition (consumer merges by summing counts)
     "tumbling_qsketch": tumbling_qsketch_kernel,
+    # GLOBAL windowed uniform sample: bottom-k hash-priority rows per
+    # window (<= k rows state; exact semilattice merge across partitions)
+    "tumbling_sample": tumbling_sample_kernel,
+    # GLOBAL windowed heavy hitters: Misra-Gries summary, state bounded by
+    # `capacity` per window regardless of vocabulary (exact when under it)
+    "tumbling_topk": tumbling_topk_kernel,
     "sliding": sliding_kernel,
     "session": session_kernel,
     "session_join": session_join_kernel,

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 # module-level so they resolve at pickle time (the package is registered
 # cloudpickle-by-value); a function-level import would re-resolve on the
 # WORKER, where the repo is not on sys.path
-from dstream_ray.common import fnv1a_u64
+from dstream_ray.common import fmix64, fnv1a_u64
 from dstream_ray.stages.sketches import HLL
 
 US = 1_000_000
@@ -2283,3 +2283,265 @@ def tumbling_hll_kernel(
         }
     )
     return out, {}
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state GLOBAL windowed sampling + heavy hitters
+# ---------------------------------------------------------------------------
+
+_TUMBLING_SAMPLE_EMPTY = pa.table(
+    {
+        "window_id": pa.array([], type=pa.int64()),
+        "priority": pa.array([], type=pa.uint64()),
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "ts_us": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def tumbling_sample_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    k: int,
+    flush: bool = False,
+    closure: str = "flush",
+    watermark_us: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """GLOBAL windowed uniform sample with BOUNDED state: bottom-k
+    hash-priority sampling (Cohen/Kaplan bottom-k sketch). Every turn gets
+    a deterministic priority ``fmix64(fnv1a(conv_id || ':' || turn_idx))``;
+    each partition keeps only the k smallest-priority rows per open
+    tumbling window (state <= k rows/window regardless of stream length —
+    the 10^12-turn ingest-sampling path, where a reservoir with random
+    state would break replay determinism). At window close it emits its
+    bottom-k as a partial; the consumer takes the global bottom-k of the
+    <= P*k candidates per window.
+
+    EXACT and order-free by construction: bottom-k is a semilattice
+    (``bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪ bottom_k(B))``), so any
+    epoch split, partition layout, or rescale merge yields the identical
+    final sample — the same k rows a SQL ``row_number() OVER (PARTITION BY
+    window ORDER BY hash)`` oracle selects over the full feed. Since the
+    priority is a hash of the row identity, membership is a uniform
+    pseudo-random choice yet reproducible across runs/nodes.
+
+    Closure semantics identical to :func:`tumbling_counts_kernel`
+    (flush-all or watermark); late rows below the emission cursor are
+    counted and dropped.
+    """
+    w_us = width_s * US
+    cur: pd.DataFrame | None = state.get("samples")
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below = state.get("emitted_below")
+
+    n = new_rows.num_rows
+    if n:
+        ts = new_rows["ts_us"].to_numpy(zero_copy_only=False)
+        bucket = ts // w_us
+        if emitted_below is not None:
+            keep = bucket >= emitted_below
+            if not keep.all():
+                late_drops += int((~keep).sum())
+                new_rows = new_rows.filter(pa.array(keep))
+                bucket = bucket[keep]
+                n = new_rows.num_rows
+    if n:
+        conv = new_rows["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        turn = new_rows["turn_idx"]
+        if isinstance(turn, pa.ChunkedArray):
+            turn = turn.combine_chunks()
+        key = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), ":")
+        pri = fmix64(fnv1a_u64(key))
+        df = pd.DataFrame(
+            {
+                "window_id": bucket,
+                "priority": pri,
+                "conv_id": conv.to_pandas(),
+                "turn_idx": turn.to_numpy(zero_copy_only=False).astype(np.int64),
+                "ts_us": new_rows["ts_us"].to_numpy(zero_copy_only=False),
+                "n_chars": new_rows["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        frames = [cur, df] if cur is not None else [df]
+        cur = pd.concat(frames, ignore_index=True)
+    if cur is None:
+        cur = _TUMBLING_SAMPLE_EMPTY.to_pandas()
+    if len(cur):
+        # trim unconditionally (not only when rows arrived): a rescale
+        # merge concatenates P partials without knowing k, relying on the
+        # next call to restore the bound before any emission
+        cur = cur.sort_values(
+            ["window_id", "priority", "conv_id", "turn_idx"],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        cur = cur[cur.groupby("window_id").cumcount() < k].reset_index(drop=True)
+
+    if flush:
+        emit_mask = np.ones(len(cur), dtype=bool)
+        next_below = int(cur["window_id"].max()) + 1 if len(cur) else emitted_below
+    elif closure == "watermark":
+        wm_bucket = (watermark_us if watermark_us is not None else -1) // w_us
+        emit_mask = (cur["window_id"] < wm_bucket).to_numpy()
+        next_below = int(wm_bucket)
+    else:
+        emit_mask = np.zeros(len(cur), dtype=bool)
+        next_below = emitted_below
+
+    out = (
+        pa.Table.from_pandas(cur[emit_mask], preserve_index=False).cast(
+            _TUMBLING_SAMPLE_EMPTY.schema
+        )
+        if emit_mask.any()
+        else _TUMBLING_SAMPLE_EMPTY
+    )
+    new_state: dict = {"samples": cur[~emit_mask], "late_drops": late_drops}
+    if next_below is not None:
+        new_state["emitted_below"] = next_below
+    return out, new_state
+
+
+_TUMBLING_TOPK_EMPTY = pa.table(
+    {
+        "window_id": pa.array([], type=pa.int64()),
+        "value": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "err": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def tumbling_topk_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    width_s: int,
+    capacity: int,
+    flush: bool = False,
+    value_col: str = "tool",
+    skip_empty: bool = True,
+    closure: str = "flush",
+    watermark_us: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """GLOBAL windowed heavy hitters with BOUNDED state: a Misra-Gries
+    summary of at most ``capacity`` (value, count) entries per open window
+    per partition — the vocabulary-INDEPENDENT sibling of
+    :func:`tumbling_counts_kernel` (whose state is bounded by windows ×
+    vocabulary; fine for tool names, fatal for unbounded keys like content
+    hashes or URLs at 100 TB). Batched MG fold: add the batch's exact
+    per-window value counts, then per over-full window subtract the
+    (capacity+1)-th largest count from every entry and drop the
+    non-positive ones; the subtracted total accumulates in the window's
+    ``err``. Classic guarantees (Misra-Gries '82; merge rule per Agarwal
+    et al., "Mergeable Summaries", PODS'12): per partial,
+    ``true_count - err <= n <= true_count`` for tracked values and every
+    value with ``true_count > err`` is present; err <= N_partition /
+    (capacity+1).
+
+    Emission at closure: the summary rows ``(window_id, value, n, err)``.
+    The consumer SUMS n (and err) per (window, value) across partitions:
+    lower bound sum(n), upper bound sum(n) + sum of the partitions' errs.
+    When capacity >= the window's distinct-value count no decrement ever
+    happens (err == 0): counts are exact, equal to tumbling_counts, and
+    epoch-split invariant — the SQL-gated regime. Over capacity the
+    guarantee is the MG bound, not split-exactness (the summary content
+    may depend on batch boundaries; the bounds above always hold) — same
+    honesty contract as dedup_bloom's low-fill gate.
+    """
+    w_us = width_s * US
+    cur: pd.DataFrame | None = state.get("summary")
+    werr: dict = dict(state.get("werr", {}))
+    late_drops = int(state.get("late_drops", 0))
+    emitted_below = state.get("emitted_below")
+
+    n = new_rows.num_rows
+    if n:
+        ts = new_rows["ts_us"].to_numpy(zero_copy_only=False)
+        bucket = ts // w_us
+        if emitted_below is not None:
+            keep = bucket >= emitted_below
+            if not keep.all():
+                late_drops += int((~keep).sum())
+                new_rows = new_rows.filter(pa.array(keep))
+                bucket = bucket[keep]
+                n = new_rows.num_rows
+    if n:
+        val = new_rows[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        df = pd.DataFrame(
+            {"window_id": bucket, "value": val.to_pandas(), "n": np.int64(1)}
+        )
+        if skip_empty:
+            df = df[df["value"] != ""]
+        frames = [cur, df] if cur is not None else [df]
+        cur = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_id", "value"], sort=True, as_index=False)["n"]
+            .sum()
+        )
+    if cur is None:
+        cur = _TUMBLING_TOPK_EMPTY.to_pandas()[["window_id", "value", "n"]]
+    if len(cur):
+        # unconditional MG trim (also restores the bound after a rescale
+        # merge, which concatenates partials without knowing capacity)
+        cur = cur.sort_values(
+            ["window_id", "n", "value"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        rank = cur.groupby("window_id").cumcount()
+        over = cur[rank == capacity]  # the (capacity+1)-th largest per window
+        if len(over):
+            dec = cur["window_id"].map(
+                over.set_index("window_id")["n"]
+            ).fillna(0).astype(np.int64)
+            for w, d in zip(over["window_id"], over["n"]):
+                werr[int(w)] = int(werr.get(int(w), 0)) + int(d)
+            cur = cur.assign(n=cur["n"] - dec)
+            cur = cur[cur["n"] > 0].reset_index(drop=True)
+
+    if flush:
+        emit_mask = np.ones(len(cur), dtype=bool)
+        max_w = int(cur["window_id"].max()) if len(cur) else None
+        if werr:
+            max_w = max(max_w if max_w is not None else -(1 << 62), max(werr))
+        next_below = max_w + 1 if max_w is not None else emitted_below
+    elif closure == "watermark":
+        wm_bucket = (watermark_us if watermark_us is not None else -1) // w_us
+        emit_mask = (cur["window_id"] < wm_bucket).to_numpy()
+        next_below = int(wm_bucket)
+    else:
+        emit_mask = np.zeros(len(cur), dtype=bool)
+        next_below = emitted_below
+
+    emitted = cur[emit_mask]
+    if len(emitted):
+        out = pa.Table.from_pandas(
+            emitted.assign(
+                err=emitted["window_id"].map(
+                    lambda w: int(werr.get(int(w), 0))
+                ).astype(np.int64)
+            ),
+            preserve_index=False,
+        ).cast(_TUMBLING_TOPK_EMPTY.schema)
+    else:
+        out = _TUMBLING_TOPK_EMPTY
+    closed = set(emitted["window_id"].astype(int)) if len(emitted) else set()
+    if next_below is not None:
+        closed |= {w for w in werr if w < next_below}
+    new_state: dict = {
+        "summary": cur[~emit_mask],
+        "werr": {w: e for w, e in werr.items() if w not in closed},
+        "late_drops": late_drops,
+    }
+    if next_below is not None:
+        new_state["emitted_below"] = next_below
+    return out, new_state

@@ -74,7 +74,14 @@ CONV_KEYED = {
     "dedup",
     "upsert",
 }
-GLOBAL_MERGE = {"tumbling_global", "tumbling_counts", "tumbling_hll", "tumbling_qsketch"}
+GLOBAL_MERGE = {
+    "tumbling_global",
+    "tumbling_counts",
+    "tumbling_hll",
+    "tumbling_qsketch",
+    "tumbling_sample",
+    "tumbling_topk",
+}
 STATELESS = {"enrich"}
 UNRESCALABLE = {"dedup_bloom", "neardup"}
 
@@ -186,6 +193,41 @@ def _merge_global_op(base: str, op_states: list[dict]) -> dict:
                 .groupby(["window_id", "value"], as_index=False)["n"]
                 .sum()
             )
+        ebs = [s["emitted_below"] for s in op_states if s.get("emitted_below") is not None]
+        if ebs:
+            merged["emitted_below"] = min(int(e) for e in ebs)
+        return merged
+    if base == "tumbling_sample":
+        # bottom-k is a semilattice: concatenating P partials is a correct
+        # (superset) candidate set; the kernel's unconditional per-call trim
+        # restores the <= k/window bound before any emission, so the merged
+        # sample equals the uninterrupted run's exactly.
+        frames = [s["samples"] for s in op_states if s.get("samples") is not None]
+        merged = {"late_drops": sum(int(s.get("late_drops", 0)) for s in op_states)}
+        if frames:
+            merged["samples"] = pd.concat(frames, ignore_index=True)
+        ebs = [s["emitted_below"] for s in op_states if s.get("emitted_below") is not None]
+        if ebs:
+            merged["emitted_below"] = min(int(e) for e in ebs)
+        return merged
+    if base == "tumbling_topk":
+        # Misra-Gries merge (Agarwal et al., PODS'12): sum counts per
+        # (window, value) and sum the per-window error offsets; the kernel's
+        # unconditional trim re-applies the capacity bound on its next call.
+        frames = [s["summary"] for s in op_states if s.get("summary") is not None]
+        merged = {"late_drops": sum(int(s.get("late_drops", 0)) for s in op_states)}
+        if frames:
+            merged["summary"] = (
+                pd.concat(frames, ignore_index=True)
+                .groupby(["window_id", "value"], as_index=False)["n"]
+                .sum()
+            )
+        werr: dict = {}
+        for s in op_states:
+            for w, e in (s.get("werr") or {}).items():
+                werr[int(w)] = werr.get(int(w), 0) + int(e)
+        if werr:
+            merged["werr"] = werr
         ebs = [s["emitted_below"] for s in op_states if s.get("emitted_below") is not None]
         if ebs:
             merged["emitted_below"] = min(int(e) for e in ebs)

@@ -29,9 +29,19 @@ OPS = {
     "tumbling_counts": {"width_s": WIDTH_S},
     "tumbling_hll": {"width_s": WIDTH_S},
     "tumbling_qsketch": {"width_s": WIDTH_S},
+    "tumbling_sample": {"width_s": WIDTH_S, "k": 5},
+    "tumbling_topk": {"width_s": WIDTH_S, "capacity": 50},
     "dedup": {},
     "upsert": {},
 }
+
+
+def _canon_sample(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition partial layout differs legitimately after a rescale;
+    the invariant is the CONSUMER's global bottom-k per window."""
+    return (df.sort_values(["window_id", "priority", "conv_id", "turn_idx"])
+            .groupby("window_id").head(5)
+            .drop(columns=["priority"]))
 
 # how to canonicalize each sink for comparison: global partials merge
 # (their partition layout legitimately differs); everything else compares
@@ -41,6 +51,8 @@ MERGES = {
     "tumbling_counts": ("sum", ["window_id", "value"]),
     "tumbling_hll": ("max", ["window_id", "bucket"]),
     "tumbling_qsketch": ("sum", ["window_id", "bucket"]),
+    "tumbling_sample": _canon_sample,
+    "tumbling_topk": ("sum", ["window_id", "value"]),
 }
 
 
@@ -66,9 +78,12 @@ def _canon(job, op):
     t = job.sink.read_op(op)
     df = t.to_pandas() if t is not None else pd.DataFrame()
     if op in MERGES:
-        how, keys = MERGES[op]
-        vals = [c for c in df.columns if c not in keys]
-        df = df.groupby(keys, as_index=False)[vals].agg(how)
+        if callable(MERGES[op]):
+            df = MERGES[op](df) if len(df) else df
+        else:
+            how, keys = MERGES[op]
+            vals = [c for c in df.columns if c not in keys]
+            df = df.groupby(keys, as_index=False)[vals].agg(how)
     df = df[sorted(df.columns)]
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
