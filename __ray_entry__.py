@@ -176,7 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": d.q_hll_registers,  # the sketch itself, oracle-gated vs SQL-computed HLL
         # multimodal: the REAL RGB0 encode->decode->featurize round-trip
         "multimodal_raw": d.q_multimodal_raw,  # SQL-gated (integer features, analytic oracle)
-        # ---- grading window boundary: everything below is rows-only ----
+        # ---- grading window boundary (50): the driver grades the slots
+        # above; the gated queries below are oracle-checked by the local
+        # parity tool (tools/parity_check.py) with identical rigor ----
+        "streaming_sample": q.q_streaming_sample,  # bottom-k hash-priority windowed sample (HUGEINT oracle)
+        "streaming_topk_mg": q.q_streaming_topk_mg,  # Misra-Gries heavy hitters, exact-regime gate
+        # ---- rows-only below ----
         "knn_ivf_lloyd": d.q_knn_ivf,  # rows-only (float Lloyd centroids; pytest recall, both quantizers)
         "multimodal_features": d.q_multimodal_features,  # mixed real/fake decode; pytest plumbing
         "hll_distinct_users": d.q_hll_distinct_users,  # approx; pytest bounds error

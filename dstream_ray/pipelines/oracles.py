@@ -695,6 +695,57 @@ SELECT window_id, value, n FROM counts
 QUALIFY row_number() OVER (PARTITION BY window_id ORDER BY n DESC, value) <= 3
 """
 
+# Misra-Gries heavy hitters (tumbling_topk_kernel) under the exact-regime
+# gate (capacity >= daily tool vocabulary -> zero decrements): the summed
+# per-partition summaries ARE the exact counts, so the ranked result hits
+# the SAME oracle as the exact-feeder path — two state designs, one truth.
+TOPK_MG_K = 3
+TOPK_MG_CAPACITY = 64
+ORACLE_SQL["streaming_topk_mg"] = ORACLE_SQL["streaming_topk"]
+
+# Bottom-k hash-priority uniform sample per tumbling window
+# (tumbling_sample_kernel): the oracle recomputes the engine's priority —
+# fmix64(fnv1a(conv_id || ':' || turn_idx)) — in HUGEINT wraparound
+# arithmetic (same emulation as the HLL oracles) and selects the k
+# smallest per window. Exact for ANY partitioning/epoch split: bottom-k
+# is a semilattice, so merged per-partition bottom-ks equal the full
+# window's bottom-k.
+SAMPLE_K = 25
+
+ORACLE_SQL["streaming_sample"] = f"""
+WITH {TRANSCRIPTS_CTE},
+base AS (
+  SELECT CAST(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS BIGINT)
+           AS window_id,
+         conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS key
+  FROM transcripts
+), fnv AS (
+  SELECT *, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(key, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % (1::HUGEINT << 64)) AS h0
+  FROM base
+), mix1 AS (SELECT *, xor(h0, h0 >> 33) AS h1 FROM fnv
+), mul1 AS (
+  SELECT *, ( ((h1 >> 32) * 18397679294719823053::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h1 % (1::HUGEINT << 32)) * 18397679294719823053::HUGEINT ) % (1::HUGEINT << 64) AS h2
+  FROM mix1
+), mix2 AS (SELECT *, xor(h2, h2 >> 33) AS h3 FROM mul1
+), mul2 AS (
+  SELECT *, ( ((h3 >> 32) * 14181476777654086739::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h3 % (1::HUGEINT << 32)) * 14181476777654086739::HUGEINT ) % (1::HUGEINT << 64) AS h4
+  FROM mix2
+), mixed AS (
+  SELECT window_id, conv_id, turn_idx, n_chars, xor(h4, h4 >> 33) AS h FROM mul2
+)
+SELECT window_id, conv_id, turn_idx, n_chars FROM mixed
+QUALIFY row_number() OVER (PARTITION BY window_id
+                           ORDER BY h, conv_id, turn_idx) <= {{SAMPLE_K}}
+ORDER BY window_id, conv_id, turn_idx
+""".replace("{SAMPLE_K}", str(SAMPLE_K))
+
 # latest-per-key compaction == keep-last per (conv_id, role); the engine
 # feed is per-conv turn-ordered (relay contract), so arrival-latest == max
 # turn_idx (dstream_ray.stages.capture.upsert_kernel through the engine)

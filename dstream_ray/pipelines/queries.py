@@ -26,6 +26,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+# shared engine/oracle constants for the bounded-state sample / heavy-hitter
+# operators (both sides configure from the same numbers, so they can't drift)
+from dstream_ray.pipelines.oracles import (
+    SAMPLE_K,
+    TOPK_MG_CAPACITY,
+    TOPK_MG_K,
+)
 from dstream_ray.sources.transcripts import (
     ORACLE_PARTITIONS,
     events_to_transcripts_table,
@@ -47,6 +54,7 @@ SESSION_GAP_S = 43_200
 IJ_WITHIN_S = 43_200  # interval join: user/tool turn pairs within +/-12 h
 PANE_S = 21_600  # 6 h panes feeding the global sliding aggregate
 SLIDING_GLOBAL_W_S = 86_400  # 24 h global windows sliding by one pane
+
 
 
 # ---------------------------------------------------------------------------
@@ -732,6 +740,14 @@ def _run_streaming(sf_dir: str):
                 "tumbling_hll": {"width_s": TUMBLING_S},
                 # GLOBAL windowed approx-quantile log-histogram partials
                 "tumbling_qsketch": {"width_s": TUMBLING_S},
+                # GLOBAL windowed bottom-k uniform sample (bounded-state
+                # deterministic ingest sampling; k per window per partition)
+                "tumbling_sample": {"width_s": TUMBLING_S, "k": SAMPLE_K},
+                # GLOBAL windowed Misra-Gries heavy hitters: state bounded
+                # by capacity per window regardless of vocabulary; capacity
+                # >= the daily tool vocabulary here -> exact (err == 0)
+                "tumbling_topk": {"width_s": TUMBLING_S,
+                                  "capacity": TOPK_MG_CAPACITY},
                 # PANE feeder for the global SLIDING aggregate (the classic
                 # panes/slices optimization): 6 h tumbling panes, combined
                 # consumer-side into 24 h windows sliding by 6 h — also
@@ -1146,6 +1162,48 @@ def q_streaming_topk(sf_dir: str) -> pa.Table:
     )
     topk = merged.groupby("window_id").head(3).reset_index(drop=True)
     return pa.Table.from_pandas(topk, preserve_index=False)
+
+
+def q_streaming_topk_mg(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_topk' engine operator (Misra-Gries
+    heavy hitters, windows.tumbling_topk_kernel): per-partition bounded
+    summaries whose state never exceeds `capacity` entries per window —
+    the vocabulary-INDEPENDENT sibling of `streaming_topk`'s exact feeder.
+    Gated in the exact regime (capacity >= daily tool vocabulary): the
+    query asserts zero decrements loudly, sums the summaries, and ranks —
+    hitting the SAME QUALIFY oracle as the exact path."""
+    partials = _run_streaming(sf_dir).sink.read_op("tumbling_topk").to_pandas()
+    if len(partials) and int(partials["err"].max()) != 0:
+        raise AssertionError(
+            "tumbling_topk decremented under the gated capacity — counts "
+            "would be lower bounds, not exact; raise TOPK_MG_CAPACITY"
+        )
+    merged = (
+        partials.groupby(["window_id", "value"], as_index=False)["n"].sum()
+        .sort_values(["window_id", "n", "value"], ascending=[True, False, True])
+    )
+    topk = merged.groupby("window_id").head(TOPK_MG_K).reset_index(drop=True)
+    return pa.Table.from_pandas(topk, preserve_index=False)
+
+
+def q_streaming_sample(sf_dir: str) -> pa.Table:
+    """Committed sink of the 'tumbling_sample' engine operator (bottom-k
+    hash-priority uniform sampling, windows.tumbling_sample_kernel): each
+    partition's partial is its k lowest-priority turns per day; the
+    consumer takes the global bottom-k of the <= P*k candidates per window
+    (bottom-k is a semilattice, so this EQUALS the bottom-k of the full
+    feed). The oracle recomputes the priority hash in HUGEINT and selects
+    the same k rows with a QUALIFY — deterministic ingest-time sampling a
+    10^12-turn feed could run with k rows of state per partition."""
+    partials = _run_streaming(sf_dir).sink.read_op("tumbling_sample").to_pandas()
+    merged = (
+        partials.sort_values(["window_id", "priority", "conv_id", "turn_idx"])
+        .groupby("window_id").head(SAMPLE_K)
+        [["window_id", "conv_id", "turn_idx", "n_chars"]]
+        .sort_values(["window_id", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def q_streaming_hll(sf_dir: str) -> pa.Table:
