@@ -1563,6 +1563,89 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(tidy, batch_format="pyarrow")
 
 
+# BM25 retrieval constants shared with the SQL oracle: query terms are the
+# df-ranked tokens at these positions (deterministic, corpus-derived — no
+# hardcoded vocabulary), k1=1.2 / b=0.75 folded into exact integer
+# arithmetic (see q_bm25_search), top-K by (score DESC, doc_id).
+BM25_RANKS = (10, 20, 30, 40)
+BM25_TOP = 10
+
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact BM25 retrieval over the documents corpus (k1=1.2,
+    b=0.75): top-K docs for a deterministic 4-term query (the df-ranked
+    tokens at positions BM25_RANKS — picked from the corpus itself so the
+    query works at any scale). All scoring is integer arithmetic with a
+    FIXED quantization recipe both sides share, so DuckDB reproduces every
+    score bit-for-bit:
+
+        idf_q  = (10000*(2N - 2df + 1)) // (2df + 1)     -- idf x1e4
+        L_q    = (1000 * dl * N) // TL                   -- dl/avgdl x1e3
+        s(t,d) = (idf_q * 22000 * tf) // (10000*tf + 3000 + 9*L_q)
+
+    (the denominator is tf + k1*(1-b) + k1*b*dl/avgdl scaled by 1e4; the
+    numerator carries tf*(k1+1) = 2.2*tf scaled to match; magnitudes stay
+    under 2^62 for N, tf, TL within int64 corpus bounds).
+
+    Scale shape: pass 1 is the vocabulary-bounded df aggregate (also
+    yields TL = sum tf and the query terms); pass 2 re-tokenizes,
+    keeps ONLY docs matching a query term, and scores them in-batch with
+    the broadcast (df, N, TL) scalars — no per-doc state, no shuffle
+    except the final (matched-docs-bounded) groupby + top-K sort."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    df_tbl = (build_inverted_index(sf_dir)
+              .groupby("token")
+              .aggregate(Count(alias_name="df"), Sum("tf", alias_name="tf"))
+              .to_pandas())
+    n_docs = int(_read_documents(sf_dir, ["doc_id"]).count())
+    total_len = int(df_tbl["tf"].sum())
+    ranked = df_tbl.sort_values(["df", "token"], ascending=[False, True])
+    picks = ranked.iloc[[r - 1 for r in BM25_RANKS if r <= len(ranked)]]
+    idf_q = {
+        t: (10000 * (2 * n_docs - 2 * int(d) + 1)) // (2 * int(d) + 1)
+        for t, d in zip(picks["token"], picks["df"])
+    }
+    if not idf_q or total_len == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    terms = sorted(idf_q)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        flat, offs = token_strings_arrays(b["text"])
+        dl = np.diff(offs).astype(np.int64)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_q = (1000 * dl * n_docs) // total_len
+        out_doc, out_s = [], []
+        for t in terms:
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.r_[0, np.cumsum(eq)]
+            tf = csum[offs[1:]] - csum[offs[:-1]]  # per-doc term frequency
+            hit = tf > 0
+            if hit.any():
+                s = (idf_q[t] * 22000 * tf[hit]) // (
+                    10000 * tf[hit] + 3000 + 9 * l_q[hit]
+                )
+                out_doc.append(doc[hit])
+                out_s.append(s)
+        if not out_doc:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                         "s": pa.array(np.concatenate(out_s))})
+
+    scored = (_read_documents(sf_dir, ["doc_id", "text"])
+              .map_batches(score_partial, batch_format="pyarrow")
+              .groupby("doc_id")
+              .aggregate(Sum("s", alias_name="score"))
+              .to_pandas())
+    top = (scored.astype({"doc_id": "int64", "score": "int64"})
+           .sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(BM25_TOP).reset_index(drop=True))
+    return top
+
+
 VOCAB_COVER_PCTS = (50, 90, 99)
 
 

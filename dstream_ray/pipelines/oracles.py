@@ -1866,6 +1866,61 @@ SELECT token,
 FROM pd GROUP BY token
 """
 
+# Integer-exact BM25 retrieval (dataops.q_bm25_search): same whitespace
+# tokenization as the inverted-index oracle, query terms = the df-ranked
+# tokens at positions (10, 20, 30, 40) with (df DESC, token) tie-break,
+# and the identical integer quantization recipe — idf x1e4 via
+# (10000*(2N-2df+1)) // (2df+1), relative doc length x1e3 via
+# (1000*dl*N) // TL, per-term score (idf_q*22000*tf) // (10000*tf + 3000
+# + 9*L_q) — so every score matches the engine bit-for-bit. Top-10 by
+# (score DESC, doc_id).
+ORACLE_SQL["bm25_search"] = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS token
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+),
+pd AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM pos GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM pos GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         CAST(sum(tf) AS BIGINT) AS tl
+  FROM pd
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY 1
+),
+qterms AS (
+  SELECT token, df FROM (
+    SELECT token, df,
+           row_number() OVER (ORDER BY df DESC, token) AS rnk
+    FROM dfreq
+  ) WHERE rnk IN (10, 20, 30, 40)
+),
+scored AS (
+  SELECT pd.doc_id,
+         ( ((10000 * (2*stats.n - 2*q.df + 1)) // (2*q.df + 1))
+           * 22000 * pd.tf )
+         // ( 10000 * pd.tf + 3000
+              + 9 * ((1000 * dl.dl * stats.n) // stats.tl) ) AS s
+  FROM pd
+  JOIN qterms q USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(s) AS BIGINT) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
 # Product quantization: codeword k of subspace m is the floor(x*1e6)
 # sub-vector of the corpus vector vec_id == k; assignment = integer
 # squared-L2 argmin with smaller-k tiebreak; recon_err sums the PQ_M
