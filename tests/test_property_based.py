@@ -496,3 +496,53 @@ def test_repetition_stats_matches_counter_reference(docs):
         assert row["dup_bigram_frac_x1000"] == (
             (1000 * (len(bgs) - len(cb))) // len(bgs) if bgs else 0
         )
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_sample_and_topk(data):
+    """Bounded-state global window ops: tumbling_sample is EXACTLY split
+    invariant for any feed (bottom-k is a semilattice); tumbling_topk is
+    split invariant in the exact regime (capacity >= window vocabulary,
+    here the 3-value role column)."""
+    from dstream_ray.stages.windows import (
+        tumbling_sample_kernel,
+        tumbling_topk_kernel,
+    )
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    for kernel, kw in [
+        (tumbling_sample_kernel, {"width_s": WIDTH_S, "k": 3}),
+        (tumbling_topk_kernel, {"width_s": WIDTH_S, "capacity": 16,
+                                "value_col": "role", "skip_empty": False}),
+    ]:
+        single = run_split(kernel, rows, [0, rows.num_rows], **kw)
+        multi = run_split(kernel, rows, bounds, **kw)
+        pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(feeds(), st.integers(1, 3))
+def test_topk_mg_bounds_any_split(data, capacity):
+    """Over capacity, the Misra-Gries guarantees hold for ANY epoch split:
+    <= capacity emitted entries per window, counts never overcount, and
+    the undercount of every tracked value is within the window's err."""
+    from dstream_ray.stages.windows import tumbling_topk_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    got = run_split(tumbling_topk_kernel, rows, bounds,
+                    width_s=WIDTH_S, capacity=capacity,
+                    value_col="role", skip_empty=False)
+    if not len(got):
+        return
+    assert (got.groupby("window_id").size() <= capacity).all()
+    res = rows.to_pandas()
+    res["window_id"] = res.ts_us // (WIDTH_S * 1_000_000)
+    true = (res.groupby(["window_id", "role"]).size().rename("n_true")
+            .reset_index().rename(columns={"role": "value"}))
+    m = got.merge(true, on=["window_id", "value"], how="left")
+    assert m["n_true"].notna().all()  # no phantom values
+    assert (m["n"] <= m["n_true"]).all()
+    assert (m["n_true"] - m["n"] <= m["err"]).all()
