@@ -1572,6 +1572,12 @@ BM25_TOP = 10
 
 
 def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Top-BM25_TOP rows of :func:`_bm25_scored` — see there for the
+    integer-exact scoring recipe and the scale shape."""
+    return _bm25_scored(sf_dir).head(BM25_TOP).reset_index(drop=True)
+
+
+def _bm25_scored(sf_dir: str) -> pd.DataFrame:
     """Integer-exact BM25 retrieval over the documents corpus (k1=1.2,
     b=0.75): top-K docs for a deterministic 4-term query (the df-ranked
     tokens at positions BM25_RANKS — picked from the corpus itself so the
@@ -1599,6 +1605,9 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
               .groupby("token")
               .aggregate(Count(alias_name="df"), Sum("tf", alias_name="tf"))
               .to_pandas())
+    if not len(df_tbl):  # all-empty corpus: no postings, no columns
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
     n_docs = int(_read_documents(sf_dir, ["doc_id"]).count())
     total_len = int(df_tbl["tf"].sum())
     ranked = df_tbl.sort_values(["df", "token"], ascending=[False, True])
@@ -1640,10 +1649,72 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
               .groupby("doc_id")
               .aggregate(Sum("s", alias_name="score"))
               .to_pandas())
-    top = (scored.astype({"doc_id": "int64", "score": "int64"})
-           .sort_values(["score", "doc_id"], ascending=[False, True])
-           .head(BM25_TOP).reset_index(drop=True))
-    return top
+    return (scored.astype({"doc_id": "int64", "score": "int64"})
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+# Hybrid retrieval constants (shared with the SQL oracle): candidate list
+# depth per ranker, the RRF smoothing constant, and the fused output size.
+HYBRID_M = 50
+RRF_K = 60
+HYBRID_TOP = 10
+
+
+def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
+    """HYBRID retrieval: lexical BM25 + dense maximum-inner-product
+    rankings fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09),
+    entirely in integer arithmetic so DuckDB reproduces the fused scores
+    bit-for-bit. Lexical side: the BM25 ranking of :func:`_bm25_scored`
+    (corpus-derived query terms). Dense side: integer dot products of
+    floor(1e6·x) embeddings against the broadcast query vector (the
+    lowest vec_id row), ranked (s DESC, vec_id). Each ranker contributes
+    ``1_000_000 // (RRF_K + rank)`` for its top HYBRID_M candidates;
+    fused top-HYBRID_TOP by (rrf DESC, doc_id).
+
+    Scale shape: the dense pass is one map_batches of a (batch × dim)
+    int64 matmul against the broadcast query (the brute-force ANN
+    pattern), followed by a top-M sort of per-batch candidates; the
+    lexical side reuses the two BM25 passes; fusion joins two <= M-row
+    lists on the driver."""
+    lex = _bm25_scored(sf_dir).head(HYBRID_M)
+    lex_c = {
+        int(d): 1_000_000 // (RRF_K + r)
+        for r, d in enumerate(lex["doc_id"], start=1)
+    }
+
+    emb = _read_embeddings(sf_dir)
+    qrow = emb.sort("vec_id").limit(1).to_pandas()
+    qv = (np.floor(np.asarray(qrow["embedding"][0], dtype=np.float64) * 1_000_000)
+          .astype(np.int64))
+
+    def dot_partial(b: pa.Table) -> pa.Table:
+        e = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        ei = np.floor(e.astype(np.float64) * 1_000_000).astype(np.int64)
+        s = ei @ qv
+        return pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "s": pa.array(s),
+        })
+
+    dense = (emb.map_batches(dot_partial, batch_format="pyarrow")
+             .sort(["s", "vec_id"], descending=[True, False])
+             .limit(HYBRID_M).to_pandas())
+    den_c = {
+        int(v): 1_000_000 // (RRF_K + r)
+        for r, v in enumerate(dense["vec_id"], start=1)
+    }
+
+    fused: dict[int, int] = {}
+    for d, c in lex_c.items():
+        fused[d] = fused.get(d, 0) + c
+    for d, c in den_c.items():
+        fused[d] = fused.get(d, 0) + c
+    out = pd.DataFrame(
+        {"doc_id": list(fused), "rrf": [fused[d] for d in fused]}
+    ).astype({"doc_id": "int64", "rrf": "int64"})
+    return (out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+            .head(HYBRID_TOP).reset_index(drop=True))
 
 
 VOCAB_COVER_PCTS = (50, 90, 99)

@@ -1874,7 +1874,9 @@ FROM pd GROUP BY token
 # (1000*dl*N) // TL, per-term score (idf_q*22000*tf) // (10000*tf + 3000
 # + 9*L_q) — so every score matches the engine bit-for-bit. Top-10 by
 # (score DESC, doc_id).
-ORACLE_SQL["bm25_search"] = """
+# shared BM25 scoring CTE chain (ends at `scored`): used by both the
+# standalone bm25_search oracle and the hybrid_search fusion oracle.
+_BM25_SCORED_CTE = """
 WITH pos AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
@@ -1913,11 +1915,59 @@ scored AS (
   FROM pd
   JOIN qterms q USING (token)
   JOIN dl USING (doc_id)
-  CROSS JOIN stats
-)
+  CROSS JOIN stats)
+"""
+
+ORACLE_SQL["bm25_search"] = _BM25_SCORED_CTE + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(s) AS BIGINT) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+# Hybrid retrieval (dataops.q_hybrid_search): BM25 ranking (the CTE above)
+# + dense integer-dot ranking vs the lowest-vec_id query embedding, fused
+# by integer Reciprocal Rank Fusion — each ranker contributes
+# 1_000_000 // (60 + rank) for its top-50; fused top-10 by (rrf, doc_id).
+ORACLE_SQL["hybrid_search"] = _BM25_SCORED_CTE + """,
+bagg AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM scored GROUP BY doc_id
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bagg
+),
+lex AS (
+  SELECT doc_id, 1000000 // (60 + r) AS c FROM lexr WHERE r <= 50
+),
+qv AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS e
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+qd AS (SELECT unnest(e) AS w, generate_subscripts(e, 1) AS d FROM qv),
+ei AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000) AS BIGINT)) AS e
+  FROM embeddings
+),
+ev AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM ei),
+dots AS (SELECT vec_id, sum(x * w) AS s FROM ev JOIN qd USING (d) GROUP BY 1),
+denr AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY s DESC, vec_id) AS r
+  FROM dots
+),
+den AS (
+  SELECT doc_id, 1000000 // (60 + r) AS c FROM denr WHERE r <= 50
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+         COALESCE(lex.c, 0) + COALESCE(den.c, 0) AS rrf
+  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rrf AS BIGINT) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
 LIMIT 10
 """
 
