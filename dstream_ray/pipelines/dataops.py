@@ -1717,6 +1717,45 @@ def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
             .head(HYBRID_TOP).reset_index(drop=True))
 
 
+CORPUS_SAMPLE_K = 20
+
+
+def q_corpus_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language corpus subsample: the CORPUS_SAMPLE_K
+    docs with the smallest hash priority fmix64(fnv1a(str(doc_id))) per
+    language — the batch twin of the `tumbling_sample` engine operator
+    (same bottom-k semilattice, so per-batch partial trims merge exactly),
+    and the reproducible replacement for `ORDER BY random()` sampling:
+    membership is a pure function of doc_id, stable across reruns, node
+    counts, and row order. Scale shape: one map_batches computes
+    priorities and trims each batch to <= k rows per language seen in it;
+    the merge handles batches x langs x k candidate rows, never the
+    corpus."""
+    import pyarrow.compute as pc
+
+    from dstream_ray.common import fmix64
+
+    def sample_partial(b: pa.Table) -> pa.Table:
+        pri = fmix64(fnv1a_u64(pc.cast(b["doc_id"], pa.string())))
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "priority": pri,
+        })
+        df = df.sort_values(["lang", "priority", "doc_id"], kind="mergesort")
+        df = df[df.groupby("lang").cumcount() < CORPUS_SAMPLE_K]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (_read_documents(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(sample_partial, batch_format="pyarrow")
+            .to_pandas())
+    out = cand.sort_values(["lang", "priority", "doc_id"], kind="mergesort")
+    out = out[out.groupby("lang").cumcount() < CORPUS_SAMPLE_K]
+    return (out[["lang", "doc_id", "n_chars"]]
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
 VOCAB_COVER_PCTS = (50, 90, 99)
 
 

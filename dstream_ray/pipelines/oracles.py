@@ -1925,6 +1925,38 @@ ORDER BY score DESC, doc_id
 LIMIT 10
 """
 
+# Deterministic per-language corpus subsample (dataops.q_corpus_sample):
+# bottom-k by fmix64(fnv1a(str(doc_id))) per language, recomputed in
+# HUGEINT (same emulation as the HLL/streaming_sample oracles).
+ORACLE_SQL["corpus_sample"] = """
+WITH base AS (
+  SELECT lang, doc_id, n_chars, CAST(doc_id AS VARCHAR) AS key
+  FROM documents
+), fnv AS (
+  SELECT *, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(key, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % (1::HUGEINT << 64)) AS h0
+  FROM base
+), mix1 AS (SELECT *, xor(h0, h0 >> 33) AS h1 FROM fnv
+), mul1 AS (
+  SELECT *, ( ((h1 >> 32) * 18397679294719823053::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h1 % (1::HUGEINT << 32)) * 18397679294719823053::HUGEINT ) % (1::HUGEINT << 64) AS h2
+  FROM mix1
+), mix2 AS (SELECT *, xor(h2, h2 >> 33) AS h3 FROM mul1
+), mul2 AS (
+  SELECT *, ( ((h3 >> 32) * 14181476777654086739::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h3 % (1::HUGEINT << 32)) * 14181476777654086739::HUGEINT ) % (1::HUGEINT << 64) AS h4
+  FROM mix2
+), mixed AS (
+  SELECT lang, doc_id, n_chars, xor(h4, h4 >> 33) AS h FROM mul2
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM mixed
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20
+ORDER BY lang, doc_id
+"""
+
 # Hybrid retrieval (dataops.q_hybrid_search): BM25 ranking (the CTE above)
 # + dense integer-dot ranking vs the lowest-vec_id query embedding, fused
 # by integer Reciprocal Rank Fusion — each ranker contributes

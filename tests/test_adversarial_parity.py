@@ -50,6 +50,7 @@ ADVERSARIAL_QUERIES = [
     "line_dedup",  # library-only (keep-first non-overlapping chunk dedup)
     "inverted_index",  # library-only (postings build: df/tf/extrema/set check)
     "bm25_search",  # integer-exact BM25 top-k (corpus-derived query terms)
+    "corpus_sample",  # deterministic per-language bottom-k subsample
     "vocab_coverage",  # library-only (nucleus vocab size at 50/90/99% mass)
     "curriculum_shards",  # library-only (exact global quality rank -> shards)
 ]
