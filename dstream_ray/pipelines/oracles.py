@@ -711,6 +711,7 @@ ORACLE_SQL["streaming_topk_mg"] = ORACLE_SQL["streaming_topk"]
 # is a semilattice, so merged per-partition bottom-ks equal the full
 # window's bottom-k.
 SAMPLE_K = 25
+SAMPLE_BY_K = 5  # stratified variant: bottom-k per (window, role)
 
 ORACLE_SQL["streaming_sample"] = f"""
 WITH {TRANSCRIPTS_CTE},
@@ -745,6 +746,43 @@ QUALIFY row_number() OVER (PARTITION BY window_id
                            ORDER BY h, conv_id, turn_idx) <= {{SAMPLE_K}}
 ORDER BY window_id, conv_id, turn_idx
 """.replace("{SAMPLE_K}", str(SAMPLE_K))
+
+# Stratified form of the same sample (tumbling_sample@role instance):
+# bottom-SAMPLE_BY_K per (day, role), same priority hash, QUALIFY
+# partitioned by the stratum.
+ORACLE_SQL["streaming_sample_role"] = f"""
+WITH {TRANSCRIPTS_CTE},
+base AS (
+  SELECT CAST(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS BIGINT)
+           AS window_id,
+         role, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS key
+  FROM transcripts
+), fnv AS (
+  SELECT *, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(key, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % (1::HUGEINT << 64)) AS h0
+  FROM base
+), mix1 AS (SELECT *, xor(h0, h0 >> 33) AS h1 FROM fnv
+), mul1 AS (
+  SELECT *, ( ((h1 >> 32) * 18397679294719823053::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h1 % (1::HUGEINT << 32)) * 18397679294719823053::HUGEINT ) % (1::HUGEINT << 64) AS h2
+  FROM mix1
+), mix2 AS (SELECT *, xor(h2, h2 >> 33) AS h3 FROM mul1
+), mul2 AS (
+  SELECT *, ( ((h3 >> 32) * 14181476777654086739::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h3 % (1::HUGEINT << 32)) * 14181476777654086739::HUGEINT ) % (1::HUGEINT << 64) AS h4
+  FROM mix2
+), mixed AS (
+  SELECT window_id, role, conv_id, turn_idx, xor(h4, h4 >> 33) AS h FROM mul2
+)
+SELECT window_id, role, conv_id, turn_idx FROM mixed
+QUALIFY row_number() OVER (PARTITION BY window_id, role
+                           ORDER BY h, conv_id, turn_idx) <= {SAMPLE_BY_K}
+ORDER BY window_id, role, conv_id, turn_idx
+"""
+
 
 # latest-per-key compaction == keep-last per (conv_id, role); the engine
 # feed is per-conv turn-ordered (relay contract), so arrival-latest == max

@@ -29,6 +29,7 @@ import ray.data as rd
 # shared engine/oracle constants for the bounded-state sample / heavy-hitter
 # operators (both sides configure from the same numbers, so they can't drift)
 from dstream_ray.pipelines.oracles import (
+    SAMPLE_BY_K,
     SAMPLE_K,
     TOPK_MG_CAPACITY,
     TOPK_MG_K,
@@ -743,6 +744,10 @@ def _run_streaming(sf_dir: str):
                 # GLOBAL windowed bottom-k uniform sample (bounded-state
                 # deterministic ingest sampling; k per window per partition)
                 "tumbling_sample": {"width_s": TUMBLING_S, "k": SAMPLE_K},
+                # STRATIFIED variant via kernel@variant instancing: a
+                # balanced bottom-k per (day, role) — k x 3 strata state
+                "tumbling_sample@role": {"width_s": TUMBLING_S,
+                                         "k": SAMPLE_BY_K, "by": "role"},
                 # GLOBAL windowed Misra-Gries heavy hitters: state bounded
                 # by capacity per window regardless of vocabulary; capacity
                 # >= the daily tool vocabulary here -> exact (err == 0)
@@ -1201,6 +1206,26 @@ def q_streaming_sample(sf_dir: str) -> pa.Table:
         .groupby("window_id").head(SAMPLE_K)
         [["window_id", "conv_id", "turn_idx", "n_chars"]]
         .sort_values(["window_id", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def q_streaming_sample_role(sf_dir: str) -> pa.Table:
+    """Committed sink of the STRATIFIED 'tumbling_sample@role' operator
+    instance (kernel@variant instancing: same kernel, its own sink and
+    state slot): a balanced bottom-k per (day, role). The consumer merge
+    is the per-stratum semilattice bottom-k; the oracle partitions its
+    QUALIFY by (window_id, role)."""
+    partials = (_run_streaming(sf_dir).sink
+                .read_op("tumbling_sample@role").to_pandas())
+    merged = (
+        partials.sort_values(["window_id", "stratum", "priority",
+                              "conv_id", "turn_idx"])
+        .groupby(["window_id", "stratum"]).head(SAMPLE_BY_K)
+        .rename(columns={"stratum": "role"})
+        [["window_id", "role", "conv_id", "turn_idx"]]
+        .sort_values(["window_id", "role", "conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(merged, preserve_index=False)

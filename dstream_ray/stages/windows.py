@@ -2300,6 +2300,10 @@ _TUMBLING_SAMPLE_EMPTY = pa.table(
     }
 )
 
+_TUMBLING_SAMPLE_BY_EMPTY = _TUMBLING_SAMPLE_EMPTY.append_column(
+    "stratum", pa.array([], type=pa.string())
+)
+
 
 def tumbling_sample_kernel(
     new_rows: pa.Table,
@@ -2307,6 +2311,7 @@ def tumbling_sample_kernel(
     *,
     width_s: int,
     k: int,
+    by: str | None = None,
     flush: bool = False,
     closure: str = "flush",
     watermark_us: int | None = None,
@@ -2332,8 +2337,16 @@ def tumbling_sample_kernel(
     Closure semantics identical to :func:`tumbling_counts_kernel`
     (flush-all or watermark); late rows below the emission cursor are
     counted and dropped.
+
+    ``by`` (optional): STRATIFIED sampling — keep the bottom-k per
+    (window, ``by``-column value) instead of per window, e.g. a balanced
+    per-role sample. Same bounds and exactness per stratum; state grows
+    to k × strata per window, so ``by`` columns must be low-cardinality
+    (role/tool/lang-class), never content-derived.
     """
     w_us = width_s * US
+    empty = _TUMBLING_SAMPLE_BY_EMPTY if by else _TUMBLING_SAMPLE_EMPTY
+    group_keys = ["window_id", "stratum"] if by else ["window_id"]
     cur: pd.DataFrame | None = state.get("samples")
     late_drops = int(state.get("late_drops", 0))
     emitted_below = state.get("emitted_below")
@@ -2358,30 +2371,34 @@ def tumbling_sample_kernel(
             turn = turn.combine_chunks()
         key = pc.binary_join_element_wise(conv, pc.cast(turn, pa.string()), ":")
         pri = fmix64(fnv1a_u64(key))
-        df = pd.DataFrame(
-            {
-                "window_id": bucket,
-                "priority": pri,
-                "conv_id": conv.to_pandas(),
-                "turn_idx": turn.to_numpy(zero_copy_only=False).astype(np.int64),
-                "ts_us": new_rows["ts_us"].to_numpy(zero_copy_only=False),
-                "n_chars": new_rows["n_chars"].to_numpy(zero_copy_only=False),
-            }
-        )
+        data = {
+            "window_id": bucket,
+            "priority": pri,
+            "conv_id": conv.to_pandas(),
+            "turn_idx": turn.to_numpy(zero_copy_only=False).astype(np.int64),
+            "ts_us": new_rows["ts_us"].to_numpy(zero_copy_only=False),
+            "n_chars": new_rows["n_chars"].to_numpy(zero_copy_only=False),
+        }
+        if by:
+            strat = new_rows[by]
+            if isinstance(strat, pa.ChunkedArray):
+                strat = strat.combine_chunks()
+            data["stratum"] = strat.cast(pa.string()).to_pandas()
+        df = pd.DataFrame(data)
         frames = [cur, df] if cur is not None else [df]
         cur = pd.concat(frames, ignore_index=True)
     if cur is None:
-        cur = _TUMBLING_SAMPLE_EMPTY.to_pandas()
+        cur = empty.to_pandas()
     if len(cur):
         # trim unconditionally (not only when rows arrived): a rescale
         # merge concatenates P partials without knowing k, relying on the
         # next call to restore the bound before any emission
         cur = cur.sort_values(
-            ["window_id", "priority", "conv_id", "turn_idx"],
+            [*group_keys, "priority", "conv_id", "turn_idx"],
             kind="mergesort",
             ignore_index=True,
         )
-        cur = cur[cur.groupby("window_id").cumcount() < k].reset_index(drop=True)
+        cur = cur[cur.groupby(group_keys).cumcount() < k].reset_index(drop=True)
 
     if flush:
         emit_mask = np.ones(len(cur), dtype=bool)
@@ -2396,10 +2413,10 @@ def tumbling_sample_kernel(
 
     out = (
         pa.Table.from_pandas(cur[emit_mask], preserve_index=False).cast(
-            _TUMBLING_SAMPLE_EMPTY.schema
+            empty.schema
         )
         if emit_mask.any()
-        else _TUMBLING_SAMPLE_EMPTY
+        else empty
     )
     new_state: dict = {"samples": cur[~emit_mask], "late_drops": late_drops}
     if next_below is not None:

@@ -30,6 +30,7 @@ OPS = {
     "tumbling_hll": {"width_s": WIDTH_S},
     "tumbling_qsketch": {"width_s": WIDTH_S},
     "tumbling_sample": {"width_s": WIDTH_S, "k": 5},
+    "tumbling_sample@role": {"width_s": WIDTH_S, "k": 3, "by": "role"},
     "tumbling_topk": {"width_s": WIDTH_S, "capacity": 50},
     "dedup": {},
     "upsert": {},
@@ -52,6 +53,10 @@ MERGES = {
     "tumbling_hll": ("max", ["window_id", "bucket"]),
     "tumbling_qsketch": ("sum", ["window_id", "bucket"]),
     "tumbling_sample": _canon_sample,
+    "tumbling_sample@role": lambda df: (
+        df.sort_values(["window_id", "stratum", "priority", "conv_id", "turn_idx"])
+        .groupby(["window_id", "stratum"]).head(3)
+        .drop(columns=["priority"])),
     "tumbling_topk": ("sum", ["window_id", "value"]),
 }
 

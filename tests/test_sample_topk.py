@@ -298,3 +298,35 @@ def test_engine_end_to_end(ray_session, tmp_path):
            .sort_values(["window_id", "value"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, _oracle(feed, COUNTS_ORACLE),
                                   check_dtype=False)
+
+
+def test_sample_stratified_by_role():
+    """`by` strata: bottom-k per (window, role) equals the per-stratum
+    reference for any epoch split, and state stays <= k per stratum."""
+    res = to_residual_rows(_feed(seed=13))
+    df = res.to_pandas()
+    key = df.conv_id + ":" + df.turn_idx.astype(str)
+    df["priority"] = fmix64(fnv1a_u64(list(key)))
+    df["window_id"] = df.ts_us // (W_S * 1_000_000)
+    ref = (df.sort_values(["window_id", "role", "priority", "conv_id", "turn_idx"])
+           .groupby(["window_id", "role"]).head(K)
+           [["window_id", "role", "conv_id", "turn_idx"]]
+           .sort_values(["window_id", "role", "conv_id", "turn_idx"])
+           .reset_index(drop=True).astype({"turn_idx": "int64"}))
+    for ne in (1, 4):
+        out, st = _run_split(tumbling_sample_kernel, res, ne, k=K, by="role")
+        got = (out.to_pandas().rename(columns={"stratum": "role"})
+               [["window_id", "role", "conv_id", "turn_idx"]]
+               .sort_values(["window_id", "role", "conv_id", "turn_idx"])
+               .reset_index(drop=True).astype({"turn_idx": "int64"}))
+        assert got.equals(ref), f"epochs={ne}"
+    # mid-run state bound
+    state: dict = {}
+    bounds = np.linspace(0, res.num_rows, 4).astype(int)
+    for i in range(3):
+        _, state = tumbling_sample_kernel(
+            res.slice(bounds[i], bounds[i + 1] - bounds[i]), state,
+            width_s=W_S, k=K, by="role", flush=False)
+        if len(state["samples"]):
+            assert (state["samples"]
+                    .groupby(["window_id", "stratum"]).size() <= K).all()
