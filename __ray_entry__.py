@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sample": q.q_streaming_sample,  # bottom-k hash-priority windowed sample (HUGEINT oracle)
         "streaming_topk_mg": q.q_streaming_topk_mg,  # Misra-Gries heavy hitters, exact-regime gate
         "streaming_sample_role": q.q_streaming_sample_role,  # stratified bottom-k per (day, role)
+        "streaming_sample_wm": q.q_streaming_sample_wm,  # same sample under watermark closure
         "bm25_search": d.q_bm25_search,  # integer-exact BM25 top-k retrieval (corpus-derived query)
         "hybrid_search": d.q_hybrid_search,  # BM25 + dense MIPS fused by integer RRF
         "corpus_sample": d.q_corpus_sample,  # deterministic per-language bottom-k subsample

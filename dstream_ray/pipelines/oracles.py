@@ -747,6 +747,9 @@ QUALIFY row_number() OVER (PARTITION BY window_id
 ORDER BY window_id, conv_id, turn_idx
 """.replace("{SAMPLE_K}", str(SAMPLE_K))
 
+# watermark-closure twin: early emission must produce the identical sample
+ORACLE_SQL["streaming_sample_wm"] = ORACLE_SQL["streaming_sample"]
+
 # Stratified form of the same sample (tumbling_sample@role instance):
 # bottom-SAMPLE_BY_K per (day, role), same priority hash, QUALIFY
 # partitioned by the stratum.

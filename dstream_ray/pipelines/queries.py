@@ -827,6 +827,11 @@ def _run_streaming_wm(sf_dir: str):
                 # fused kernel in watermark mode gates BOTH the session and
                 # the stream-stream-join outputs under early emission
                 "session_with_join": {"gap_s": SESSION_GAP_S, "closure": "watermark"},
+                # bottom-k sampling under WATERMARK closure: windows emit
+                # their sample early as the watermark passes; the final
+                # content hits the same HUGEINT oracle as the flush run
+                "tumbling_sample@wm": {"width_s": TUMBLING_S, "k": SAMPLE_K,
+                                       "closure": "watermark"},
             },
         )
     )
@@ -845,6 +850,22 @@ def q_streaming_session_wm(sf_dir: str) -> pa.Table:
 
 def q_streaming_join_wm(sf_dir: str) -> pa.Table:
     return _run_streaming_wm(sf_dir).sink.read_op("session_join")
+
+
+def q_streaming_sample_wm(sf_dir: str) -> pa.Table:
+    """tumbling_sample under WATERMARK closure (early per-epoch emission
+    over the ts-ordered feed): merged exactly like q_streaming_sample and
+    gated on the SAME oracle — early emission must change nothing."""
+    partials = (_run_streaming_wm(sf_dir).sink
+                .read_op("tumbling_sample@wm").to_pandas())
+    merged = (
+        partials.sort_values(["window_id", "priority", "conv_id", "turn_idx"])
+        .groupby("window_id").head(SAMPLE_K)
+        [["window_id", "conv_id", "turn_idx", "n_chars"]]
+        .sort_values(["window_id", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def q_streaming_events(sf_dir: str) -> pa.Table:
