@@ -1577,6 +1577,11 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return _bm25_scored(sf_dir).head(BM25_TOP).reset_index(drop=True)
 
 
+# one BM25 scored frame per sf_dir per process: bm25_search and the hybrid
+# fusion share the two scoring passes (same convention as _STREAMING_CACHE)
+_BM25_CACHE: dict = {}
+
+
 def _bm25_scored(sf_dir: str) -> pd.DataFrame:
     """Integer-exact BM25 retrieval over the documents corpus (k1=1.2,
     b=0.75): top-K docs for a deterministic 4-term query (the df-ranked
@@ -1600,6 +1605,11 @@ def _bm25_scored(sf_dir: str) -> pd.DataFrame:
     except the final (matched-docs-bounded) groupby + top-K sort."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
+
+    _st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    _ck = (sf_dir, _st.st_mtime_ns, _st.st_size)
+    if _ck in _BM25_CACHE:
+        return _BM25_CACHE[_ck]
 
     df_tbl = (build_inverted_index(sf_dir)
               .groupby("token")
@@ -1649,9 +1659,11 @@ def _bm25_scored(sf_dir: str) -> pd.DataFrame:
               .groupby("doc_id")
               .aggregate(Sum("s", alias_name="score"))
               .to_pandas())
-    return (scored.astype({"doc_id": "int64", "score": "int64"})
-            .sort_values(["score", "doc_id"], ascending=[False, True])
-            .reset_index(drop=True))
+    out = (scored.astype({"doc_id": "int64", "score": "int64"})
+           .sort_values(["score", "doc_id"], ascending=[False, True])
+           .reset_index(drop=True))
+    _BM25_CACHE[_ck] = out
+    return out
 
 
 # Hybrid retrieval constants (shared with the SQL oracle): candidate list
