@@ -598,3 +598,43 @@ def test_scrub_operator_masks_in_engine(ray_session, tmp_path, feed_dir):
     assert (got["n_email"] >= 1).all()  # every row got a decoration
     assert sorted(got["text"]) == sorted(exp["scrubbed"])
     assert not got["text"].str.contains("@").any()
+
+
+def test_kill_and_resume_sample_topk(ray_session, tmp_path, feed_dir):
+    """The bounded-state sampling/heavy-hitter operators snapshot and
+    replay exactly: interrupted-then-resumed committed sinks MERGE to the
+    same result as an uninterrupted run (partial layouts may differ by
+    epoch framing; the consumer merge is the invariant)."""
+    ops = {
+        "tumbling_sample": {"width_s": WIDTH_S, "k": 4},
+        "tumbling_sample@role": {"width_s": WIDTH_S, "k": 2, "by": "role"},
+        "tumbling_topk": {"width_s": WIDTH_S, "capacity": 64,
+                          "value_col": "role", "skip_empty": False},
+    }
+    cfg_a = make_cfg(tmp_path / "a", feed_dir, operators=dict(ops))
+    StreamingJob(cfg_a).run()
+
+    cfg_b = make_cfg(tmp_path / "b", feed_dir, operators=dict(ops))
+    StreamingJob(cfg_b).run(max_epochs=1, flush_at_end=False)
+    job_b2 = StreamingJob(cfg_b)  # fresh driver (≙ process restart)
+    job_b2.run()
+
+    def merge_sample(df, keys, k):
+        return (df.sort_values([*keys, "priority", "conv_id", "turn_idx"])
+                .groupby(keys).head(k)
+                [[*keys, "conv_id", "turn_idx"]])
+
+    for op in ops:
+        a = read_sink(StreamingJob(cfg_a), op)
+        b = read_sink(job_b2, op)
+        if op == "tumbling_sample":
+            a, b = (merge_sample(x, ["window_id"], 4) for x in (a, b))
+            sorted_eq(a, b, ["window_id", "conv_id", "turn_idx"])
+        elif op == "tumbling_sample@role":
+            a, b = (merge_sample(x, ["window_id", "stratum"], 2) for x in (a, b))
+            sorted_eq(a, b, ["window_id", "stratum", "conv_id", "turn_idx"])
+        else:
+            assert int(a["err"].max()) == 0 and int(b["err"].max()) == 0
+            a = a.groupby(["window_id", "value"], as_index=False)["n"].sum()
+            b = b.groupby(["window_id", "value"], as_index=False)["n"].sum()
+            sorted_eq(a, b, ["window_id", "value"])
