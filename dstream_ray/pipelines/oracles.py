@@ -750,6 +750,50 @@ ORDER BY window_id, conv_id, turn_idx
 # watermark-closure twin: early emission must produce the identical sample
 ORACLE_SQL["streaming_sample_wm"] = ORACLE_SQL["streaming_sample"]
 
+# Sliding-window sample via panes (queries.q_streaming_sliding_sample):
+# each row's priority is hashed ONCE, the row then belongs to the 4
+# consecutive 24 h windows sliding by 6 h that contain its timestamp
+# (same expansion as the streaming_sliding_global oracle), and each
+# window keeps its bottom-SAMPLE_K.
+ORACLE_SQL["streaming_sliding_sample"] = f"""
+WITH {TRANSCRIPTS_CTE},
+base AS (
+  SELECT epoch_us(ts) AS ts_us,
+         conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS key
+  FROM transcripts
+), fnv AS (
+  SELECT *, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(split(key, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % (1::HUGEINT << 64)) AS h0
+  FROM base
+), mix1 AS (SELECT *, xor(h0, h0 >> 33) AS h1 FROM fnv
+), mul1 AS (
+  SELECT *, ( ((h1 >> 32) * 18397679294719823053::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h1 % (1::HUGEINT << 32)) * 18397679294719823053::HUGEINT ) % (1::HUGEINT << 64) AS h2
+  FROM mix1
+), mix2 AS (SELECT *, xor(h2, h2 >> 33) AS h3 FROM mul1
+), mul2 AS (
+  SELECT *, ( ((h3 >> 32) * 14181476777654086739::HUGEINT % (1::HUGEINT << 32)) * (1::HUGEINT << 32)
+      + (h3 % (1::HUGEINT << 32)) * 14181476777654086739::HUGEINT ) % (1::HUGEINT << 64) AS h4
+  FROM mix2
+), mixed AS (
+  SELECT ts_us, conv_id, turn_idx, xor(h4, h4 >> 33) AS h FROM mul2
+), expl AS (
+  SELECT unnest(generate_series(
+           ((ts_us - CAST(86400 AS BIGINT) * 1000000)
+             // (CAST(21600 AS BIGINT) * 1000000)) + 1,
+           ts_us // (CAST(21600 AS BIGINT) * 1000000))) AS window_id,
+         conv_id, turn_idx, h
+  FROM mixed
+)
+SELECT window_id, conv_id, turn_idx FROM expl
+QUALIFY row_number() OVER (PARTITION BY window_id
+                           ORDER BY h, conv_id, turn_idx) <= {SAMPLE_K}
+ORDER BY window_id, conv_id, turn_idx
+"""
+
 # Stratified form of the same sample (tumbling_sample@role instance):
 # bottom-SAMPLE_BY_K per (day, role), same priority hash, QUALIFY
 # partitioned by the stratum.

@@ -748,6 +748,10 @@ def _run_streaming(sf_dir: str):
                 # balanced bottom-k per (day, role) — k x 3 strata state
                 "tumbling_sample@role": {"width_s": TUMBLING_S,
                                          "k": SAMPLE_BY_K, "by": "role"},
+                # PANE feeder for the SLIDING sample (panes apply to
+                # bottom-k because it is mergeable): 6 h pane bottom-ks
+                # compose into 24 h windows sliding by 6 h consumer-side
+                "tumbling_sample@pane6h": {"width_s": PANE_S, "k": SAMPLE_K},
                 # GLOBAL windowed Misra-Gries heavy hitters: state bounded
                 # by capacity per window regardless of vocabulary; capacity
                 # >= the daily tool vocabulary here -> exact (err == 0)
@@ -1294,6 +1298,34 @@ def q_streaming_sliding_global(sf_dir: str) -> pa.Table:
         .sort_values("window_id")
         .reset_index(drop=True)
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_streaming_sliding_sample(sf_dir: str) -> pa.Table:
+    """SLIDING bottom-k sample via PANES: the engine maintains only 6 h
+    tumbling pane bottom-ks (`tumbling_sample@pane6h`); each 24 h window
+    sliding by 6 h takes the bottom-k of its 4 panes' candidates —
+    EXACT, because any row in the window's true bottom-k is also within
+    the k smallest of its own pane (bottom-k is mergeable, like the
+    summed pane aggregates of q_streaming_sliding_global). A sliding
+    uniform sample therefore costs nothing beyond the tumbling panes."""
+    R = SLIDING_GLOBAL_W_S // PANE_S
+    partials = (_run_streaming(sf_dir).sink
+                .read_op("tumbling_sample@pane6h").to_pandas())
+    # pane-level semilattice merge first (bounded: k per pane)
+    panes = (partials.sort_values(["window_id", "priority", "conv_id", "turn_idx"])
+             .groupby("window_id").head(SAMPLE_K))
+    frames = []
+    for i in range(R):
+        f = panes.copy()
+        f["window_id"] = f["window_id"] - i
+        frames.append(f)
+    cand = pd.concat(frames, ignore_index=True)
+    out = (cand.sort_values(["window_id", "priority", "conv_id", "turn_idx"])
+           .groupby("window_id").head(SAMPLE_K)
+           [["window_id", "conv_id", "turn_idx"]]
+           .sort_values(["window_id", "conv_id", "turn_idx"])
+           .reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
