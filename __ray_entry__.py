@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sample_role": q.q_streaming_sample_role,  # stratified bottom-k per (day, role)
         "streaming_sample_wm": q.q_streaming_sample_wm,  # same sample under watermark closure
         "streaming_sliding_sample": q.q_streaming_sliding_sample,  # 24h sliding sample from 6h pane bottom-ks
+        "streaming_index": q.q_streaming_index,  # ingest-time inverted-index maintenance (postings sink)
         "bm25_search": d.q_bm25_search,  # integer-exact BM25 top-k retrieval (corpus-derived query)
         "hybrid_search": d.q_hybrid_search,  # BM25 + dense MIPS fused by integer RRF
         "corpus_sample": d.q_corpus_sample,  # deterministic per-language bottom-k subsample

@@ -750,6 +750,24 @@ ORDER BY window_id, conv_id, turn_idx
 # watermark-closure twin: early emission must produce the identical sample
 ORACLE_SQL["streaming_sample_wm"] = ORACLE_SQL["streaming_sample"]
 
+# Ingest-time inverted-index maintenance (capture.index_kernel through the
+# engine): the committed postings sink equals the per-(token, turn) term
+# frequencies of the whole transcripts feed — same whitespace tokenization
+# contract as the batch inverted_index oracle.
+ORACLE_SQL["streaming_index"] = f"""
+WITH {TRANSCRIPTS_CTE},
+pos AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                                   '[ \\t\\n\\x0b\\x0c\\r]+')) AS token
+  FROM transcripts
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+)
+SELECT token, conv_id, turn_idx, CAST(count(*) AS BIGINT) AS tf
+FROM pos GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
 # Sliding-window sample via panes (queries.q_streaming_sliding_sample):
 # each row's priority is hashed ONCE, the row then belongs to the 4
 # consecutive 24 h windows sliding by 6 h that contain its timestamp

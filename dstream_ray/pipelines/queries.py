@@ -765,6 +765,9 @@ def _run_streaming(sf_dir: str):
                 "tumbling_global@pane6h": {"width_s": PANE_S},
                 # per-conv streaming content dedup over the full raw rows
                 "dedup": {},
+                # ingest-time inverted-index maintenance: the committed
+                # sink IS the postings table, kept current per epoch
+                "index": {},
                 # latest-per-key compaction (CDC materialized view)
                 "upsert": {},
                 # broadcast-small-side stream-table enrichment
@@ -1299,6 +1302,18 @@ def q_streaming_sliding_global(sf_dir: str) -> pa.Table:
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_streaming_index(sf_dir: str) -> pd.DataFrame:
+    """Committed sink of the 'index' engine operator: the incrementally
+    maintained postings table (token, conv_id, turn_idx, tf) of the whole
+    feed, built at ingest with exactly-once semantics — rows are globally
+    unique (each turn delivered once to one partition), so the sink
+    compares directly against the SQL unnest-groupby."""
+    out = _run_streaming(sf_dir).sink.read_op("index").to_pandas()
+    return (out.astype({"turn_idx": "int64", "tf": "int64"})
+            .sort_values(["token", "conv_id", "turn_idx"])
+            .reset_index(drop=True))
 
 
 def q_streaming_sliding_sample(sf_dir: str) -> pa.Table:

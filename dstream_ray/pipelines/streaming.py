@@ -51,6 +51,7 @@ from dstream_ray.stages.capture import (
     relay_kernel,
     scrub_kernel,
     upsert_kernel,
+    index_kernel,
 )
 from dstream_ray.stages.cep import cep_kernel
 from dstream_ray.stages.enrich import enrich_kernel
@@ -137,6 +138,9 @@ WINDOW_OPERATORS = {
     # ingest-time PII masking (stateless 1:1 RE2 scrub + match counts):
     # raw PII never reaches anything downstream of the sink
     "scrub": scrub_kernel,
+    # ingest-time inverted-index maintenance (CDC -> search-index sink):
+    # each turn emits its postings rows; the committed sink IS the index
+    "index": index_kernel,
     # stream-table dimension enrichment (broadcast-small-side left join)
     "enrich": enrich_kernel,
     # latest-per-key compaction (Kafka compacted-topic / CDC materialization)
@@ -146,7 +150,7 @@ WINDOW_OPERATORS = {
 # kernels that consume the FULL relay output (text and all) instead of the
 # projected residual layout — content-identity / passthrough operators need
 # the payload bytes
-RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "neardup", "scrub", "enrich", "upsert"}
+RAW_INPUT_OPERATORS = {"dedup", "dedup_bloom", "neardup", "scrub", "enrich", "upsert", "index"}
 
 
 @dataclass

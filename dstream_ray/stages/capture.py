@@ -16,7 +16,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from dstream_ray.common import DEDUP_HASH_BASES, FNV_PRIME, poly_hash_strings, utf8_view
+from dstream_ray.common import (
+    DEDUP_HASH_BASES,
+    FNV_PRIME,
+    poly_hash_strings,
+    token_strings_arrays,
+    utf8_view,
+)
 from dstream_ray.stages.dedup import MinHasher
 from dstream_ray.stages.text import PII_PATTERNS
 
@@ -642,4 +648,67 @@ def scrub_kernel(
     for _, pattern, repl in PII_PATTERNS:
         scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
     out = out.set_column(out.schema.get_field_index("text"), "text", scrubbed)
+    return out, {}
+
+
+_INDEX_EMPTY = pa.table(
+    {
+        "token": pa.array([], type=pa.string()),
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "tf": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def index_kernel(
+    new_rows: pa.Table,
+    state: dict,
+    *,
+    flush: bool = False,
+) -> tuple[pa.Table, dict]:
+    """Ingest-time inverted-index maintenance — the CDC -> search-index
+    sink (the classic downstream of a change feed; ≙ the reference's
+    publisher fan-out with an index as the consumer): each captured turn
+    emits its postings rows ``(token, conv_id, turn_idx, tf)``, so the
+    committed sink IS the incrementally-maintained postings table of
+    :func:`dstream_ray.pipelines.dataops.build_inverted_index`, kept
+    current per epoch with exactly-once semantics. STATELESS (a turn's
+    postings depend only on its own text, and the relay guarantees each
+    turn is delivered once), so epoch-split invariance is structural.
+    Tokenization is the byte-level deterministic tokenizer
+    (common.token_strings_arrays — str.split() semantics), one
+    fancy-indexed gather + one Arrow hash groupby per batch, no per-row
+    Python."""
+    if new_rows.num_rows == 0:
+        return _INDEX_EMPTY, {}
+    flat, offs = token_strings_arrays(new_rows["text"])
+    if len(flat) == 0:
+        return _INDEX_EMPTY, {}
+    reps = np.diff(offs)
+    conv = new_rows["conv_id"].cast(pa.string())
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    turn = (
+        new_rows["turn_idx"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    row_idx = np.repeat(np.arange(new_rows.num_rows, dtype=np.int64), reps)
+    t = pa.table(
+        {
+            "token": flat,
+            "conv_id": conv.take(pa.array(row_idx)),
+            "turn_idx": pa.array(turn[row_idx]),
+        }
+    )
+    g = pa.TableGroupBy(t, ["token", "conv_id", "turn_idx"]).aggregate(
+        [([], "count_all")]
+    )
+    out = pa.table(
+        {
+            "token": g["token"],
+            "conv_id": g["conv_id"],
+            "turn_idx": g["turn_idx"],
+            "tf": g["count_all"].cast(pa.int64()),
+        }
+    )
     return out, {}

@@ -82,7 +82,7 @@ GLOBAL_MERGE = {
     "tumbling_sample",
     "tumbling_topk",
 }
-STATELESS = {"enrich"}
+STATELESS = {"enrich", "scrub", "index"}
 UNRESCALABLE = {"dedup_bloom", "neardup"}
 
 _MAX_INTS = {"tick", "next_seq"}  # future rows must exceed every carried value
