@@ -37,10 +37,10 @@ def _read_documents(sf_dir: str, columns=None) -> rd.Dataset:
     return _tuned_read(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
-def _read_embeddings(sf_dir: str) -> rd.Dataset:
+def _read_embeddings(sf_dir: str, columns=None) -> rd.Dataset:
     from dstream_ray.pipelines.queries import _tuned_read
 
-    return _tuned_read(os.path.join(sf_dir, "embeddings.parquet"))
+    return _tuned_read(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -1695,7 +1695,8 @@ def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
         for r, d in enumerate(lex["doc_id"], start=1)
     }
 
-    emb = _read_embeddings(sf_dir)
+    # prune at the read: the dense ranker needs only (vec_id, embedding)
+    emb = _read_embeddings(sf_dir, ["vec_id", "embedding"])
     qrow = emb.sort("vec_id").limit(1).to_pandas()
     qv = (np.floor(np.asarray(qrow["embedding"][0], dtype=np.float64) * 1_000_000)
           .astype(np.int64))
