@@ -546,3 +546,38 @@ def test_topk_mg_bounds_any_split(data, capacity):
     assert m["n_true"].notna().all()  # no phantom values
     assert (m["n"] <= m["n_true"]).all()
     assert (m["n_true"] - m["n"] <= m["err"]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(feeds())
+def test_epoch_split_invariance_sample_watermark(data):
+    """tumbling_sample under watermark closure: on a ts-ordered feed, any
+    epoch split's accumulated emissions equal the single pass (windows
+    emit early but bottom-k content is split-independent), and nothing is
+    late-dropped."""
+    from dstream_ray.stages.windows import tumbling_sample_kernel
+
+    tbl, bounds = data
+    rows = to_residual_rows(tbl)
+    order = np.argsort(rows["ts_us"].to_numpy(zero_copy_only=False), kind="stable")
+    rows = rows.take(pa.array(order))
+
+    def run_wm(bounds_):
+        state: dict = {}
+        outs = []
+        wm = -1
+        for i in range(len(bounds_) - 1):
+            chunk = rows.slice(bounds_[i], bounds_[i + 1] - bounds_[i])
+            if chunk.num_rows:
+                wm = max(wm, int(chunk["ts_us"].to_numpy(zero_copy_only=False).max()))
+            out, state = tumbling_sample_kernel(
+                chunk, state, width_s=WIDTH_S, k=3,
+                flush=(i == len(bounds_) - 2),
+                closure="watermark", watermark_us=wm)
+            outs.append(out)
+        assert state.get("late_drops", 0) == 0
+        return pa.concat_tables(outs).to_pandas()
+
+    single = run_wm([0, rows.num_rows])
+    multi = run_wm(bounds)
+    pd.testing.assert_frame_equal(canon(single), canon(multi), check_dtype=False)
