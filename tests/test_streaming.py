@@ -638,3 +638,44 @@ def test_kill_and_resume_sample_topk(ray_session, tmp_path, feed_dir):
             a = a.groupby(["window_id", "value"], as_index=False)["n"].sum()
             b = b.groupby(["window_id", "value"], as_index=False)["n"].sum()
             sorted_eq(a, b, ["window_id", "value"])
+
+
+def test_state_actor_crash_recovers_global_ops(ray_session, tmp_path, feed_dir):
+    """Actor-held GLOBAL state (bottom-k sample buffers, Misra-Gries
+    summaries, global window partials) recovers from a mid-job actor
+    hard-exit just like conv-keyed state: the respawned owner rebuilds
+    from the last committed snapshot and the merged sinks equal a
+    task-mode run."""
+    ops = {
+        "tumbling_sample": {"width_s": WIDTH_S, "k": 4},
+        "tumbling_topk": {"width_s": WIDTH_S, "capacity": 64,
+                          "value_col": "role", "skip_empty": False},
+        "tumbling_global": {"width_s": WIDTH_S},
+    }
+    cfg_t = make_cfg(tmp_path / "tasks", feed_dir, operators=dict(ops))
+    StreamingJob(cfg_t).run()
+
+    cfg_c = make_cfg(
+        tmp_path / "crash", feed_dir, operators=dict(ops),
+        use_state_actors=True, crash_actor_at=(2, 1, "after"),
+    )
+    job_c = StreamingJob(cfg_c)
+    st = job_c.run()
+    assert st["flushed"]
+    assert os.path.exists(os.path.join(cfg_c.out_dir, "_crash_fired"))
+
+    for a, b in [(read_sink(job_c, "tumbling_sample"),
+                  read_sink(StreamingJob(cfg_t), "tumbling_sample"))]:
+        a, b = ((x.sort_values(["window_id", "priority", "conv_id", "turn_idx"])
+                 .groupby("window_id").head(4)[["window_id", "conv_id", "turn_idx"]])
+                for x in (a, b))
+        sorted_eq(a, b, ["window_id", "conv_id", "turn_idx"])
+    a = read_sink(job_c, "tumbling_topk")
+    b = read_sink(StreamingJob(cfg_t), "tumbling_topk")
+    assert int(a["err"].max()) == 0 and int(b["err"].max()) == 0
+    sorted_eq(a.groupby(["window_id", "value"], as_index=False)["n"].sum(),
+              b.groupby(["window_id", "value"], as_index=False)["n"].sum(),
+              ["window_id", "value"])
+    a = read_sink(job_c, "tumbling_global").groupby("window_id", as_index=False).sum()
+    b = read_sink(StreamingJob(cfg_t), "tumbling_global").groupby("window_id", as_index=False).sum()
+    sorted_eq(a, b, ["window_id"])
