@@ -683,6 +683,7 @@ from dstream_ray.common import (  # noqa: E402
     poly_hash_strings,
     token_hash_arrays,
     token_strings_arrays,
+    utf8_view,
 )
 
 
@@ -1767,6 +1768,54 @@ def q_corpus_sample(sf_dir: str) -> pd.DataFrame:
     out = out[out.groupby("lang").cumcount() < CORPUS_SAMPLE_K]
     return (out[["lang", "doc_id", "n_chars"]]
             .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
+BPE_PAIR_TOP = 30
+
+
+def q_byte_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """The first BPE-training iteration, distributed: global frequencies
+    of ADJACENT BYTE PAIRS across the corpus (the statistic a BPE learner
+    maximizes to pick its next merge), top-BPE_PAIR_TOP by (count DESC,
+    pair). Fully vectorized per batch over the zero-copy UTF-8 buffer
+    (common.utf8_view): the pair at position i is
+    ``data[i]<<8 | data[i+1]``, doc-boundary-crossing positions are
+    masked, and a single ``np.bincount`` produces the batch's partial as
+    ONE fixed 65536-slot vector — the textbook mergeable-partial shape
+    (partials sum; the exchange moves 512 KiB per batch regardless of
+    corpus size). ASCII-contract oracle (chr(hi)||chr(lo)) recomputes
+    the pairs via substring explosion."""
+    def pair_partial(b: pa.Table) -> pa.Table:
+        data, starts, ends = utf8_view(b["text"])
+        if len(data) < 2:
+            return pa.table({"slot": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        u = (data[:-1].astype(np.int64) << 8) | data[1:].astype(np.int64)
+        mask = np.ones(len(data) - 1, dtype=bool)
+        # a pair must not cross a doc boundary: kill position end-1 (the
+        # last byte of each doc paired with the next doc's first byte)
+        kill = ends[ends <= len(data) - 1] - 1
+        mask[kill[kill >= 0]] = False
+        counts = np.bincount(u[mask], minlength=1 << 16)
+        nz = np.flatnonzero(counts)
+        return pa.table({"slot": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = (_read_documents(sf_dir, ["text"])
+           .map_batches(pair_partial, batch_format="pyarrow")
+           .groupby("slot")
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    if not len(agg):
+        return pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    agg["pair"] = [chr(int(sl) >> 8) + chr(int(sl) & 255) for sl in agg["slot"]]
+    top = (agg.astype({"n": "int64"})
+           .sort_values(["n", "pair"], ascending=[False, True])
+           .head(BPE_PAIR_TOP)[["pair", "n"]].reset_index(drop=True))
+    return top
 
 
 VOCAB_COVER_PCTS = (50, 90, 99)

@@ -750,6 +750,20 @@ ORDER BY window_id, conv_id, turn_idx
 # watermark-closure twin: early emission must produce the identical sample
 ORACLE_SQL["streaming_sample_wm"] = ORACLE_SQL["streaming_sample"]
 
+# First BPE-training iteration (dataops.q_byte_pair_counts): global counts
+# of adjacent character pairs (== byte pairs under the ASCII oracle
+# contract), top-30 by (count DESC, pair).
+ORACLE_SQL["byte_pair_counts"] = """
+WITH expl AS (
+  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+  FROM documents WHERE length(text) >= 2
+), pairs AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS pair FROM expl
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+ORDER BY n DESC, pair LIMIT 30
+"""
+
 # Ingest-time inverted-index maintenance (capture.index_kernel through the
 # engine): the committed postings sink equals the per-(token, turn) term
 # frequencies of the whole transcripts feed — same whitespace tokenization
