@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": d.q_hybrid_search,  # BM25 + dense MIPS fused by integer RRF
         "corpus_sample": d.q_corpus_sample,  # deterministic per-language bottom-k subsample
         "byte_pair_counts": d.q_byte_pair_counts,  # first BPE iteration: global adjacent-pair counts
+        "bpe_train_steps": d.q_bpe_train_steps,  # two BPE iterations: count -> merge -> recount
         # ---- rows-only below ----
         "knn_ivf_lloyd": d.q_knn_ivf,  # rows-only (float Lloyd centroids; pytest recall, both quantizers)
         "multimodal_features": d.q_multimodal_features,  # mixed real/fake decode; pytest plumbing

@@ -1777,14 +1777,21 @@ def q_byte_pair_counts(sf_dir: str) -> pd.DataFrame:
     """The first BPE-training iteration, distributed: global frequencies
     of ADJACENT BYTE PAIRS across the corpus (the statistic a BPE learner
     maximizes to pick its next merge), top-BPE_PAIR_TOP by (count DESC,
-    pair). Fully vectorized per batch over the zero-copy UTF-8 buffer
-    (common.utf8_view): the pair at position i is
-    ``data[i]<<8 | data[i+1]``, doc-boundary-crossing positions are
-    masked, and a single ``np.bincount`` produces the batch's partial as
-    ONE fixed 65536-slot vector — the textbook mergeable-partial shape
-    (partials sum; the exchange moves 512 KiB per batch regardless of
-    corpus size). ASCII-contract oracle (chr(hi)||chr(lo)) recomputes
-    the pairs via substring explosion."""
+    pair). One ``np.bincount`` per batch over the zero-copy UTF-8 buffer
+    produces a fixed 65536-slot mergeable partial (512 KiB per batch
+    crosses the exchange regardless of corpus size) — see
+    :func:`_pair_counts_agg`, shared with the two-step BPE loop."""
+    return (_pair_counts_agg(_read_documents(sf_dir, ["text"]))
+            .head(BPE_PAIR_TOP).reset_index(drop=True))
+
+
+BPE_STEP_TOP = 10
+
+
+def _pair_counts_agg(ds) -> pd.DataFrame:
+    """Shared bincount-partial pair aggregation (see q_byte_pair_counts)."""
+    from ray.data.aggregate import Sum
+
     def pair_partial(b: pa.Table) -> pa.Table:
         data, starts, ends = utf8_view(b["text"])
         if len(data) < 2:
@@ -1792,8 +1799,6 @@ def q_byte_pair_counts(sf_dir: str) -> pd.DataFrame:
                              "n": pa.array([], type=pa.int64())})
         u = (data[:-1].astype(np.int64) << 8) | data[1:].astype(np.int64)
         mask = np.ones(len(data) - 1, dtype=bool)
-        # a pair must not cross a doc boundary: kill position end-1 (the
-        # last byte of each doc paired with the next doc's first byte)
         kill = ends[ends <= len(data) - 1] - 1
         mask[kill[kill >= 0]] = False
         counts = np.bincount(u[mask], minlength=1 << 16)
@@ -1801,21 +1806,49 @@ def q_byte_pair_counts(sf_dir: str) -> pd.DataFrame:
         return pa.table({"slot": pa.array(nz.astype(np.int64)),
                          "n": pa.array(counts[nz].astype(np.int64))})
 
-    from ray.data.aggregate import Sum
-
-    agg = (_read_documents(sf_dir, ["text"])
-           .map_batches(pair_partial, batch_format="pyarrow")
-           .groupby("slot")
-           .aggregate(Sum("n", alias_name="n"))
-           .to_pandas())
+    agg = (ds.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby("slot").aggregate(Sum("n", alias_name="n")).to_pandas())
     if not len(agg):
         return pd.DataFrame({"pair": pd.Series([], dtype="object"),
                              "n": pd.Series([], dtype="int64")})
     agg["pair"] = [chr(int(sl) >> 8) + chr(int(sl) & 255) for sl in agg["slot"]]
-    top = (agg.astype({"n": "int64"})
-           .sort_values(["n", "pair"], ascending=[False, True])
-           .head(BPE_PAIR_TOP)[["pair", "n"]].reset_index(drop=True))
-    return top
+    return (agg.astype({"n": "int64"})
+            .sort_values(["n", "pair"], ascending=[False, True])
+            [["pair", "n"]].reset_index(drop=True))
+
+
+def q_bpe_train_steps(sf_dir: str) -> pd.DataFrame:
+    """TWO iterations of the BPE training loop, distributed: iteration 1
+    counts adjacent pairs and picks the top merge; iteration 2 APPLIES
+    that merge corpus-wide (left-to-right non-overlapping replacement —
+    str.replace semantics, the BPE convention — with chr(1) as the new
+    symbol) and recounts. Output: the top BPE_STEP_TOP pairs of each
+    iteration as (it, pair, n). Each iteration is one map-only pass plus
+    the fixed 65536-slot partial aggregate; the merge is a vectorized
+    Arrow replace — the shape of a full BPE learner (N sequential
+    corpus passes, each cheap and shuffle-light)."""
+    import pyarrow.compute as pc
+
+    it1 = _pair_counts_agg(_read_documents(sf_dir, ["text"]))
+    if not len(it1):
+        return pd.DataFrame({"it": pd.Series([], dtype="int64"),
+                             "pair": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    top_pair = str(it1.iloc[0]["pair"])
+
+    def apply_merge(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "text": pc.replace_substring(b["text"], top_pair, "\x01")
+        })
+
+    it2 = _pair_counts_agg(
+        _read_documents(sf_dir, ["text"])
+        .map_batches(apply_merge, batch_format="pyarrow"))
+    out = pd.concat([
+        it1.head(BPE_STEP_TOP).assign(it=np.int64(1)),
+        it2.head(BPE_STEP_TOP).assign(it=np.int64(2)),
+    ], ignore_index=True)[["it", "pair", "n"]]
+    return out.reset_index(drop=True)
 
 
 VOCAB_COVER_PCTS = (50, 90, 99)

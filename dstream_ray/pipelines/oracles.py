@@ -764,6 +764,40 @@ SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1
 ORDER BY n DESC, pair LIMIT 30
 """
 
+# Two BPE training iterations (dataops.q_bpe_train_steps): iteration 1 =
+# the pair counts above; the top merge (count DESC, pair tie-break) is
+# applied corpus-wide via left-to-right non-overlapping replace() with
+# chr(1) as the merged symbol, and iteration 2 recounts. Top-10 each.
+ORACLE_SQL["bpe_train_steps"] = """
+WITH expl1 AS (
+  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+  FROM documents WHERE length(text) >= 2
+), c1 AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS pair,
+         CAST(count(*) AS BIGINT) AS n
+  FROM expl1 GROUP BY 1
+), top1 AS (
+  SELECT pair FROM c1 ORDER BY n DESC, pair LIMIT 1
+), docs2 AS (
+  SELECT replace(text, (SELECT pair FROM top1), chr(1)) AS text
+  FROM documents
+), expl2 AS (
+  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+  FROM docs2 WHERE length(text) >= 2
+), c2 AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS pair,
+         CAST(count(*) AS BIGINT) AS n
+  FROM expl2 GROUP BY 1
+)
+SELECT * FROM (
+  (SELECT CAST(1 AS BIGINT) AS it, pair, n FROM c1
+   ORDER BY n DESC, pair LIMIT 10)
+  UNION ALL
+  (SELECT CAST(2 AS BIGINT) AS it, pair, n FROM c2
+   ORDER BY n DESC, pair LIMIT 10)
+) ORDER BY it, n DESC, pair
+"""
+
 # Ingest-time inverted-index maintenance (capture.index_kernel through the
 # engine): the committed postings sink equals the per-(token, turn) term
 # frequencies of the whole transcripts feed — same whitespace tokenization

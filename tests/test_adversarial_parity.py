@@ -52,6 +52,7 @@ ADVERSARIAL_QUERIES = [
     "bm25_search",  # integer-exact BM25 top-k (corpus-derived query terms)
     "corpus_sample",  # deterministic per-language bottom-k subsample
     "byte_pair_counts",  # first BPE iteration: adjacent-pair frequencies
+    "bpe_train_steps",  # two BPE iterations: count -> merge -> recount
     "vocab_coverage",  # library-only (nucleus vocab size at 50/90/99% mass)
     "curriculum_shards",  # library-only (exact global quality rank -> shards)
 ]
