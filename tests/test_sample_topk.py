@@ -330,3 +330,36 @@ def test_sample_stratified_by_role():
         if len(state["samples"]):
             assert (state["samples"]
                     .groupby(["window_id", "stratum"]).size() <= K).all()
+
+
+def test_topk_watermark_closure_and_late_drop():
+    """tumbling_topk under watermark closure: early per-epoch emission on
+    a ts-ordered feed totals to the oracle counts (exact regime), and a
+    replayed old row is late-dropped, not double-counted."""
+    feed = _feed(seed=6)
+    df = feed.to_pandas().sort_values("ts")
+    rows = to_residual_rows(pa.Table.from_pandas(df, preserve_index=False))
+    exp = _oracle(feed, COUNTS_ORACLE)
+    bounds = np.linspace(0, rows.num_rows, 5).astype(int)
+    state: dict = {}
+    outs = []
+    wm = -1
+    for i in range(4):
+        chunk = rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+        if chunk.num_rows:
+            wm = max(wm, int(chunk["ts_us"].to_numpy(zero_copy_only=False).max()))
+        out, state = tumbling_topk_kernel(
+            chunk, state, width_s=W_S, capacity=50, flush=(i == 3),
+            closure="watermark", watermark_us=wm)
+        outs.append(out)
+    assert state["late_drops"] == 0
+    assert outs[0].num_rows or outs[1].num_rows or outs[2].num_rows
+    g = pa.concat_tables(outs).to_pandas()
+    assert (g["err"] == 0).all()
+    got = (g.groupby(["window_id", "value"], as_index=False)["n"].sum()
+           .sort_values(["window_id", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    out, state2 = tumbling_topk_kernel(
+        rows.slice(0, 1), state, width_s=W_S, capacity=50, flush=True,
+        closure="watermark", watermark_us=wm)
+    assert state2["late_drops"] == 1 and out.num_rows == 0
