@@ -348,3 +348,29 @@ def segmented_cumcount(group_codes: np.ndarray) -> np.ndarray:
     starts = segment_starts(group_codes)
     idx = np.arange(n, dtype=np.int64)
     return idx - np.repeat(idx[starts], np.diff(np.r_[starts, n]))
+
+
+class BoundedCache(dict):
+    """Drop-in ``dict`` with a FIFO size cap for per-process memo caches.
+
+    Long-lived driver processes (a notebook, a service loop) call the same
+    query helpers over many sf_dirs / epochs; an unbounded module-level dict
+    would grow forever. This keeps plain dict semantics (``in``, ``[]``,
+    ``.get``) and evicts the oldest-inserted entry once ``maxsize`` distinct
+    keys are held. Insertion order is Python-dict order, so eviction is O(1)
+    amortized and needs no access bookkeeping — these caches are
+    build-once-read-rarely memos, not hot LRUs.
+    """
+
+    def __init__(self, maxsize: int = 8):
+        super().__init__()
+        if maxsize < 1:
+            raise ValueError("maxsize must be >= 1")
+        self.maxsize = int(maxsize)
+
+    def __setitem__(self, key, value):
+        if key in self:
+            del self[key]  # refresh insertion order for the updated key
+        elif len(self) >= self.maxsize:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)

@@ -679,6 +679,7 @@ def q_pii_scrub(sf_dir: str):
 # raw text, so only key injectivity matters, not the hash values.
 from dstream_ray.common import (  # noqa: E402
     DEDUP_HASH_BASES,
+    BoundedCache,
     fnv1a_u64,
     poly_hash_strings,
     token_hash_arrays,
@@ -1578,9 +1579,10 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return _bm25_scored(sf_dir).head(BM25_TOP).reset_index(drop=True)
 
 
-# one BM25 scored frame per sf_dir per process: bm25_search and the hybrid
-# fusion share the two scoring passes (same convention as _STREAMING_CACHE)
-_BM25_CACHE: dict = {}
+# one BM25 top-50 list per sf_dir per process: bm25_search and the hybrid
+# fusion share the two scoring passes (same convention as _STREAMING_CACHE).
+# Bounded: a long-lived driver touching many sf_dirs evicts FIFO at 8.
+_BM25_CACHE: dict = BoundedCache(maxsize=8)
 
 
 def _bm25_scored(sf_dir: str) -> pd.DataFrame:
@@ -1602,7 +1604,11 @@ def _bm25_scored(sf_dir: str) -> pd.DataFrame:
     Scale shape: pass 1 is the vocabulary-bounded df aggregate (also
     yields TL = sum tf and the query terms); pass 2 re-tokenizes,
     keeps ONLY docs matching a query term, and scores them in-batch with
-    the broadcast (df, N, TL) scalars — no per-doc state, no shuffle
+    the broadcast (df, N, TL) scalars. The final merge stays IN-CLUSTER:
+    groupby(doc_id) sum, then sort + limit(max(BM25_TOP, HYBRID_M)) so
+    only the <=50-row head ever reaches (and is cached on) the driver —
+    the matched-doc set itself is never materialized. No per-doc state,
+    no shuffle
     except the final (matched-docs-bounded) groupby + top-K sort."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -1655,13 +1661,15 @@ def _bm25_scored(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
                          "s": pa.array(np.concatenate(out_s))})
 
+    top_n = max(BM25_TOP, HYBRID_M)
     scored = (_read_documents(sf_dir, ["doc_id", "text"])
               .map_batches(score_partial, batch_format="pyarrow")
               .groupby("doc_id")
               .aggregate(Sum("s", alias_name="score"))
+              .sort(["score", "doc_id"], descending=[True, False])
+              .limit(top_n)
               .to_pandas())
     out = (scored.astype({"doc_id": "int64", "score": "int64"})
-           .sort_values(["score", "doc_id"], ascending=[False, True])
            .reset_index(drop=True))
     _BM25_CACHE[_ck] = out
     return out
@@ -1699,6 +1707,12 @@ def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
     # prune at the read: the dense ranker needs only (vec_id, embedding)
     emb = _read_embeddings(sf_dir, ["vec_id", "embedding"])
     qrow = emb.sort("vec_id").limit(1).to_pandas()
+    if not len(qrow):  # empty embeddings table: lexical-only fusion
+        out = pd.DataFrame({"doc_id": list(lex_c),
+                            "rrf": [lex_c[d] for d in lex_c]})
+        out = out.astype({"doc_id": "int64", "rrf": "int64"})
+        return (out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+                .head(HYBRID_TOP).reset_index(drop=True))
     qv = (np.floor(np.asarray(qrow["embedding"][0], dtype=np.float64) * 1_000_000)
           .astype(np.int64))
 

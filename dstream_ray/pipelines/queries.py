@@ -26,6 +26,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from dstream_ray import common as _common
+
 # shared engine/oracle constants for the bounded-state sample / heavy-hitter
 # operators (both sides configure from the same numbers, so they can't drift)
 from dstream_ray.pipelines.oracles import (
@@ -662,7 +664,9 @@ def q_semi_anti_orders(sf_dir: str) -> pd.DataFrame:
 # DuckDB comparison gates the engine itself, not just the batch kernels.
 # ---------------------------------------------------------------------------
 
-_STREAMING_CACHE: dict = {}
+# Bounded (FIFO, common.BoundedCache): ~5 distinct job keys per sf_dir, so
+# 16 slots cover three sf_dirs before the oldest finished job is dropped.
+_STREAMING_CACHE: dict = _common.BoundedCache(maxsize=16)
 
 
 def _run_streaming(sf_dir: str):

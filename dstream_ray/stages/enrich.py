@@ -30,10 +30,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from dstream_ray.common import ts_to_us
+from dstream_ray.common import BoundedCache, ts_to_us
 
-# cache key -> {"keys", "cols", "types", ...}; loaded once per worker process
-_DIM_CACHE: dict = {}
+# cache key -> {"keys", "cols", "types", ...}; loaded once per worker
+# process. Bounded: workers see a handful of dim tables per job; FIFO at 8.
+_DIM_CACHE: dict = BoundedCache(maxsize=8)
 
 
 def _load_dim(

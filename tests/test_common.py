@@ -110,3 +110,35 @@ def test_poly_hash_chunked_large_batch_matches_scalar():
     check_idx = [0, 1, 700, len(strings) - 3, len(strings) - 2, len(strings) - 1]
     for i in check_idx:
         assert int(h[i]) == horner(strings[i], 1000003), i
+
+
+def test_bounded_cache_caps_size_fifo():
+    """BoundedCache keeps dict semantics but evicts oldest-inserted at cap
+    (VERDICT r4 ask #7: per-process memo caches must not grow unboundedly)."""
+    from dstream_ray.common import BoundedCache
+
+    c = BoundedCache(maxsize=3)
+    for k in "abc":
+        c[k] = k.upper()
+    assert dict(c) == {"a": "A", "b": "B", "c": "C"}
+    c["d"] = "D"  # evicts 'a', the oldest
+    assert "a" not in c and len(c) == 3
+    assert c.get("b") == "B" and "d" in c
+    # re-setting an existing key refreshes its insertion position
+    c["b"] = "B2"
+    c["e"] = "E"  # evicts 'c' (oldest), NOT the refreshed 'b'
+    assert dict(c) == {"d": "D", "b": "B2", "e": "E"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        BoundedCache(maxsize=0)
+
+
+def test_module_caches_are_bounded():
+    """The three long-lived memo caches use BoundedCache."""
+    from dstream_ray.common import BoundedCache
+    from dstream_ray.pipelines import dataops, queries
+    from dstream_ray.stages import enrich
+
+    assert isinstance(dataops._BM25_CACHE, BoundedCache)
+    assert isinstance(queries._STREAMING_CACHE, BoundedCache)
+    assert isinstance(enrich._DIM_CACHE, BoundedCache)

@@ -133,3 +133,47 @@ def test_index_kernel_matches_str_split():
     both = {(r["token"], r["conv_id"], r["turn_idx"]): r["tf"]
             for r in pa.concat_tables([a, b]).to_pylist()}
     assert both == exp
+
+
+def test_bm25_scored_caches_only_topk(ray_session, tmp_path):
+    """Scale fix (VERDICT r5 ask #1): the driver-side BM25 frame is the
+    in-cluster top-max(BM25_TOP, HYBRID_M) head, never the full matched-doc
+    set — the sort+limit happens inside the Dataset pipeline."""
+    from dstream_ray.pipelines import dataops as d
+
+    sf_dir = make_corpus(tmp_path)
+    scored = d._bm25_scored(sf_dir)
+    assert len(scored) <= max(d.BM25_TOP, d.HYBRID_M)
+    # descending (score, doc_id asc) order is preserved by the cluster sort
+    s = scored["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+
+def test_hybrid_search_empty_embeddings(ray_session, tmp_path):
+    """ADVICE r4: an empty embeddings table degrades to lexical-only RRF
+    instead of raising IndexError on qrow['embedding'][0]."""
+    import duckdb as _duckdb
+
+    from dstream_ray.pipelines import dataops as d
+    from dstream_ray.pipelines.oracles import ORACLE_SQL
+
+    sf_dir = make_corpus(tmp_path)
+    empty_emb = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+        "label": pa.array([], type=pa.int32()),
+    })
+    pq.write_table(empty_emb, f"{sf_dir}/embeddings.parquet")
+    got = d.q_hybrid_search(sf_dir)
+    assert list(got.columns) == ["doc_id", "rrf"]
+    assert len(got) == d.HYBRID_TOP  # lexical side alone fills the head
+    con = _duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = con.execute(ORACLE_SQL["hybrid_search"]).fetch_df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
