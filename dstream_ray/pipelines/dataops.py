@@ -1795,19 +1795,39 @@ def q_byte_pair_counts(sf_dir: str) -> pd.DataFrame:
     produces a fixed 65536-slot mergeable partial (512 KiB per batch
     crosses the exchange regardless of corpus size) — see
     :func:`_pair_counts_agg`, shared with the two-step BPE loop."""
-    return (_pair_counts_agg(_read_documents(sf_dir, ["text"]))
+    return (_pair_counts_agg(_read_documents(sf_dir, ["text"]),
+                             assert_ascii=True)
             .head(BPE_PAIR_TOP).reset_index(drop=True))
 
 
 BPE_STEP_TOP = 10
 
 
-def _pair_counts_agg(ds) -> pd.DataFrame:
-    """Shared bincount-partial pair aggregation (see q_byte_pair_counts)."""
+def _pair_counts_agg(ds, assert_ascii: bool = False) -> pd.DataFrame:
+    """Shared bincount-partial pair aggregation (see q_byte_pair_counts).
+
+    ``assert_ascii=True`` (raw-corpus passes only) enforces the ASCII
+    oracle contract loudly: byte pairs == character pairs only when every
+    byte is printable ASCII or tab/newline/CR, and the merge-symbol bytes
+    (control range) must be absent from the raw corpus for the BPE loops
+    to be injective. A non-conforming corpus raises instead of silently
+    desynchronizing from the SQL oracle (ADVICE r4)."""
     from ray.data.aggregate import Sum
 
     def pair_partial(b: pa.Table) -> pa.Table:
         data, starts, ends = utf8_view(b["text"])
+        if assert_ascii and len(data):
+            # whitespace bytes 9-13 (tab/LF/VT/FF/CR) are legal corpus
+            # content (the tokenization contract treats them as spaces);
+            # the reserved merge symbols are 1-8 and 14-31
+            bad = (data >= 128) | (data < 9) | ((data > 13) & (data < 32))
+            if bad.any():
+                raise ValueError(
+                    "BPE ASCII oracle contract violated: corpus contains "
+                    f"byte {int(data[np.flatnonzero(bad)[0]])} (non-ASCII "
+                    "or reserved control byte); byte pairs would not equal "
+                    "SQL character pairs"
+                )
         if len(data) < 2:
             return pa.table({"slot": pa.array([], type=pa.int64()),
                              "n": pa.array([], type=pa.int64())})
@@ -1843,7 +1863,8 @@ def q_bpe_train_steps(sf_dir: str) -> pd.DataFrame:
     corpus passes, each cheap and shuffle-light)."""
     import pyarrow.compute as pc
 
-    it1 = _pair_counts_agg(_read_documents(sf_dir, ["text"]))
+    it1 = _pair_counts_agg(_read_documents(sf_dir, ["text"]),
+                           assert_ascii=True)
     if not len(it1):
         return pd.DataFrame({"it": pd.Series([], dtype="int64"),
                              "pair": pd.Series([], dtype="object"),
@@ -1863,6 +1884,79 @@ def q_bpe_train_steps(sf_dir: str) -> pd.DataFrame:
         it2.head(BPE_STEP_TOP).assign(it=np.int64(2)),
     ], ignore_index=True)[["it", "pair", "n"]]
     return out.reset_index(drop=True)
+
+
+def q_bpe_train(sf_dir: str, n_merges: int | None = None) -> pd.DataFrame:
+    """The FULL distributed BPE training loop (Sennrich et al. 2016),
+    N merges: each iteration counts adjacent symbol pairs corpus-wide,
+    picks the most frequent (count DESC, pair ASC tiebreak — the
+    deterministic BPE convention), assigns it a fresh merge symbol, and
+    the next iteration counts over the merged corpus. Output is the
+    LEARNED MERGE LIST: one row per merge, ``(step, pair, n)`` — the
+    artifact a BPE tokenizer trainer exists to produce. Merge symbols
+    are the control bytes of :data:`oracles.BPE_MERGE_SYMBOLS` (never
+    tab/newline/CR), guaranteed absent from the raw corpus by the ASCII
+    oracle contract (asserted loudly on the first pass), so symbol
+    strings stay injective and byte pairs == DuckDB character pairs on
+    every iteration.
+
+    Scale shape (the reason this is a *distributed* trainer): iteration
+    k is ONE streaming pass — read the raw corpus, re-apply the k
+    learned merges as vectorized left-to-right ``pc.replace_substring``
+    kernels inside the same ``map_batches``, and reduce to the fixed
+    65536-slot pair-count partial (:func:`_pair_counts_agg`; 512 KiB per
+    batch crosses the exchange regardless of corpus size). Re-applying
+    merges from the immutable input instead of materializing a working
+    corpus keeps the object store empty between iterations and makes
+    every pass independently retryable — N reads + O(N^2/2) cheap
+    vectorized replaces total, no N-generation corpus checkpoint. The
+    driver holds only the merge list (N rows).
+
+    Reference parity: the two-iteration shape is SQL-gated as
+    ``bpe_train_steps``; this N-merge list is SQL-gated against a
+    generated N-stage DuckDB oracle and pytest-pinned to a scalar
+    str.replace reference over adversarial corpora."""
+    import pyarrow.compute as pc
+
+    from dstream_ray.pipelines.oracles import (
+        BPE_MERGE_SYMBOLS,
+        BPE_TRAIN_MERGES,
+    )
+
+    if n_merges is None:
+        n_merges = BPE_TRAIN_MERGES
+    if n_merges > len(BPE_MERGE_SYMBOLS):
+        raise ValueError(
+            f"n_merges={n_merges} exceeds the {len(BPE_MERGE_SYMBOLS)} "
+            "reserved merge symbols (control bytes minus tab/LF/CR)"
+        )
+
+    merges: list[tuple[str, str]] = []  # (pair, assigned symbol)
+    rows: list[dict] = []
+    for step in range(n_merges):
+
+        def apply_merges(b: pa.Table, _m=tuple(merges)) -> pa.Table:
+            t = b["text"]
+            for p, s in _m:  # left-to-right non-overlapping, in merge order
+                t = pc.replace_substring(t, p, s)
+            return pa.table({"text": t})
+
+        ds = _read_documents(sf_dir, ["text"])
+        if merges:
+            ds = ds.map_batches(apply_merges, batch_format="pyarrow")
+        counts = _pair_counts_agg(ds, assert_ascii=(step == 0))
+        if not len(counts):
+            break  # corpus exhausted (every doc is a single symbol)
+        pair, n = str(counts.iloc[0]["pair"]), int(counts.iloc[0]["n"])
+        rows.append({"step": step + 1, "pair": pair, "n": n})
+        merges.append((pair, BPE_MERGE_SYMBOLS[step]))
+    if not rows:
+        return pd.DataFrame({"step": pd.Series([], dtype="int64"),
+                             "pair": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    out = pd.DataFrame(rows)
+    return (out.astype({"step": "int64", "n": "int64"})
+            [["step", "pair", "n"]].reset_index(drop=True))
 
 
 VOCAB_COVER_PCTS = (50, 90, 99)

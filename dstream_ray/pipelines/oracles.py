@@ -798,6 +798,50 @@ SELECT * FROM (
 ) ORDER BY it, n DESC, pair
 """
 
+# Full N-merge BPE training loop (dataops.q_bpe_train): the learned merge
+# list. Merge symbols are control bytes that the ASCII oracle contract
+# guarantees absent from the raw corpus (tab/LF/CR excluded — those ARE
+# legal corpus bytes), so replace() stays injective on every iteration
+# and byte pairs == character pairs throughout.
+BPE_TRAIN_MERGES = 16
+BPE_MERGE_SYMBOLS = tuple(chr(c) for c in (*range(1, 9), *range(14, 32)))
+
+
+def _bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Generate the N-stage DuckDB twin of the distributed BPE loop:
+    stage k counts adjacent character pairs over corpus generation d_k,
+    takes the top merge by (n DESC, pair ASC), and d_{k+1} applies it
+    via left-to-right non-overlapping replace() with the k-th reserved
+    merge symbol. If the corpus exhausts early, t_k goes empty and every
+    later generation nulls out — the UNION then yields exactly the
+    merges the engine also stops at."""
+    # every d_k / t_k is referenced twice (the count and the next
+    # generation / the union) — MATERIALIZED stops DuckDB's CTE inlining
+    # from expanding the chain into 2^N scans of the parquet file
+    parts = ["WITH d0 AS MATERIALIZED (SELECT text FROM documents)"]
+    for k in range(n_merges):
+        sym = ord(BPE_MERGE_SYMBOLS[k])
+        parts.append(f""", c{k} AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS pair,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+        FROM d{k} WHERE length(text) >= 2)
+  GROUP BY 1
+), t{k} AS MATERIALIZED (
+  SELECT pair, n FROM c{k} ORDER BY n DESC, pair LIMIT 1
+), d{k + 1} AS MATERIALIZED (
+  SELECT replace(text, (SELECT pair FROM t{k}), chr({sym})) AS text FROM d{k}
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS step, pair, n FROM t{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f"\nSELECT * FROM (\n  {union}\n) ORDER BY step\n")
+    return "".join(parts)
+
+
+ORACLE_SQL["bpe_train"] = _bpe_train_oracle_sql()
+
 # Ingest-time inverted-index maintenance (capture.index_kernel through the
 # engine): the committed postings sink equals the per-(token, turn) term
 # frequencies of the whole transcripts feed — same whitespace tokenization

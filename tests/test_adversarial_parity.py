@@ -53,6 +53,7 @@ ADVERSARIAL_QUERIES = [
     "corpus_sample",  # deterministic per-language bottom-k subsample
     "byte_pair_counts",  # first BPE iteration: adjacent-pair frequencies
     "bpe_train_steps",  # two BPE iterations: count -> merge -> recount
+    "bpe_train",  # full N-merge BPE trainer: learned merge list
     "vocab_coverage",  # library-only (nucleus vocab size at 50/90/99% mass)
     "curriculum_shards",  # library-only (exact global quality rank -> shards)
 ]

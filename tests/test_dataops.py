@@ -1548,3 +1548,103 @@ def test_stratified_split_proportions_and_determinism(ray_session, sf_tiny):
             assert 0.6 <= (g["split"] == "train").mean() <= 0.95, lang
     # buckets and names agree
     assert ((out["bucket"] < 80) == (out["split"] == "train")).all()
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_train: the N-merge distributed BPE trainer vs a scalar reference
+# ---------------------------------------------------------------------------
+
+
+def _scalar_bpe(texts, n_merges):
+    """Pure-Python BPE reference: count adjacent character pairs per doc
+    (overlapping positions count), merge the (count DESC, pair ASC) top via
+    left-to-right non-overlapping str.replace with the same reserved merge
+    symbols the engine uses."""
+    from collections import Counter
+
+    from dstream_ray.pipelines.oracles import BPE_MERGE_SYMBOLS
+
+    texts = list(texts)
+    merges = []
+    for step in range(n_merges):
+        cnt = Counter()
+        for t in texts:
+            for i in range(len(t) - 1):
+                cnt[t[i:i + 2]] += 1
+        if not cnt:
+            break
+        pair, n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step + 1, pair, n))
+        texts = [t.replace(pair, BPE_MERGE_SYMBOLS[step]) for t in texts]
+    return merges
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+BPE_ADVERSARIAL_CORPORA = [
+    # overlapping runs: "aaaa" has 3 'aa' positions but only 2 replacements
+    ["aaaa aaa aa", "aaaaaaa", "a"],
+    # exhaustion: merges run out before n_merges (engine must break early)
+    ["ab", "ab", "ab"],
+    # tie-breaks: equal counts -> lexicographically smaller pair wins
+    ["xy xy zw zw", "zw xy"],
+    # merge-of-merge: later merges pair earlier merge symbols
+    ["abab abab abab", "ababab cdcd", "abcd abcd"],
+    # empties / single chars / whitespace-only docs contribute nothing
+    ["", "q", "  ", "the the the", "\tthe\n"],
+    # heavy duplication + long doc (replace must stay non-overlapping)
+    ["lorem ipsum " * 50, "mississippi " * 20, "banana bandana"],
+]
+
+
+def test_bpe_train_matches_scalar_reference(ray_session, tmp_path):
+    """The distributed merge list (pair, count, order) equals the scalar
+    str.replace reference on every adversarial corpus, including early
+    exhaustion and merges whose pairs contain earlier merge symbols."""
+    import dstream_ray.pipelines.dataops as d
+
+    for ci, texts in enumerate(BPE_ADVERSARIAL_CORPORA):
+        sub = tmp_path / f"c{ci}"
+        sub.mkdir()
+        _write_docs(sub, texts)
+        got = d.q_bpe_train(str(sub), n_merges=8)
+        want = _scalar_bpe(texts, 8)
+        got_list = [(int(r.step), r.pair, int(r.n)) for r in got.itertuples()]
+        assert got_list == want, (ci, texts, got_list, want)
+
+
+def test_bpe_train_default_merge_budget(ray_session, sf_tiny):
+    """Default run learns BPE_TRAIN_MERGES merges on the real corpus, steps
+    strictly ordered, counts non-increasing is NOT required (merges can
+    unlock bigger pairs) but every count is positive."""
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.pipelines.oracles import BPE_TRAIN_MERGES
+
+    out = d.q_bpe_train(sf_tiny)
+    assert list(out["step"]) == list(range(1, BPE_TRAIN_MERGES + 1))
+    assert (out["n"] > 0).all()
+    assert out["pair"].str.len().eq(2).all()
+
+
+def test_bpe_ascii_contract_raises_loudly(ray_session, tmp_path):
+    """A non-ASCII corpus must fail the BPE family loudly (ADVICE r4), not
+    silently desynchronize from the character-pair oracle."""
+    import pytest as _pytest
+
+    import dstream_ray.pipelines.dataops as d
+
+    _write_docs(tmp_path, ["café au lait", "plain ascii"])
+    with _pytest.raises(Exception, match="ASCII oracle contract"):
+        d.q_bpe_train(str(tmp_path), n_merges=2)
