@@ -2739,6 +2739,127 @@ def q_pq_search(sf_dir: str) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+def q_knn_ivfpq(
+    sf_dir: str, n_lists: int = IVF_INT_LISTS, n_probe: int = IVF_INT_PROBE
+) -> pd.DataFrame:
+    """IVF+PQ — the composed billion-to-trillion-vector ANN architecture
+    (Jégou et al. 2011): the integer-exact coarse quantizer of
+    :func:`q_knn_ivf_int` routes every corpus vector to an inverted list
+    (argmax fixed-point dot, smaller-list ties), queries probe their
+    ``n_probe`` best lists, and WITHIN the probed lists distances come
+    from the PQ-ADC tables of :func:`q_pq_search` (integer squared-L2
+    codes + per-query PQ_M×PQ_K lookup tables) — the raw vectors of the
+    probed lists are never touched by the query path. Both halves keep
+    their exact fixed-point recipes, so DuckDB recomputes list
+    assignments, probes, codes, ADC tables and the final ranking
+    bit-for-bit. Ties break on smaller neighbor id; self-matches are
+    excluded (query vectors are corpus vectors).
+
+    Scale shape: ONE map_batches pass — coarse-assign the batch, drop
+    rows outside every probed list BEFORE PQ-encoding them, ADC-score
+    survivors per probing query, emit per-query partial top-k (nq*k rows
+    per batch). The broadcast bundle (coarse centroids + codebook + query
+    tables + probe sets) is a few KiB via ``ray.put``. At 10^11 vectors
+    the same pipeline runs over PRE-ENCODED codes partitioned by
+    ivf_list (q_pq_encode's output), turning the scan into a probed-
+    partition read — documented here as the production layout; the
+    on-the-fly encode keeps this query self-contained over the raw
+    parquet. Recall vs brute force is pytest-bounded and pinned to beat
+    an equal-compute unrouted-subset PQ scan; full-probe composition
+    equals q_pq_search exactly."""
+    # the two sampled "models": coarse centroids and the PQ codebook
+    # (vec_id-prefix samples, FAISS-style; both fixed-point at 1e6)
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(n_lists, PQ_K))],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    S = np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)
+    C_ivf, C_pq = S[:n_lists], S[:PQ_K]
+    d_sub = C_pq.shape[1] // PQ_M
+
+    q = _load_queries(sf_dir)
+    qids = np.asarray(q["ids"], dtype=np.int64)
+    Qf = np.floor(np.asarray(q["vecs"], dtype=np.float64) * PQ_SCALE)
+    # probe selection: integer query-centroid dots, stable smaller-id ties
+    probe_mat = np.argsort(-(Qf @ C_ivf.T), axis=1, kind="stable")[:, :n_probe]
+    probes = [np.sort(probe_mat[qi]).astype(np.int64) for qi in range(len(qids))]
+    wanted = np.unique(np.concatenate(probes))
+    # per-query ADC tables (nq, PQ_M, PQ_K) — exact ints in float64
+    T = np.zeros((len(qids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        qs = Qf[:, m * d_sub:(m + 1) * d_sub]
+        cs = C_pq[:, m * d_sub:(m + 1) * d_sub]
+        T[:, m, :] = ((qs * qs).sum(axis=1)[:, None]
+                      - 2.0 * (qs @ cs.T)
+                      + (cs * cs).sum(axis=1)[None, :])
+    ref = ray.put((qids, T, C_ivf, C_pq, probes, wanted))
+
+    def ivfpq_partial(b: pa.Table) -> pa.Table:
+        _qids, tables, cents, codebook, _probes, _wanted = ray.get(ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = np.argmax(X @ cents.T, axis=1).astype(np.int64)
+        keep = np.isin(lists, _wanted)  # prune before the PQ encode
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        X, vec_ids, lists = X[keep], vec_ids[keep], lists[keep]
+        dist = np.zeros((len(_qids), len(X)))
+        for m in range(PQ_M):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            cs = codebook[:, m * d_sub:(m + 1) * d_sub]
+            dd = ((sub * sub).sum(axis=1)[:, None]
+                  - 2.0 * (sub @ cs.T)
+                  + (cs * cs).sum(axis=1)[None, :])
+            codes = np.argmin(dd, axis=1)  # first min = smaller k
+            dist += tables[:, m, codes]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(_qids)):
+            allowed = np.isin(lists, _probes[qi])
+            if not allowed.any():
+                continue
+            row, ids = dist[qi][allowed], vec_ids[allowed]
+            k = min(KNN_K + 1, len(row))  # +1 survives self-exclusion
+            top = np.argpartition(row, k - 1)[:k]
+            top = top[np.lexsort((ids[top], row[top]))]
+            out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_d.append(row[top].astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adc": pa.array(np.concatenate(out_d)),
+        })
+
+    partials = (_read_embeddings(sf_dir)
+                .map_batches(ivfpq_partial, batch_format="pyarrow",
+                             batch_size=4096)
+                .to_pandas())
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["adc", "neighbor_id"]).head(KNN_K).reset_index(drop=True)
+        out.append(pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "adc": g["adc"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "adc": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return pd.concat(out, ignore_index=True)
+
+
 def q_big_spenders(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer with Ray Data's native hash join (both sides
     treated as large; contrast with the broadcast join in queries.py),

@@ -2278,6 +2278,74 @@ SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
   FROM adc) WHERE rank <= 10
 """
 
+# IVF+PQ composition (dataops.q_knn_ivfpq): the knn_ivf coarse quantizer
+# (argmax integer dot over the vec_id < 16 sampled centroids, smaller-list
+# ties; queries probe their 4 best lists) routes candidates, and distances
+# within probed lists are the pq_search ADC sums over the assigned codes.
+# Candidates = vectors assigned to a probed list, self excluded; final
+# ranking (adc ASC, neighbor_id ASC), top 10 per query.
+ORACLE_SQL["knn_ivfpq"] = """
+WITH vals AS (
+  SELECT vec_id,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
+         unnest(generate_series(1, len(embedding))) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id, b.vec_id AS l, sum(a.x * b.x) AS s
+  FROM vals a JOIN vals b ON a.j = b.j AND b.vec_id < 16
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, l AS ivf_list FROM (
+    SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+    FROM dots) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, l AS pl FROM (
+    SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+    FROM dots WHERE vec_id < 8) WHERE rn <= 4
+),
+sub AS (SELECT vec_id, x, j, CAST((j - 1) // 8 AS BIGINT) AS m FROM vals),
+cb AS (SELECT vec_id AS k, x AS c, j, m FROM sub WHERE vec_id < 16),
+dist AS (
+  SELECT a.vec_id, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS rn
+    FROM dist) WHERE rn = 1
+),
+qd AS (
+  SELECT a.vec_id AS qid, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  WHERE a.vec_id < 8
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM qprobe p JOIN assign a ON a.ivf_list = p.pl
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT cd.qid AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.dd) AS BIGINT) AS adc
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.nid
+  JOIN qd q ON q.qid = cd.qid AND q.m = c.m AND q.k = c.k
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+  FROM adc) WHERE rank <= 10
+"""
+
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the
 # threshold compares 100*cumsum >= pct*total in integers.

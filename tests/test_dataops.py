@@ -1648,3 +1648,78 @@ def test_bpe_ascii_contract_raises_loudly(ray_session, tmp_path):
     _write_docs(tmp_path, ["café au lait", "plain ascii"])
     with _pytest.raises(Exception, match="ASCII oracle contract"):
         d.q_bpe_train(str(tmp_path), n_merges=2)
+
+
+def test_knn_ivfpq_full_probe_equals_flat_pq(ray_session, sf_tiny):
+    """Composition sanity: probing ALL lists must reduce IVF+PQ to the flat
+    PQ-ADC scan bit-for-bit (same codes, same tables, same ranking)."""
+    import pandas as pd
+
+    import dstream_ray.pipelines.dataops as d
+
+    flat = (d.q_pq_search(sf_tiny)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    full = (d.q_knn_ivfpq(sf_tiny, n_probe=d.IVF_INT_LISTS)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(full, flat[full.columns])
+
+
+def test_knn_ivfpq_recall_beats_equal_compute_subset(ray_session, sf_tiny):
+    """IVF routing must BEAT the equal-compute strawman: for each query,
+    a PQ-ADC scan over a uniformly random corpus subset of exactly the
+    same size as that query's probed lists. Ground truth is the exact
+    fixed-point L2 top-10 (the metric ADC approximates); IVFPQ recall
+    must also clear the flat-PQ floor despite scanning ~n_probe/n_lists
+    of the corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages import ann
+
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet")
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.floor(ann._stack(t["embedding"]) * 1e6)[order]
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)[order]
+    C_ivf = X[: d.IVF_INT_LISTS]
+    C_pq = X[: d.PQ_K]
+    d_sub = X.shape[1] // d.PQ_M
+
+    # scalar twin of the engine math: assignments, probes, full ADC matrix
+    lists = np.argmax(X @ C_ivf.T, axis=1)
+    qids = ids[ids < 8]
+    Qf = X[ids < 8]
+    probe_mat = np.argsort(-(Qf @ C_ivf.T), axis=1, kind="stable")[:, : d.IVF_INT_PROBE]
+    adc = np.zeros((len(qids), len(X)))
+    for m in range(d.PQ_M):
+        sub = X[:, m * d_sub:(m + 1) * d_sub]
+        cs = C_pq[:, m * d_sub:(m + 1) * d_sub]
+        dd = ((sub * sub).sum(axis=1)[:, None] - 2.0 * (sub @ cs.T)
+              + (cs * cs).sum(axis=1)[None, :])
+        codes = np.argmin(dd, axis=1)
+        qsub = Qf[:, m * d_sub:(m + 1) * d_sub]
+        T = ((qsub * qsub).sum(axis=1)[:, None] - 2.0 * (qsub @ cs.T)
+             + (cs * cs).sum(axis=1)[None, :])
+        adc += T[:, codes]
+
+    got = d.q_knn_ivfpq(sf_tiny)
+    rng = np.random.default_rng(4242)
+    ivfpq_recs, subset_recs = [], []
+    for qi, qid in enumerate(qids):
+        dist = ((X - Qf[qi]) ** 2).sum(axis=1)
+        exact = [i for i in ids[np.lexsort((ids, dist))] if i != qid][:10]
+        approx = got[got["query_id"] == qid]["neighbor_id"].tolist()
+        assert len(approx) == 10
+        ivfpq_recs.append(len(set(exact) & set(approx)) / 10)
+        # equal-compute strawman: random subset of the probed-cand size
+        n_cand = int(np.isin(lists, probe_mat[qi]).sum())
+        for _ in range(3):
+            pick = rng.choice(len(ids), size=n_cand, replace=False)
+            pick = pick[ids[pick] != qid]
+            prow = adc[qi][pick]
+            top = ids[pick][np.lexsort((ids[pick], prow))][:10]
+            subset_recs.append(len(set(exact) & set(top)) / 10)
+    mean_ivfpq = sum(ivfpq_recs) / len(ivfpq_recs)
+    mean_subset = sum(subset_recs) / len(subset_recs)
+    assert mean_ivfpq >= 0.15, ivfpq_recs
+    assert mean_ivfpq > mean_subset, (mean_ivfpq, mean_subset)
