@@ -2540,6 +2540,21 @@ def tumbling_topk_kernel(
         next_below = emitted_below
 
     emitted = cur[emit_mask]
+    closed = set(emitted["window_id"].astype(int)) if len(emitted) else set()
+    if next_below is not None:
+        closed |= {w for w in werr if w < next_below}
+    # err-sentinel (ADVICE r4): a window whose entries were ALL decremented
+    # away (every top-(capacity+1) count equal) would otherwise close with
+    # zero rows and silently drop its accumulated err — defeating loud
+    # err-gates like q_streaming_topk_mg's err.max()==0 assert. Emit a
+    # (window_id, value="", n=0, err) marker for any closing window with
+    # werr>0 and no surviving summary rows ("" never carries real counts
+    # under skip_empty; with skip_empty=False it merges harmlessly — n
+    # adds 0 and err is per-window anyway).
+    emitted_ws = set(emitted["window_id"].astype(int)) if len(emitted) else set()
+    sentinel_ws = sorted(
+        w for w in closed if int(werr.get(w, 0)) > 0 and w not in emitted_ws
+    )
     if len(emitted):
         out = pa.Table.from_pandas(
             emitted.assign(
@@ -2551,9 +2566,15 @@ def tumbling_topk_kernel(
         ).cast(_TUMBLING_TOPK_EMPTY.schema)
     else:
         out = _TUMBLING_TOPK_EMPTY
-    closed = set(emitted["window_id"].astype(int)) if len(emitted) else set()
-    if next_below is not None:
-        closed |= {w for w in werr if w < next_below}
+    if sentinel_ws:
+        sent = pa.table({
+            "window_id": pa.array(np.asarray(sentinel_ws, dtype=np.int64)),
+            "value": pa.array([""] * len(sentinel_ws)),
+            "n": pa.array(np.zeros(len(sentinel_ws), dtype=np.int64)),
+            "err": pa.array(np.asarray(
+                [int(werr[w]) for w in sentinel_ws], dtype=np.int64)),
+        }).cast(_TUMBLING_TOPK_EMPTY.schema)
+        out = pa.concat_tables([out, sent]) if out.num_rows else sent
     new_state: dict = {
         "summary": cur[~emit_mask],
         "werr": {w: e for w, e in werr.items() if w not in closed},

@@ -538,6 +538,16 @@ def test_topk_mg_bounds_any_split(data, capacity):
     if not len(got):
         return
     assert (got.groupby("window_id").size() <= capacity).all()
+    # err-sentinels (value "", n 0, err > 0) mark windows whose entries
+    # were ALL decremented away; they carry the err that would otherwise
+    # vanish and never coexist with real rows of the same window
+    sent = got[(got["n"] == 0) & (got["value"] == "")]
+    got = got.drop(sent.index)
+    real_ws = set(got["window_id"])
+    assert (sent["err"] > 0).all()
+    assert not (set(sent["window_id"]) & real_ws)
+    if not len(got):
+        return
     res = rows.to_pandas()
     res["window_id"] = res.ts_us // (WIDTH_S * 1_000_000)
     true = (res.groupby(["window_id", "role"]).size().rename("n_true")

@@ -363,3 +363,50 @@ def test_topk_watermark_closure_and_late_drop():
         rows.slice(0, 1), state, width_s=W_S, capacity=50, flush=True,
         closure="watermark", watermark_us=wm)
     assert state2["late_drops"] == 1 and out.num_rows == 0
+
+
+def test_topk_err_sentinel_on_emptied_window():
+    """ADVICE r4 blind spot: if every entry of a window is decremented away
+    in one trim (all top-(capacity+1) counts equal), the window must NOT
+    close silently — it emits a (window_id, "", 0, err) sentinel so loud
+    err-gates still see the non-exactness."""
+    ts = [T0 + i for i in (1, 2, 3)]  # all in one window
+    rows = pa.table({
+        "conv_id": pa.array(["c0", "c1", "c2"]),
+        "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+        "role": pa.array(["tool"] * 3),
+        "text": pa.array(["x"] * 3),
+        "tool": pa.array(["a", "b", "c"]),  # 3 distinct values, count 1 each
+        "ts_us": pa.array(ts, type=pa.int64()),
+    })
+    out, state = tumbling_topk_kernel(
+        rows, {}, width_s=W_S, capacity=2, flush=True)
+    g = out.to_pandas()
+    # capacity 2 < 3 equal counts -> one trim kills everything; the closure
+    # must still surface err=1 via the sentinel
+    assert len(g) == 1
+    assert g.iloc[0]["value"] == "" and g.iloc[0]["n"] == 0
+    assert g.iloc[0]["err"] == 1
+    assert g.iloc[0]["window_id"] == ts[0] // (W_S * 1_000_000)
+    assert not state["summary"].shape[0] and not state["werr"]
+
+
+def test_topk_err_sentinel_watermark_closure():
+    """Same blind spot under closure='watermark': the emptied window's
+    sentinel rides the watermark closure, and the window is gone from
+    state afterwards."""
+    w_us = W_S * 1_000_000
+    rows = pa.table({
+        "conv_id": pa.array(["c0", "c1", "c2"]),
+        "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+        "role": pa.array(["tool"] * 3),
+        "text": pa.array(["x"] * 3),
+        "tool": pa.array(["a", "b", "c"]),
+        "ts_us": pa.array([T0, T0 + 1, T0 + 2], type=pa.int64()),
+    })
+    out, state = tumbling_topk_kernel(
+        rows, {}, width_s=W_S, capacity=2, flush=False,
+        closure="watermark", watermark_us=(T0 // w_us + 5) * w_us)
+    g = out.to_pandas()
+    assert len(g) == 1 and g.iloc[0]["value"] == "" and g.iloc[0]["err"] == 1
+    assert not state["werr"]
