@@ -1316,12 +1316,17 @@ def q_centroid_by_label(sf_dir: str) -> pd.DataFrame:
 
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
-    """Synthetic media table -> actor-pool featurizer. Half the rows are
-    raw-RGB payloads that decode FOR REAL (byte-level `decode_rgb_raw`, no
-    codec library needed); the rest exercise the fake-decode plumbing that
-    stands in for PIL/ffmpeg. The sf_dir is unused (no media in testdata);
-    size fixed + seeded so the rows-only check is deterministic."""
-    media = multimodal.generate_media_table(n=128, seed=5, raw_frac=0.5)
+    """Synthetic media table -> actor-pool featurizer. 70% of the rows
+    decode FOR REAL: 35% raw-RGB (byte-level `decode_rgb_raw`) and 35%
+    actual PNG files (minimal stdlib-zlib `decode_png`: chunk walk + CRC +
+    inflate + all five scanline filters); the rest exercise the
+    fake-decode plumbing that stands in for PIL/ffmpeg on codec formats
+    this container can't decode. The sf_dir is unused (no media in
+    testdata); size fixed + seeded so the rows-only check is
+    deterministic."""
+    media = multimodal.generate_media_table(
+        n=128, seed=5, raw_frac=0.35, png_frac=0.35
+    )
     ds = rd.from_arrow(media)
     feats = ds.map_batches(
         multimodal.MediaFeaturizer,

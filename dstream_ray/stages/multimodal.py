@@ -37,13 +37,17 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def generate_media_table(n: int = 64, seed: int = 5, raw_frac: float = 0.0) -> pa.Table:
+def generate_media_table(
+    n: int = 64, seed: int = 5, raw_frac: float = 0.0, png_frac: float = 0.0
+) -> pa.Table:
     """Seeded synthetic media rows (binary payloads + metadata).
 
     ``raw_frac`` > 0 turns that fraction of rows into ``image_raw`` rows
     whose payloads are REAL :func:`encode_rgb_raw` images (seeded gradient
-    + noise) — the featurizer's ``decode="auto"`` path genuinely decodes
-    these bytes back to pixels."""
+    + noise); ``png_frac`` > 0 turns the NEXT fraction into ``image_png``
+    rows really encoded by :func:`encode_png` with mixed scanline filters
+    — the featurizer's ``decode="auto"`` path genuinely decodes both back
+    to pixels."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, n)
@@ -51,22 +55,25 @@ def generate_media_table(n: int = 64, seed: int = 5, raw_frac: float = 0.0) -> p
     payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in range(n)]
     w = rng.integers(16, 256, n).astype(np.int32)
     h = rng.integers(16, 256, n).astype(np.int32)
-    if raw_frac > 0:
-        n_raw = int(n * raw_frac)
-        for i in range(n_raw):
-            wi, hi = int(rng.integers(8, 48)), int(rng.integers(8, 48))
-            yy, xx = np.mgrid[0:hi, 0:wi]
-            img = np.stack(
-                [
-                    (xx * 255 // max(1, wi - 1)),
-                    (yy * 255 // max(1, hi - 1)),
-                    rng.integers(0, 256, (hi, wi)),
-                ],
-                axis=2,
-            ).astype(np.uint8)
+    n_raw, n_png = int(n * raw_frac), int(n * png_frac)
+    for i in range(n_raw + n_png):
+        wi, hi = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        yy, xx = np.mgrid[0:hi, 0:wi]
+        img = np.stack(
+            [
+                (xx * 255 // max(1, wi - 1)),
+                (yy * 255 // max(1, hi - 1)),
+                rng.integers(0, 256, (hi, wi)),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        if i < n_raw:
             kinds[i] = "image_raw"
             payloads[i] = encode_rgb_raw(img)
-            w[i], h[i] = wi, hi
+        else:
+            kinds[i] = "image_png"
+            payloads[i] = encode_png(img, filter_type="mixed")
+        w[i], h[i] = wi, hi
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -180,6 +187,142 @@ def decode_rgb_raw(payload: bytes) -> np.ndarray:
     return np.frombuffer(body, dtype=np.uint8).reshape(int(h), int(w), 3)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = "mixed") -> bytes:
+    """REAL (non-stub) minimal PNG encoder — stdlib ``zlib`` only: 8-bit
+    RGB (color type 2), no interlace. ``filter_type`` applies one of the
+    five PNG scanline filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth)
+    to every scanline, or ``"mixed"`` cycles ``y % 5`` so round-trip
+    tests exercise every filter the decoder must invert."""
+    import zlib
+
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    px = arr.astype(np.int64)
+    raw = px.reshape(h, w * 3)
+    out = bytearray()
+    for y in range(h):
+        f = (y % 5) if filter_type == "mixed" else int(filter_type)
+        line = raw[y]
+        prev = raw[y - 1] if y else np.zeros_like(line)
+        left = np.concatenate([np.zeros(3, dtype=np.int64), line[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, ul)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, color type 2 (RGB)
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL minimal PNG decoder — stdlib ``zlib`` only: chunk walk with
+    CRC validation, IDAT concatenation + inflate, and full scanline
+    un-filtering (all five filter types). Supports the same subset the
+    encoder writes (8-bit RGB, no interlace); anything else — palettes,
+    alpha, 16-bit, Adam7 — raises ``NotImplementedError`` honestly (the
+    shape a real deployment fills in with PIL)."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if (depth, color) != (8, 2):
+                raise NotImplementedError(
+                    f"minimal PNG decoder handles 8-bit RGB only, got "
+                    f"depth={depth} color_type={color}"
+                )
+            if comp or filt or interlace:
+                raise NotImplementedError("compression/filter/interlace != 0")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f, line = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: per-channel wrap-around prefix sum
+            out[y] = np.cumsum(line.reshape(-1, 3), axis=0).reshape(-1) % 256
+        elif f == 2:
+            out[y] = (line + prev) % 256
+        elif f in (3, 4):  # Average/Paeth need the reconstructed left pixel
+            rec = out[y]
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - 3] if x >= 3 else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                    rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB: deterministic 'pixels' from bytes (replaces PIL.Image.open)."""
     b = np.frombuffer(payload, dtype=np.uint8)
@@ -207,17 +350,22 @@ class MediaFeaturizer:
         self.dim = dim
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if self.decode == "auto" and payload[:4] == RGB_MAGIC:
-            # REAL decode: raw-RGB payloads carry actual pixels (luminance
-            # plane feeds the shared histogram+projection featurizer)
-            px = decode_rgb_raw(payload).astype(np.float32)
+        if self.decode == "auto" and (
+            payload[:4] == RGB_MAGIC or payload[:8] == PNG_MAGIC
+        ):
+            # REAL decode: raw-RGB and (minimal, zlib-only) PNG payloads
+            # carry actual pixels (luminance plane feeds the shared
+            # histogram+projection featurizer)
+            dec = decode_rgb_raw if payload[:4] == RGB_MAGIC else decode_png
+            px = dec(payload).astype(np.float32)
             lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
             return lum.ravel()
         if self.decode == "strict":
             raise NotImplementedError(
-                "real image/audio codec decoding requires PIL/ffmpeg — not in "
-                "this container; raw-RGB payloads decode for real via "
-                "decode='auto', everything else uses decode='fake' plumbing"
+                "real image/audio codec decoding beyond raw-RGB/8-bit-RGB-PNG "
+                "requires PIL/ffmpeg — not in this container; those two "
+                "formats decode for real via decode='auto', everything else "
+                "uses decode='fake' plumbing"
             )
         return _fake_decode(payload, width, height)
 

@@ -1723,3 +1723,54 @@ def test_knn_ivfpq_recall_beats_equal_compute_subset(ray_session, sf_tiny):
     mean_subset = sum(subset_recs) / len(subset_recs)
     assert mean_ivfpq >= 0.15, ivfpq_recs
     assert mean_ivfpq > mean_subset, (mean_ivfpq, mean_subset)
+
+
+def test_png_roundtrip_all_filters():
+    """The minimal stdlib-zlib PNG codec: encode with each of the five
+    scanline filters (and the mixed cycle) and decode back bit-exact;
+    corrupted CRC and unsupported color types fail loudly."""
+    rng = np.random.default_rng(7)
+    for ft in [0, 1, 2, 3, 4, "mixed"]:
+        img = rng.integers(0, 256, (19, 23, 3)).astype(np.uint8)
+        assert (multimodal.decode_png(multimodal.encode_png(img, filter_type=ft)) == img).all(), ft
+    # degenerate sizes
+    one = rng.integers(0, 256, (1, 1, 3)).astype(np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(one)) == one).all()
+    # CRC corruption raises
+    p = bytearray(multimodal.encode_png(one))
+    p[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(p))
+    # non-PNG magic raises
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"JFIF....")
+    # unsupported depth/color honesty: fake a grayscale IHDR
+    import zlib as _z
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    chunk = len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr + (
+        _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(NotImplementedError, match="8-bit RGB"):
+        multimodal.decode_png(multimodal.PNG_MAGIC + chunk)
+
+
+def test_multimodal_png_real_decode_in_featurizer(ray_session):
+    """decode='auto' really decodes image_png rows: the featurizer's
+    feat_mean equals the direct Rec.601 luminance mean of the pixels that
+    were PNG-encoded (fake decode could not reproduce it)."""
+    import ray.data as rd
+
+    media = multimodal.generate_media_table(n=32, seed=5, raw_frac=0.25, png_frac=0.25)
+    kinds = media["kind"].to_pylist()
+    assert "image_png" in kinds and "image_raw" in kinds
+    out = (rd.from_arrow(media)
+           .map_batches(multimodal.MediaFeaturizer, batch_format="pyarrow",
+                        batch_size=8, concurrency=2,
+                        fn_constructor_kwargs={"decode": "auto"})
+           .to_pandas().set_index("media_id").sort_index())
+    payloads = media["payload"].to_pylist()
+    for i, (k, p) in enumerate(zip(kinds, payloads)):
+        if k != "image_png":
+            continue
+        px = multimodal.decode_png(p).astype(np.float32)
+        lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        assert abs(out.loc[i, "feat_mean"] - float(lum.mean())) < 1e-3, i
