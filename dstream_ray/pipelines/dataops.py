@@ -2745,7 +2745,10 @@ def q_pq_search(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_ivfpq(
-    sf_dir: str, n_lists: int = IVF_INT_LISTS, n_probe: int = IVF_INT_PROBE
+    sf_dir: str,
+    n_lists: int = IVF_INT_LISTS,
+    n_probe: int = IVF_INT_PROBE,
+    path: str = "raw",
 ) -> pd.DataFrame:
     """IVF+PQ — the composed billion-to-trillion-vector ANN architecture
     (Jégou et al. 2011): the integer-exact coarse quantizer of
@@ -2760,18 +2763,24 @@ def q_knn_ivfpq(
     bit-for-bit. Ties break on smaller neighbor id; self-matches are
     excluded (query vectors are corpus vectors).
 
-    Scale shape: ONE map_batches pass — coarse-assign the batch, drop
-    rows outside every probed list BEFORE PQ-encoding them, ADC-score
-    survivors per probing query, emit per-query partial top-k (nq*k rows
-    per batch). The broadcast bundle (coarse centroids + codebook + query
-    tables + probe sets) is a few KiB via ``ray.put``. At 10^11 vectors
-    the same pipeline runs over PRE-ENCODED codes partitioned by
-    ivf_list (q_pq_encode's output), turning the scan into a probed-
-    partition read — documented here as the production layout; the
-    on-the-fly encode keeps this query self-contained over the raw
-    parquet. Recall vs brute force is pytest-bounded and pinned to beat
-    an equal-compute unrouted-subset PQ scan; full-probe composition
-    equals q_pq_search exactly."""
+    Scale shape, ``path="raw"`` (default, the self-contained query): ONE
+    map_batches pass — coarse-assign the batch, drop rows outside every
+    probed list BEFORE PQ-encoding them, ADC-score survivors per probing
+    query, emit per-query partial top-k (nq*k rows per batch). The
+    broadcast bundle (coarse centroids + codebook + query tables + probe
+    sets) is a few KiB via ``ray.put``.
+
+    ``path="precoded"`` is the 10^11-vector PRODUCTION layout: an encode
+    stage first materializes ``(vec_id, ivf_list, code_0..code_{M-1})``
+    — in a deployment that dataset is written once, partitioned by
+    ivf_list — and the SEARCH stage consumes only the codes (8 bytes of
+    payload per vector instead of the 256-byte raw embedding; with
+    ivf_list-partitioned storage the probe filter becomes a partition-
+    pruned read). ADC there is pure table lookups on stored codes.
+    Pytest pins the two paths bit-for-bit equal. Recall vs brute force
+    is pytest-bounded and pinned to beat an equal-compute
+    unrouted-subset PQ scan; full-probe composition equals q_pq_search
+    exactly."""
     # the two sampled "models": coarse centroids and the PQ codebook
     # (vec_id-prefix samples, FAISS-style; both fixed-point at 1e6)
     ctbl = pq.read_table(
@@ -2843,10 +2852,76 @@ def q_knn_ivfpq(
             "adc": pa.array(np.concatenate(out_d)),
         })
 
-    partials = (_read_embeddings(sf_dir)
-                .map_batches(ivfpq_partial, batch_format="pyarrow",
-                             batch_size=4096)
-                .to_pandas())
+    def encode_stage(b: pa.Table) -> pa.Table:
+        """Production layout: (vec_id, ivf_list, codes) — written once,
+        partitioned by ivf_list, in a deployment."""
+        _, _, cents, codebook, _, _ = ray.get(ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)
+        cols = {
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "ivf_list": pa.array(np.argmax(X @ cents.T, axis=1).astype(np.int64)),
+        }
+        for m in range(PQ_M):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            cs = codebook[:, m * d_sub:(m + 1) * d_sub]
+            dd = ((sub * sub).sum(axis=1)[:, None]
+                  - 2.0 * (sub @ cs.T)
+                  + (cs * cs).sum(axis=1)[None, :])
+            cols[f"code_{m}"] = pa.array(np.argmin(dd, axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    def adc_codes(b: pa.Table) -> pa.Table:
+        """The precoded SEARCH stage: ADC is pure table lookups on stored
+        codes — no raw embedding ever enters the query path."""
+        _qids, tables, _, _, _probes, _wanted = ray.get(ref)
+        lists = b["ivf_list"].to_numpy(zero_copy_only=False)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(lists, _wanted)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        codes = np.stack(
+            [b[f"code_{m}"].to_numpy(zero_copy_only=False)[keep]
+             for m in range(PQ_M)], axis=1)
+        lists, vec_ids = lists[keep], vec_ids[keep]
+        dist = np.zeros((len(_qids), len(vec_ids)))
+        for m in range(PQ_M):
+            dist += tables[:, m, codes[:, m]]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(_qids)):
+            allowed = np.isin(lists, _probes[qi])
+            if not allowed.any():
+                continue
+            row, ids = dist[qi][allowed], vec_ids[allowed]
+            k = min(KNN_K + 1, len(row))
+            top = np.argpartition(row, k - 1)[:k]
+            top = top[np.lexsort((ids[top], row[top]))]
+            out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_d.append(row[top].astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adc": pa.array(np.concatenate(out_d)),
+        })
+
+    if path == "precoded":
+        partials = (_read_embeddings(sf_dir)
+                    .map_batches(encode_stage, batch_format="pyarrow",
+                                 batch_size=4096)
+                    .map_batches(adc_codes, batch_format="pyarrow",
+                                 batch_size=4096)
+                    .to_pandas())
+    else:
+        partials = (_read_embeddings(sf_dir)
+                    .map_batches(ivfpq_partial, batch_format="pyarrow",
+                                 batch_size=4096)
+                    .to_pandas())
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g[g["neighbor_id"] != qid]
