@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_pair_counts": d.q_byte_pair_counts,  # first BPE iteration: global adjacent-pair counts
         "bpe_train_steps": d.q_bpe_train_steps,  # two BPE iterations: count -> merge -> recount
         "bpe_train": d.q_bpe_train,  # full N-merge BPE trainer: the learned merge list
+        "bpe_encode": d.q_bpe_encode,  # the encode pass: per-doc BPE token counts
         "knn_ivfpq": d.q_knn_ivfpq,  # IVF-routed PQ-ADC ANN, integer-exact composition
         # ---- rows-only below ----
         "knn_ivf_lloyd": d.q_knn_ivf,  # rows-only (float Lloyd centroids; pytest recall, both quantizers)

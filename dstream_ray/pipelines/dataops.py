@@ -1891,6 +1891,45 @@ def q_bpe_train_steps(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _bpe_learn(
+    sf_dir: str, n_merges: int,
+) -> tuple[list[tuple[str, str]], list[dict]]:
+    """Run the distributed BPE training loop (see :func:`q_bpe_train` for
+    the full contract) and return BOTH artifacts: the ``(pair, symbol)``
+    merge list in application order — the object an ENCODE pass replays —
+    and the per-step ``{step, pair, n}`` rows the trainer reports."""
+    import pyarrow.compute as pc
+
+    from dstream_ray.pipelines.oracles import BPE_MERGE_SYMBOLS
+
+    if n_merges > len(BPE_MERGE_SYMBOLS):
+        raise ValueError(
+            f"n_merges={n_merges} exceeds the {len(BPE_MERGE_SYMBOLS)} "
+            "reserved merge symbols (control bytes minus tab/LF/CR)"
+        )
+
+    merges: list[tuple[str, str]] = []  # (pair, assigned symbol)
+    rows: list[dict] = []
+    for step in range(n_merges):
+
+        def apply_merges(b: pa.Table, _m=tuple(merges)) -> pa.Table:
+            t = b["text"]
+            for p, s in _m:  # left-to-right non-overlapping, in merge order
+                t = pc.replace_substring(t, p, s)
+            return pa.table({"text": t})
+
+        ds = _read_documents(sf_dir, ["text"])
+        if merges:
+            ds = ds.map_batches(apply_merges, batch_format="pyarrow")
+        counts = _pair_counts_agg(ds, assert_ascii=(step == 0))
+        if not len(counts):
+            break  # corpus exhausted (every doc is a single symbol)
+        pair, n = str(counts.iloc[0]["pair"]), int(counts.iloc[0]["n"])
+        rows.append({"step": step + 1, "pair": pair, "n": n})
+        merges.append((pair, BPE_MERGE_SYMBOLS[step]))
+    return merges, rows
+
+
 def q_bpe_train(sf_dir: str, n_merges: int | None = None) -> pd.DataFrame:
     """The FULL distributed BPE training loop (Sennrich et al. 2016),
     N merges: each iteration counts adjacent symbol pairs corpus-wide,
@@ -1921,40 +1960,11 @@ def q_bpe_train(sf_dir: str, n_merges: int | None = None) -> pd.DataFrame:
     ``bpe_train_steps``; this N-merge list is SQL-gated against a
     generated N-stage DuckDB oracle and pytest-pinned to a scalar
     str.replace reference over adversarial corpora."""
-    import pyarrow.compute as pc
-
-    from dstream_ray.pipelines.oracles import (
-        BPE_MERGE_SYMBOLS,
-        BPE_TRAIN_MERGES,
-    )
+    from dstream_ray.pipelines.oracles import BPE_TRAIN_MERGES
 
     if n_merges is None:
         n_merges = BPE_TRAIN_MERGES
-    if n_merges > len(BPE_MERGE_SYMBOLS):
-        raise ValueError(
-            f"n_merges={n_merges} exceeds the {len(BPE_MERGE_SYMBOLS)} "
-            "reserved merge symbols (control bytes minus tab/LF/CR)"
-        )
-
-    merges: list[tuple[str, str]] = []  # (pair, assigned symbol)
-    rows: list[dict] = []
-    for step in range(n_merges):
-
-        def apply_merges(b: pa.Table, _m=tuple(merges)) -> pa.Table:
-            t = b["text"]
-            for p, s in _m:  # left-to-right non-overlapping, in merge order
-                t = pc.replace_substring(t, p, s)
-            return pa.table({"text": t})
-
-        ds = _read_documents(sf_dir, ["text"])
-        if merges:
-            ds = ds.map_batches(apply_merges, batch_format="pyarrow")
-        counts = _pair_counts_agg(ds, assert_ascii=(step == 0))
-        if not len(counts):
-            break  # corpus exhausted (every doc is a single symbol)
-        pair, n = str(counts.iloc[0]["pair"]), int(counts.iloc[0]["n"])
-        rows.append({"step": step + 1, "pair": pair, "n": n})
-        merges.append((pair, BPE_MERGE_SYMBOLS[step]))
+    _, rows = _bpe_learn(sf_dir, n_merges)
     if not rows:
         return pd.DataFrame({"step": pd.Series([], dtype="int64"),
                              "pair": pd.Series([], dtype="object"),
@@ -1962,6 +1972,53 @@ def q_bpe_train(sf_dir: str, n_merges: int | None = None) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     return (out.astype({"step": "int64", "n": "int64"})
             [["step", "pair", "n"]].reset_index(drop=True))
+
+
+def q_bpe_encode(sf_dir: str, n_merges: int | None = None) -> pd.DataFrame:
+    """The tokenizer ENCODE pass — the consumer of :func:`q_bpe_train`'s
+    artifact, completing the train→encode loop a BPE tokenizer exists
+    for: learn the N-merge list on the corpus, then re-apply it to every
+    document and report the per-document BPE TOKEN COUNT. After the
+    merge chain every symbol (original ASCII byte or reserved merge
+    byte) is exactly one character, so the token count is the merged
+    string's length — the same identity the DuckDB oracle exploits, so
+    parity is bit-for-bit. Output: ``(doc_id, n_chars, n_tok_bpe)``
+    per document, plus the corpus-level invariant that
+    ``n_chars - n_tok_bpe`` equals the total number of merge
+    applications.
+
+    Scale shape: training is :func:`_bpe_learn` (N streaming passes,
+    fixed 65536-slot partials — see :func:`q_bpe_train`); ENCODING is
+    ONE additional map-only pass (the N learned merges re-applied as
+    vectorized ``pc.replace_substring`` kernels inside a single
+    ``map_batches``) emitting three int64 columns per doc — no shuffle,
+    no driver materialization beyond the compared frame. At deployment
+    scale the encode pass writes its counts (or the token streams)
+    straight to partitioned parquet; per-doc token counts are exactly
+    what the pack_sequences / mixture_sample stages consume upstream."""
+    import pyarrow.compute as pc
+
+    from dstream_ray.pipelines.oracles import BPE_TRAIN_MERGES
+
+    if n_merges is None:
+        n_merges = BPE_TRAIN_MERGES
+    merges, _ = _bpe_learn(sf_dir, n_merges)
+
+    def encode(b: pa.Table, _m=tuple(merges)) -> pa.Table:
+        t = b["text"]
+        for p, s in _m:  # left-to-right non-overlapping, in merge order
+            t = pc.replace_substring(t, p, s)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_chars": b["n_chars"].cast(pa.int64()),
+            # ASCII + single-byte merge symbols -> chars == bytes
+            "n_tok_bpe": pc.utf8_length(t).cast(pa.int64()),
+        })
+
+    out = (_read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+           .map_batches(encode, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 VOCAB_COVER_PCTS = (50, 90, 99)

@@ -842,6 +842,45 @@ def _bpe_train_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
 
 ORACLE_SQL["bpe_train"] = _bpe_train_oracle_sql()
 
+
+def _bpe_encode_oracle_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """The ENCODE twin of :func:`_bpe_train_oracle_sql`
+    (dataops.q_bpe_encode): the same N-stage learn chain, but every
+    generation carries (doc_id, n_chars) so the final stage can read off
+    each document's BPE token count as the merged string's length —
+    after the merge chain every symbol is one character, the identity
+    the engine also uses."""
+    parts = [
+        "WITH d0 AS MATERIALIZED "
+        "(SELECT doc_id, n_chars, text FROM documents)"
+    ]
+    for k in range(n_merges):
+        sym = ord(BPE_MERGE_SYMBOLS[k])
+        parts.append(f""", c{k} AS (
+  SELECT substring(text, CAST(i AS INTEGER), 2) AS pair,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+        FROM d{k} WHERE length(text) >= 2)
+  GROUP BY 1
+), t{k} AS MATERIALIZED (
+  SELECT pair, n FROM c{k} ORDER BY n DESC, pair LIMIT 1
+), d{k + 1} AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         CASE WHEN (SELECT count(*) FROM t{k}) = 0 THEN text
+              ELSE replace(text, (SELECT pair FROM t{k}), chr({sym})) END
+           AS text
+  FROM d{k}
+)""")
+    parts.append(f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(length(text) AS BIGINT) AS n_tok_bpe
+FROM d{n_merges} ORDER BY doc_id
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle_sql()
+
 # Ingest-time inverted-index maintenance (capture.index_kernel through the
 # engine): the committed postings sink equals the per-(token, turn) term
 # frequencies of the whole transcripts feed — same whitespace tokenization

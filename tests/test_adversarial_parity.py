@@ -54,6 +54,7 @@ ADVERSARIAL_QUERIES = [
     "byte_pair_counts",  # first BPE iteration: adjacent-pair frequencies
     "bpe_train_steps",  # two BPE iterations: count -> merge -> recount
     "bpe_train",  # full N-merge BPE trainer: learned merge list
+    "bpe_encode",  # the encode pass: per-doc BPE token counts
     "vocab_coverage",  # library-only (nucleus vocab size at 50/90/99% mass)
     "curriculum_shards",  # library-only (exact global quality rank -> shards)
 ]

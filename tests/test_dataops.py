@@ -1650,6 +1650,30 @@ def test_bpe_ascii_contract_raises_loudly(ray_session, tmp_path):
         d.q_bpe_train(str(tmp_path), n_merges=2)
 
 
+def test_bpe_encode_matches_scalar_reference(ray_session, tmp_path):
+    """The encode pass's per-doc token counts equal a scalar str.replace
+    replay of the learned merge list on every adversarial corpus, and
+    n_chars - n_tok_bpe totals the number of merge applications."""
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.pipelines.oracles import BPE_MERGE_SYMBOLS
+
+    for ci, texts in enumerate(BPE_ADVERSARIAL_CORPORA):
+        sub = tmp_path / f"e{ci}"
+        sub.mkdir()
+        _write_docs(sub, texts)
+        got = d.q_bpe_encode(str(sub), n_merges=8)
+        # scalar replay: learn with the shared reference, then encode
+        merges = _scalar_bpe(texts, 8)
+        enc = list(texts)
+        for step, pair, _n in merges:
+            enc = [t.replace(pair, BPE_MERGE_SYMBOLS[step - 1]) for t in enc]
+        want = [(i, len(t), len(e)) for i, (t, e) in enumerate(zip(texts, enc))]
+        got_list = [(int(r.doc_id), int(r.n_chars), int(r.n_tok_bpe))
+                    for r in got.itertuples()]
+        assert got_list == want, (ci, texts, got_list, want)
+        assert (got["n_tok_bpe"] <= got["n_chars"]).all()
+
+
 def test_knn_ivfpq_full_probe_equals_flat_pq(ray_session, sf_tiny):
     """Composition sanity: probing ALL lists must reduce IVF+PQ to the flat
     PQ-ADC scan bit-for-bit (same codes, same tables, same ranking)."""
