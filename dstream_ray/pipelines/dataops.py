@@ -2806,6 +2806,7 @@ def q_knn_ivfpq(
     n_lists: int = IVF_INT_LISTS,
     n_probe: int = IVF_INT_PROBE,
     path: str = "raw",
+    k: int = KNN_K,
 ) -> pd.DataFrame:
     """IVF+PQ — the composed billion-to-trillion-vector ANN architecture
     (Jégou et al. 2011): the integer-exact coarse quantizer of
@@ -2893,8 +2894,8 @@ def q_knn_ivfpq(
             if not allowed.any():
                 continue
             row, ids = dist[qi][allowed], vec_ids[allowed]
-            k = min(KNN_K + 1, len(row))  # +1 survives self-exclusion
-            top = np.argpartition(row, k - 1)[:k]
+            kn = min(k + 1, len(row))  # +1 survives self-exclusion
+            top = np.argpartition(row, kn - 1)[:kn]
             top = top[np.lexsort((ids[top], row[top]))]
             out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
             out_n.append(ids[top])
@@ -2951,8 +2952,8 @@ def q_knn_ivfpq(
             if not allowed.any():
                 continue
             row, ids = dist[qi][allowed], vec_ids[allowed]
-            k = min(KNN_K + 1, len(row))
-            top = np.argpartition(row, k - 1)[:k]
+            kn = min(k + 1, len(row))
+            top = np.argpartition(row, kn - 1)[:kn]
             top = top[np.lexsort((ids[top], row[top]))]
             out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
             out_n.append(ids[top])
@@ -2982,7 +2983,7 @@ def q_knn_ivfpq(
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g[g["neighbor_id"] != qid]
-        g = g.sort_values(["adc", "neighbor_id"]).head(KNN_K).reset_index(drop=True)
+        g = g.sort_values(["adc", "neighbor_id"]).head(k).reset_index(drop=True)
         out.append(pd.DataFrame({
             "query_id": np.full(len(g), qid, dtype=np.int64),
             "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
@@ -2993,6 +2994,111 @@ def q_knn_ivfpq(
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                              "neighbor_id": pd.Series([], dtype="int64"),
                              "adc": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return pd.concat(out, ignore_index=True)
+
+
+IVFPQ_RERANK_R = 30  # ADC shortlist size refined by the exact pass
+
+
+def q_knn_ivfpq_rerank(
+    sf_dir: str,
+    n_lists: int = IVF_INT_LISTS,
+    n_probe: int = IVF_INT_PROBE,
+    r: int = IVFPQ_RERANK_R,
+    k: int = KNN_K,
+) -> pd.DataFrame:
+    """IVFADC+R — the refinement stage production ANN systems put behind
+    the PQ scan (Jégou et al. 2011 §V): :func:`q_knn_ivfpq` produces an
+    ADC-ranked shortlist of ``r`` candidates per query, and a second pass
+    re-ranks ONLY those candidates by their EXACT fixed-point squared-L2
+    distance from the raw vectors, returning the exact-ranked top ``k``.
+    Every quantity (codes, ADC sums, exact distances) stays in the ANN
+    family's 1e6 fixed-point integer domain — each d2 is a sum of 64
+    products < 2^53 — so DuckDB recomputes shortlist AND re-rank
+    bit-for-bit. Ties break on smaller neighbor id; self-matches are
+    excluded.
+
+    Guaranteed-recall property (pytest-pinned): over the same probed
+    candidates, every true top-k member the plain ADC ranking can return
+    has ADC-rank <= k <= r, so it survives into the shortlist, and exact
+    re-ranking always keeps true members above non-members — recall@k of
+    the re-ranked list >= plain :func:`q_knn_ivfpq` recall, at the cost
+    of fetching r raw vectors per query.
+
+    Scale shape: pass 1 is the IVF+PQ scan (codes only, partial top-r per
+    batch, nq*r driver rows); pass 2 broadcasts the (query -> candidate
+    set) map (nq*r ids, a few KiB) via ``ray.put``, filters each batch to
+    shortlist members — at deployment scale with vec_id-partitioned
+    storage this is a partition-pruned point-fetch of nq*r rows, the
+    standard 'fetch the full vectors of the shortlist' refine — and emits
+    one exact-d2 row per (query, candidate); the driver merge sorts
+    nq*r rows."""
+    shortlist = q_knn_ivfpq(sf_dir, n_lists, n_probe, k=r)
+    if not len(shortlist):
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "d2": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    q = _load_queries(sf_dir)
+    qids = np.asarray(q["ids"], dtype=np.int64)
+    Qf = np.floor(np.asarray(q["vecs"], dtype=np.float64) * PQ_SCALE)
+    cand_sets = {
+        int(qid): g["neighbor_id"].to_numpy(dtype=np.int64)
+        for qid, g in shortlist.groupby("query_id")
+    }
+    all_nids = np.unique(shortlist["neighbor_id"].to_numpy(dtype=np.int64))
+    ref = ray.put((qids, Qf, cand_sets, all_nids))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        _qids, _Qf, _cand, _nids = ray.get(ref)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(vec_ids, _nids)  # shortlist point-fetch
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64())})
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)[keep]
+        ids = vec_ids[keep]
+        # exact integer squared L2, all terms < 2^53 in float64
+        d2 = ((X * X).sum(axis=1)[None, :]
+              - 2.0 * (_Qf @ X.T)
+              + (_Qf * _Qf).sum(axis=1)[:, None])  # (nq, n_keep)
+        out_q, out_n, out_d = [], [], []
+        for qi, qid in enumerate(_qids):
+            mine = np.isin(ids, _cand.get(int(qid), ()))
+            if not mine.any():
+                continue
+            out_q.append(np.full(int(mine.sum()), qid, dtype=np.int64))
+            out_n.append(ids[mine])
+            out_d.append(d2[qi][mine].astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "d2": pa.array(np.concatenate(out_d)),
+        })
+
+    exact = (_read_embeddings(sf_dir)
+             .map_batches(exact_partial, batch_format="pyarrow",
+                          batch_size=4096)
+             .to_pandas())  # <= nq*r rows by construction
+    out = []
+    for qid, g in exact.groupby("query_id"):
+        g = g.sort_values(["d2", "neighbor_id"]).head(k).reset_index(drop=True)
+        out.append(pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "d2": g["d2"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "d2": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="int64")})
     return pd.concat(out, ignore_index=True)
 

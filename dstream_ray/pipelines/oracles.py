@@ -2385,6 +2385,86 @@ SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
   FROM adc) WHERE rank <= 10
 """
 
+# IVFADC+R (dataops.q_knn_ivfpq_rerank): the knn_ivfpq ADC ranking keeps a
+# 30-candidate shortlist per query, and the final stage re-ranks it by the
+# EXACT fixed-point squared L2 between the raw (floor(x*1e6)) vectors —
+# top 10 by (d2 ASC, neighbor_id ASC). Same CTEs as knn_ivfpq up to `adc`.
+ORACLE_SQL["knn_ivfpq_rerank"] = """
+WITH vals AS (
+  SELECT vec_id,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
+         unnest(generate_series(1, len(embedding))) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id, b.vec_id AS l, sum(a.x * b.x) AS s
+  FROM vals a JOIN vals b ON a.j = b.j AND b.vec_id < 16
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, l AS ivf_list FROM (
+    SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+    FROM dots) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, l AS pl FROM (
+    SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+    FROM dots WHERE vec_id < 8) WHERE rn <= 4
+),
+sub AS (SELECT vec_id, x, j, CAST((j - 1) // 8 AS BIGINT) AS m FROM vals),
+cb AS (SELECT vec_id AS k, x AS c, j, m FROM sub WHERE vec_id < 16),
+dist AS (
+  SELECT a.vec_id, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS rn
+    FROM dist) WHERE rn = 1
+),
+qd AS (
+  SELECT a.vec_id AS qid, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  WHERE a.vec_id < 8
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM qprobe p JOIN assign a ON a.ivf_list = p.pl
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT cd.qid AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.dd) AS BIGINT) AS adc
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.nid
+  JOIN qd q ON q.qid = cd.qid AND q.m = c.m AND q.k = c.k
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 30
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(sum((qv.x - nv.x) * (qv.x - nv.x)) AS BIGINT) AS d2
+  FROM short s
+  JOIN vals qv ON qv.vec_id = s.query_id
+  JOIN vals nv ON nv.vec_id = s.neighbor_id AND nv.j = qv.j
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+  FROM exact) WHERE rank <= 10
+"""
+
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the
 # threshold compares 100*cumsum >= pct*total in integers.

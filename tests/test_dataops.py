@@ -1749,6 +1749,47 @@ def test_knn_ivfpq_recall_beats_equal_compute_subset(ray_session, sf_tiny):
     assert mean_ivfpq > mean_subset, (mean_ivfpq, mean_subset)
 
 
+def test_knn_ivfpq_rerank_recall_dominates_plain(ray_session, sf_tiny):
+    """IVFADC+R's guaranteed-recall property: over the same probed
+    candidate set, every true top-10 member the plain ADC top-10 can hold
+    has ADC-rank <= 10 <= r, so it survives into the r=30 shortlist, and
+    the exact re-rank always keeps true members above non-members —
+    per-query recall@10 of the re-ranked list >= plain IVF+PQ. Also pins
+    that the re-ranked d2 values ARE the exact fixed-point distances."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages import ann
+
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet")
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.floor(ann._stack(t["embedding"]) * 1e6)[order]
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)[order]
+    qids = ids[ids < 8]
+    Qf = X[ids < 8]
+
+    plain = d.q_knn_ivfpq(sf_tiny)
+    rr = d.q_knn_ivfpq_rerank(sf_tiny)
+    better, worse = 0, 0
+    for qi, qid in enumerate(qids):
+        dist = ((X - Qf[qi]) ** 2).sum(axis=1)
+        exact = [i for i in ids[np.lexsort((ids, dist))] if i != qid][:10]
+        p = plain[plain["query_id"] == qid]["neighbor_id"].tolist()
+        g = rr[rr["query_id"] == qid]
+        r_ids = g["neighbor_id"].tolist()
+        rec_p = len(set(exact) & set(p))
+        rec_r = len(set(exact) & set(r_ids))
+        assert rec_r >= rec_p, (qid, rec_r, rec_p)
+        better += rec_r > rec_p
+        worse += rec_r < rec_p
+        # the emitted d2 is the exact fixed-point squared distance
+        lut = {int(i): int(dv) for i, dv in zip(ids, dist)}
+        for nid, dv in zip(r_ids, g["d2"]):
+            assert int(dv) == lut[int(nid)], (qid, nid)
+    assert worse == 0
+
+
 def test_png_roundtrip_all_filters():
     """The minimal stdlib-zlib PNG codec: encode with each of the five
     scanline filters (and the mixed cycle) and decode back bit-exact;
