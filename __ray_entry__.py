@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": d.q_bpe_encode,  # the encode pass: per-doc BPE token counts
         "knn_ivfpq": d.q_knn_ivfpq,  # IVF-routed PQ-ADC ANN, integer-exact composition
         "knn_ivfpq_rerank": d.q_knn_ivfpq_rerank,  # IVFADC+R: exact refine of the ADC shortlist
+        "kmeans_step": d.q_kmeans_step,  # one exact Lloyd iteration (coarse-quantizer trainer)
         # ---- rows-only below ----
         "knn_ivf_lloyd": d.q_knn_ivf,  # rows-only (float Lloyd centroids; pytest recall, both quantizers)
         "multimodal_features": d.q_multimodal_features,  # mixed real/fake decode; pytest plumbing

@@ -2662,6 +2662,73 @@ def q_knn_ivf_int(sf_dir: str) -> pd.DataFrame:
     return ann.merge_topk(partials, k=KNN_K)
 
 
+def q_kmeans_step(sf_dir: str, n_clusters: int = IVF_INT_LISTS) -> pd.DataFrame:
+    """ONE exact distributed Lloyd iteration (the k-means step that
+    refines the ANN family's coarse quantizer): assign every corpus
+    vector to its nearest sampled fixed-point centroid by integer
+    squared L2 (smaller-cluster ties — the :func:`q_pq_encode`
+    convention), then the M-step per-cluster statistics — member count
+    ``n``, per-dimension coordinate sum ``s``, and the refined centroid
+    coordinate ``c_new = floor(s / n)``. Everything is in the ANN
+    family's 1e6 fixed-point integer domain, so DuckDB recomputes
+    assignments, sums and refined centroids bit-for-bit; the float
+    Lloyd variants (full convergence, recall-tested) remain in
+    :func:`q_knn_ivf`. Empty clusters emit no rows (both sides).
+
+    Scale shape: the K×D centroid block broadcasts via ``ray.put``;
+    each batch computes one vectorized assignment + ``np.add.at``
+    scatter and emits a FIXED K×D-row partial (counts + sums) no matter
+    the batch size — the 65536-slot BPE-partial discipline — so the
+    exchange carries K×D×batches tiny rows into one bounded groupby.
+    Iterating the step is N cheap passes like :func:`q_bpe_train`; the
+    driver holds only the K×D refined table."""
+    from ray.data.aggregate import Sum
+
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_clusters)],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    C = np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)  # (K, D)
+    K, D = C.shape
+    c_ref = ray.put(C)
+
+    def step_partial(b: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)
+        # exact integer squared L2 in float64 (terms < 2^53); np.argmin
+        # takes the FIRST minimum -> smaller cluster id wins ties
+        d2 = ((X * X).sum(axis=1)[:, None]
+              - 2.0 * (X @ cents.T)
+              + (cents * cents).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1)
+        n = np.bincount(a, minlength=K).astype(np.int64)
+        S = np.zeros((K, D))
+        np.add.at(S, a, X)
+        keep = np.flatnonzero(n)  # clusters this batch touched
+        kk = np.repeat(keep, D)
+        return pa.table({
+            "cluster_id": pa.array(kk),
+            "dim": pa.array(np.tile(np.arange(D, dtype=np.int64), len(keep))),
+            "n": pa.array(n[kk]),
+            "s": pa.array(S[keep].reshape(-1).astype(np.int64)),
+        })
+
+    agg = (_read_embeddings(sf_dir)
+           .map_batches(step_partial, batch_format="pyarrow", batch_size=4096)
+           .groupby(["cluster_id", "dim"])
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+           .to_pandas())  # <= K*D rows by construction
+    agg = agg.astype({"cluster_id": "int64", "dim": "int64",
+                      "n": "int64", "s": "int64"})
+    # refined coordinate: floor(s/n); |s| < 2^53 keeps the float exact
+    agg["c_new"] = np.floor(agg["s"].to_numpy(dtype=np.float64)
+                            / agg["n"].to_numpy(dtype=np.float64)).astype(np.int64)
+    return (agg.sort_values(["cluster_id", "dim"])
+            [["cluster_id", "dim", "n", "s", "c_new"]].reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # wide-op coverage: native hash join + distributed top-k
 # ---------------------------------------------------------------------------

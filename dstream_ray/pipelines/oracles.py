@@ -2465,6 +2465,40 @@ SELECT query_id, neighbor_id, d2, CAST(rank AS BIGINT) AS rank FROM (
   FROM exact) WHERE rank <= 10
 """
 
+# One exact Lloyd iteration (dataops.q_kmeans_step): integer squared-L2
+# assignment to the vec_id < 16 sampled fixed-point centroids (smaller-
+# cluster ties), then per-(cluster, dim) member count, coordinate sum and
+# the refined coordinate floor(s/n). Empty clusters yield no rows.
+ORACLE_SQL["kmeans_step"] = """
+WITH vals AS (
+  SELECT vec_id,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
+         unnest(generate_series(1, len(embedding))) AS j
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS k, x AS c, j FROM vals WHERE vec_id < 16),
+d AS (
+  SELECT a.vec_id, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM vals a JOIN cb b ON a.j = b.j
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM d) WHERE rn = 1
+),
+agg AS (
+  SELECT s.k AS cluster_id, CAST(v.j - 1 AS BIGINT) AS dim,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(v.x) AS BIGINT) AS s
+  FROM assign s JOIN vals v ON v.vec_id = s.vec_id
+  GROUP BY 1, 2
+)
+SELECT cluster_id, dim, n, s,
+       CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c_new
+FROM agg ORDER BY cluster_id, dim
+"""
+
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the
 # threshold compares 100*cumsum >= pct*total in integers.

@@ -1790,6 +1790,51 @@ def test_knn_ivfpq_rerank_recall_dominates_plain(ray_session, sf_tiny):
     assert worse == 0
 
 
+def test_kmeans_step_scalar_twin_and_descent(ray_session, sf_tiny):
+    """The distributed Lloyd step equals a scalar numpy twin exactly
+    (assignment, counts, sums, floored refined coordinates), and the
+    refined centroids reduce the k-means objective on the real corpus
+    (Lloyd descent; floor() perturbs each coordinate by < 1 fixed-point
+    unit, far below the sampled centroids' displacement)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages import ann
+
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet")
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.floor(ann._stack(t["embedding"]) * 1e6)[order]
+    C = X[: d.IVF_INT_LISTS]
+    d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+
+    got = d.q_kmeans_step(sf_tiny)
+    K, D = C.shape
+    n = np.bincount(a, minlength=K)
+    S = np.zeros((K, D))
+    np.add.at(S, a, X)
+    rows = []
+    for k in range(K):
+        if not n[k]:
+            continue
+        for j in range(D):
+            rows.append((k, j, int(n[k]), int(S[k, j]),
+                         int(np.floor(S[k, j] / n[k]))))
+    want = np.array(rows, dtype=np.int64)
+    assert got.shape == (len(rows), 5)
+    assert (got.to_numpy(dtype=np.int64) == want).all()
+
+    # Lloyd descent: same assignments, refined centers -> lower objective
+    C_new = C.copy()
+    lut = {(int(r[0]), int(r[1])): r[4] for r in want}
+    for (k, j), c in lut.items():
+        C_new[k, j] = c
+    j_old = (d2[np.arange(len(X)), a]).sum()
+    j_new = (((X - C_new[a]) ** 2).sum(axis=1)).sum()
+    assert j_new < j_old
+
+
 def test_png_roundtrip_all_filters():
     """The minimal stdlib-zlib PNG codec: encode with each of the five
     scanline filters (and the mixed cycle) and decode back bit-exact;
