@@ -2682,15 +2682,34 @@ def q_kmeans_step(sf_dir: str, n_clusters: int = IVF_INT_LISTS) -> pd.DataFrame:
     exchange carries K×D×batches tiny rows into one bounded groupby.
     Iterating the step is N cheap passes like :func:`q_bpe_train`; the
     driver holds only the K×D refined table."""
-    from ray.data.aggregate import Sum
+    C = _sampled_centroids(sf_dir, n_clusters)
+    agg = _kmeans_assign_agg(sf_dir, C)
+    # refined coordinate: floor(s/n); |s| < 2^53 keeps the float exact
+    agg["c_new"] = np.floor(agg["s"].to_numpy(dtype=np.float64)
+                            / agg["n"].to_numpy(dtype=np.float64)).astype(np.int64)
+    return (agg.sort_values(["cluster_id", "dim"])
+            [["cluster_id", "dim", "n", "s", "c_new"]].reset_index(drop=True))
 
+
+def _sampled_centroids(sf_dir: str, n_clusters: int) -> np.ndarray:
+    """The ANN family's sampled fixed-point initial centroids: the
+    corpus vectors ``vec_id < n_clusters`` at floor(x*1e6)."""
     ctbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", n_clusters)],
     )
     corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
-    C = np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)  # (K, D)
+    return np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)
+
+
+def _kmeans_assign_agg(sf_dir: str, C: np.ndarray) -> pd.DataFrame:
+    """E-step + M-step sums for one Lloyd iteration against centroid
+    matrix ``C``: per-(cluster, dim) member count and coordinate sum
+    (integers; empty clusters absent). One map pass emitting a fixed
+    K×D-row partial per batch, one bounded groupby."""
+    from ray.data.aggregate import Sum
+
     K, D = C.shape
     c_ref = ray.put(C)
 
@@ -2720,13 +2739,58 @@ def q_kmeans_step(sf_dir: str, n_clusters: int = IVF_INT_LISTS) -> pd.DataFrame:
            .groupby(["cluster_id", "dim"])
            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
            .to_pandas())  # <= K*D rows by construction
-    agg = agg.astype({"cluster_id": "int64", "dim": "int64",
-                      "n": "int64", "s": "int64"})
-    # refined coordinate: floor(s/n); |s| < 2^53 keeps the float exact
-    agg["c_new"] = np.floor(agg["s"].to_numpy(dtype=np.float64)
-                            / agg["n"].to_numpy(dtype=np.float64)).astype(np.int64)
-    return (agg.sort_values(["cluster_id", "dim"])
-            [["cluster_id", "dim", "n", "s", "c_new"]].reset_index(drop=True))
+    return agg.astype({"cluster_id": "int64", "dim": "int64",
+                       "n": "int64", "s": "int64"})
+
+
+def q_kmeans_train(
+    sf_dir: str,
+    n_clusters: int = IVF_INT_LISTS,
+    n_iters: int | None = None,
+) -> pd.DataFrame:
+    """The FULL distributed k-means (Lloyd) trainer, N exact iterations —
+    the refinement loop that turns the ANN family's sampled coarse
+    centroids into a trained quantizer, kept entirely in the 1e6
+    fixed-point integer domain so DuckDB replays every iteration
+    bit-for-bit (assignment by integer squared L2 with smaller-cluster
+    ties; M-step coordinate = floor(sum/count); a cluster that empties
+    keeps its previous coordinates — the standard convention). Output:
+    the trained centroid table ``(cluster_id, dim, n, c)`` where ``n``
+    is the final iteration's membership count.
+
+    Scale shape: iteration k is ONE streaming pass over the immutable
+    corpus (the :func:`_kmeans_assign_agg` fixed K×D-row partials +
+    bounded groupby) — the :func:`q_bpe_train` discipline: no working
+    dataset is materialized between iterations, every pass is
+    independently retryable, and the driver holds only the K×D centroid
+    matrix it broadcasts back out via ``ray.put``. The float
+    full-convergence variants stay under the recall pytest in
+    :func:`q_knn_ivf`."""
+    from dstream_ray.pipelines.oracles import KMEANS_TRAIN_ITERS
+
+    if n_iters is None:
+        n_iters = KMEANS_TRAIN_ITERS
+    C = _sampled_centroids(sf_dir, n_clusters)
+    K, D = C.shape
+    n_last = np.zeros(K, dtype=np.int64)
+    for _ in range(n_iters):
+        agg = _kmeans_assign_agg(sf_dir, C)
+        C_next = C.copy()  # empty clusters keep their coordinates
+        ks = agg["cluster_id"].to_numpy()
+        js = agg["dim"].to_numpy()
+        C_next[ks, js] = np.floor(agg["s"].to_numpy(dtype=np.float64)
+                                  / agg["n"].to_numpy(dtype=np.float64))
+        C = C_next
+        n_last = np.zeros(K, dtype=np.int64)
+        per_k = agg.drop_duplicates("cluster_id")
+        n_last[per_k["cluster_id"].to_numpy()] = per_k["n"].to_numpy()
+    kk = np.repeat(np.arange(K, dtype=np.int64), D)
+    return pd.DataFrame({
+        "cluster_id": kk,
+        "dim": np.tile(np.arange(D, dtype=np.int64), K),
+        "n": n_last[kk],
+        "c": C.reshape(-1).astype(np.int64),
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -2499,6 +2499,58 @@ SELECT cluster_id, dim, n, s,
 FROM agg ORDER BY cluster_id, dim
 """
 
+# Full N-iteration distributed Lloyd trainer (dataops.q_kmeans_train):
+# iteration i assigns every vector to its nearest c_i centroid (integer
+# squared L2, smaller-cluster ties) and refines coordinates to
+# floor(sum/count); empty clusters keep their previous coordinates
+# (LEFT JOIN + COALESCE). Output = final centroid table + the last
+# iteration's membership counts.
+KMEANS_TRAIN_ITERS = 4
+
+
+def _kmeans_train_oracle_sql(n_iters: int = KMEANS_TRAIN_ITERS) -> str:
+    """Generate the N-stage DuckDB twin of the distributed Lloyd loop."""
+    parts = ["""WITH vals AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
+         unnest(generate_series(1, len(embedding))) AS j
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS k, j, x AS c FROM vals WHERE vec_id < 16
+)"""]
+    for i in range(n_iters):
+        parts.append(f""", d{i} AS (
+  SELECT a.vec_id, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM vals a JOIN c{i} b ON a.j = b.j
+  GROUP BY 1, 2
+), assign{i} AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM d{i}) WHERE rn = 1
+), c{i + 1} AS MATERIALIZED (
+  SELECT p.k, p.j, COALESCE(r.c_new, p.c) AS c
+  FROM c{i} p LEFT JOIN (
+    SELECT s.k, v.j,
+           CAST(floor(CAST(sum(v.x) AS DOUBLE) / count(*)) AS BIGINT) AS c_new
+    FROM assign{i} s JOIN vals v ON v.vec_id = s.vec_id
+    GROUP BY 1, 2
+  ) r ON r.k = p.k AND r.j = p.j
+)""")
+    parts.append(f"""
+SELECT c.k AS cluster_id, CAST(c.j - 1 AS BIGINT) AS dim,
+       COALESCE(m.n, 0) AS n, c.c AS c
+FROM c{n_iters} c LEFT JOIN (
+  SELECT k, CAST(count(*) AS BIGINT) AS n
+  FROM assign{n_iters - 1} GROUP BY k
+) m ON m.k = c.k
+ORDER BY cluster_id, dim
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["kmeans_train"] = _kmeans_train_oracle_sql()
+
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the
 # threshold compares 100*cumsum >= pct*total in integers.

@@ -1835,6 +1835,79 @@ def test_kmeans_step_scalar_twin_and_descent(ray_session, sf_tiny):
     assert j_new < j_old
 
 
+def _scalar_kmeans(X, K, n_iters):
+    """Pure-numpy Lloyd twin: integer squared-L2 assignment (first-min =
+    smaller cluster), floored mean refine, empty clusters keep coords."""
+    C = X[:K].copy()
+    n_last = np.zeros(K, dtype=np.int64)
+    for _ in range(n_iters):
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        n_last = np.bincount(a, minlength=K).astype(np.int64)
+        C_next = C.copy()
+        for k in range(K):
+            if n_last[k]:
+                C_next[k] = np.floor(X[a == k].sum(axis=0) / n_last[k])
+        C = C_next
+    return C, n_last
+
+
+def test_kmeans_train_scalar_twin_descent_and_empty_cluster(ray_session, tmp_path):
+    """The N-iteration distributed trainer equals the scalar Lloyd twin
+    exactly — including a cluster that EMPTIES on iteration 1 (two
+    identical sampled centroids; ties go to the smaller cluster, so
+    cluster 1 keeps its original coordinates with n=0) — and the
+    objective strictly decreases over the default run on real data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages import ann
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(24, 4)).astype(np.float64)
+    X[1] = X[0]  # sampled centroids 0 and 1 coincide -> cluster 1 empties
+    tbl = pa.table({
+        "vec_id": pa.array(range(24), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    Xi = np.floor(ann._stack(tbl["embedding"]) * 1e6)
+    # after ONE iteration cluster 1 is empty (all ties -> cluster 0) and
+    # keeps its original coordinates; later iterations may legitimately
+    # repopulate it once cluster 0's centroid moves off the tie point
+    one = d.q_kmeans_train(str(tmp_path), n_clusters=2, n_iters=1)
+    g1 = one[one["cluster_id"] == 1]
+    assert (g1["n"] == 0).all()
+    assert (g1["c"].to_numpy() == Xi[1].astype(np.int64)).all()
+    for iters in (1, 3):
+        got = d.q_kmeans_train(str(tmp_path), n_clusters=2, n_iters=iters)
+        C_want, n_want = _scalar_kmeans(Xi, 2, iters)
+        for k in range(2):
+            g = got[got["cluster_id"] == k].sort_values("dim")
+            assert (g["c"].to_numpy() == C_want[k].astype(np.int64)).all(), (iters, k)
+            assert (g["n"] == n_want[k]).all(), (iters, k)
+
+    # descent on the real corpus over the default iteration budget
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    Xr = np.floor(ann._stack(t["embedding"]) * 1e6)[order]
+    K = d.IVF_INT_LISTS
+
+    def objective(C):
+        d2 = ((Xr * Xr).sum(1)[:, None] - 2.0 * (Xr @ C.T)
+              + (C * C).sum(1)[None, :])
+        return d2.min(axis=1).sum()
+
+    trained = d.q_kmeans_train(sf)
+    C_fin = np.zeros((K, Xr.shape[1]))
+    for k in range(K):
+        C_fin[k] = trained[trained["cluster_id"] == k].sort_values("dim")["c"].to_numpy()
+    assert objective(C_fin) < objective(Xr[:K])
+
+
 def test_png_roundtrip_all_filters():
     """The minimal stdlib-zlib PNG codec: encode with each of the five
     scanline filters (and the mixed cycle) and decode back bit-exact;
