@@ -2793,6 +2793,103 @@ def q_kmeans_train(
     })
 
 
+def q_knn_ivf_trained(
+    sf_dir: str,
+    n_lists: int = IVF_INT_LISTS,
+    n_probe: int = IVF_INT_PROBE,
+    n_iters: int | None = None,
+    k: int = KNN_K,
+) -> pd.DataFrame:
+    """IVF search over the TRAINED coarse quantizer — the composed
+    train→index→search production pipeline: :func:`q_kmeans_train`'s
+    N-iteration Lloyd centroids replace the raw samples, every corpus
+    vector routes to its L2-nearest trained centroid, queries probe
+    their ``n_probe`` L2-nearest lists, and candidates in probed lists
+    are ranked by the EXACT integer squared L2 (so probing ALL lists
+    reduces to exact brute-force KNN — pytest-pinned). The entire
+    composition stays in the 1e6 fixed-point domain; DuckDB replays
+    training, routing, probing and ranking bit-for-bit.
+
+    Scale shape: training is N bounded-groupby passes (see
+    :func:`q_kmeans_train`); search is the :func:`q_knn_ivf_int` shape —
+    K×D centroids broadcast via ``ray.put``, per-batch assignment +
+    probe pruning BEFORE distance work, per-query partial top-k
+    (nq*k rows per batch), tiny driver merge."""
+    trained = q_kmeans_train(sf_dir, n_clusters=n_lists, n_iters=n_iters)
+    D = int(trained["dim"].max()) + 1
+    C = np.zeros((n_lists, D))
+    C[trained["cluster_id"].to_numpy(), trained["dim"].to_numpy()] = (
+        trained["c"].to_numpy(dtype=np.float64))
+
+    q = _load_queries(sf_dir)
+    qids = np.asarray(q["ids"], dtype=np.int64)
+    Qf = np.floor(np.asarray(q["vecs"], dtype=np.float64) * PQ_SCALE)
+    qd2 = ((Qf * Qf).sum(axis=1)[:, None] - 2.0 * (Qf @ C.T)
+           + (C * C).sum(axis=1)[None, :])
+    probe_mat = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    probes = [np.sort(probe_mat[qi]).astype(np.int64) for qi in range(len(qids))]
+    wanted = np.unique(np.concatenate(probes))
+    ref = ray.put((qids, Qf, C, probes, wanted))
+
+    def trained_partial(b: pa.Table) -> pa.Table:
+        _qids, _Qf, cents, _probes, _wanted = ray.get(ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2c = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ cents.T)
+               + (cents * cents).sum(axis=1)[None, :])
+        lists = np.argmin(d2c, axis=1).astype(np.int64)  # first min = smaller
+        keep = np.isin(lists, _wanted)  # prune before the exact distances
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64())})
+        X, vec_ids, lists = X[keep], vec_ids[keep], lists[keep]
+        d2 = ((X * X).sum(axis=1)[None, :] - 2.0 * (_Qf @ X.T)
+              + (_Qf * _Qf).sum(axis=1)[:, None])  # (nq, n_keep), exact ints
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(_qids)):
+            allowed = np.isin(lists, _probes[qi])
+            if not allowed.any():
+                continue
+            row, ids = d2[qi][allowed], vec_ids[allowed]
+            kn = min(k + 1, len(row))  # +1 survives self-exclusion
+            top = np.argpartition(row, kn - 1)[:kn]
+            top = top[np.lexsort((ids[top], row[top]))]
+            out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_d.append(row[top].astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "d2": pa.array(np.concatenate(out_d)),
+        })
+
+    partials = (_read_embeddings(sf_dir)
+                .map_batches(trained_partial, batch_format="pyarrow",
+                             batch_size=4096)
+                .to_pandas())
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["d2", "neighbor_id"]).head(k).reset_index(drop=True)
+        out.append(pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "d2": g["d2"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "d2": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return pd.concat(out, ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # wide-op coverage: native hash join + distributed top-k
 # ---------------------------------------------------------------------------

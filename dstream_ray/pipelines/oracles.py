@@ -2508,8 +2508,9 @@ FROM agg ORDER BY cluster_id, dim
 KMEANS_TRAIN_ITERS = 4
 
 
-def _kmeans_train_oracle_sql(n_iters: int = KMEANS_TRAIN_ITERS) -> str:
-    """Generate the N-stage DuckDB twin of the distributed Lloyd loop."""
+def _kmeans_chain_parts(n_iters: int) -> list:
+    """The shared N-iteration Lloyd CTE chain (vals, c0..cN, assign0..)
+    used by both the trainer oracle and the trained-IVF search oracle."""
     parts = ["""WITH vals AS MATERIALIZED (
   SELECT vec_id,
          CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS x,
@@ -2537,6 +2538,12 @@ def _kmeans_train_oracle_sql(n_iters: int = KMEANS_TRAIN_ITERS) -> str:
     GROUP BY 1, 2
   ) r ON r.k = p.k AND r.j = p.j
 )""")
+    return parts
+
+
+def _kmeans_train_oracle_sql(n_iters: int = KMEANS_TRAIN_ITERS) -> str:
+    """Generate the N-stage DuckDB twin of the distributed Lloyd loop."""
+    parts = _kmeans_chain_parts(n_iters)
     parts.append(f"""
 SELECT c.k AS cluster_id, CAST(c.j - 1 AS BIGINT) AS dim,
        COALESCE(m.n, 0) AS n, c.c AS c
@@ -2550,6 +2557,56 @@ ORDER BY cluster_id, dim
 
 
 ORACLE_SQL["kmeans_train"] = _kmeans_train_oracle_sql()
+
+
+def _knn_ivf_trained_oracle_sql(n_iters: int = KMEANS_TRAIN_ITERS) -> str:
+    """Trained-quantizer IVF search (dataops.q_knn_ivf_trained): the full
+    Lloyd chain produces c_N; every vector is assigned to its nearest
+    trained centroid by integer squared L2 (smaller-cluster ties),
+    queries probe their 4 L2-nearest lists, and candidates in probed
+    lists are ranked by the EXACT integer squared L2 — top 10 per query,
+    self excluded, (d2 ASC, neighbor_id ASC) ties."""
+    parts = _kmeans_chain_parts(n_iters)
+    parts.append(f""", cent AS (SELECT k, j, c FROM c{n_iters}),
+ad AS (
+  SELECT a.vec_id, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM vals a JOIN cent b ON a.j = b.j
+  GROUP BY 1, 2
+),
+fassign AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM ad) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, k AS pl FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM ad WHERE vec_id < 8) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM qprobe p JOIN fassign a ON a.k = p.pl
+  WHERE a.vec_id <> p.qid
+),
+exact AS (
+  SELECT cd.qid AS query_id, cd.nid AS neighbor_id,
+         CAST(sum((qv.x - nv.x) * (qv.x - nv.x)) AS BIGINT) AS d2
+  FROM cand cd
+  JOIN vals qv ON qv.vec_id = cd.qid
+  JOIN vals nv ON nv.vec_id = cd.nid AND nv.j = qv.j
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+  FROM exact) WHERE rank <= 10
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["knn_ivf_trained"] = _knn_ivf_trained_oracle_sql()
 
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the

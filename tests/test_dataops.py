@@ -1908,6 +1908,38 @@ def test_kmeans_train_scalar_twin_descent_and_empty_cluster(ray_session, tmp_pat
     assert objective(C_fin) < objective(Xr[:K])
 
 
+def test_knn_ivf_trained_full_probe_is_exact_knn(ray_session, sf_tiny):
+    """Because in-list ranking is the EXACT integer L2, probing every
+    list must reduce the trained-quantizer IVF to exact brute-force KNN
+    (a property the ADC-ranked variants cannot have); at the default
+    probe budget recall stays useful."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import dstream_ray.pipelines.dataops as d
+    from dstream_ray.stages import ann
+
+    t = pq.read_table(f"{sf_tiny}/embeddings.parquet")
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
+    X = np.floor(ann._stack(t["embedding"]) * 1e6)[order]
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)[order]
+    qids = ids[ids < 8]
+
+    full = d.q_knn_ivf_trained(sf_tiny, n_probe=d.IVF_INT_LISTS)
+    recs = []
+    probed = d.q_knn_ivf_trained(sf_tiny)
+    for qi, qid in enumerate(qids):
+        dist = ((X - X[ids == qid][0]) ** 2).sum(axis=1)
+        ordered = ids[np.lexsort((ids, dist))]
+        exact = [(int(i), int(dist[ids == i][0])) for i in ordered if i != qid][:10]
+        g = full[full["query_id"] == qid]
+        got = list(zip(g["neighbor_id"].astype(int), g["d2"].astype(int)))
+        assert got == exact, qid
+        p = probed[probed["query_id"] == qid]["neighbor_id"].tolist()
+        recs.append(len({n for n, _ in exact} & set(p)) / 10)
+    assert sum(recs) / len(recs) >= 0.15, recs
+
+
 def test_png_roundtrip_all_filters():
     """The minimal stdlib-zlib PNG codec: encode with each of the five
     scanline filters (and the mixed cycle) and decode back bit-exact;
