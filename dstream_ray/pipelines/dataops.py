@@ -1891,13 +1891,21 @@ def q_bpe_train_steps(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+_BPE_CACHE: dict = BoundedCache(maxsize=8)
+
+
 def _bpe_learn(
     sf_dir: str, n_merges: int,
 ) -> tuple[list[tuple[str, str]], list[dict]]:
     """Run the distributed BPE training loop (see :func:`q_bpe_train` for
     the full contract) and return BOTH artifacts: the ``(pair, symbol)``
     merge list in application order — the object an ENCODE pass replays —
-    and the per-step ``{step, pair, n}`` rows the trainer reports."""
+    and the per-step ``{step, pair, n}`` rows the trainer reports.
+
+    The learned list (<= n_merges tiny tuples) is memoized per corpus
+    identity so a train-then-encode session pays the N learning passes
+    once — the ``_bm25_scored`` memo discipline (bounded, driver-side,
+    value is the artifact not the data)."""
     import pyarrow.compute as pc
 
     from dstream_ray.pipelines.oracles import BPE_MERGE_SYMBOLS
@@ -1907,6 +1915,10 @@ def _bpe_learn(
             f"n_merges={n_merges} exceeds the {len(BPE_MERGE_SYMBOLS)} "
             "reserved merge symbols (control bytes minus tab/LF/CR)"
         )
+    _st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    _ck = (sf_dir, _st.st_mtime_ns, _st.st_size, n_merges)
+    if _ck in _BPE_CACHE:
+        return _BPE_CACHE[_ck]
 
     merges: list[tuple[str, str]] = []  # (pair, assigned symbol)
     rows: list[dict] = []
@@ -1927,6 +1939,7 @@ def _bpe_learn(
         pair, n = str(counts.iloc[0]["pair"]), int(counts.iloc[0]["n"])
         rows.append({"step": step + 1, "pair": pair, "n": n})
         merges.append((pair, BPE_MERGE_SYMBOLS[step]))
+    _BPE_CACHE[_ck] = (merges, rows)
     return merges, rows
 
 
