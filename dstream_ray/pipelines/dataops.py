@@ -3476,8 +3476,12 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
         project, batch_format="pyarrow"
     ).materialize()
 
-    def gate_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(["lang", "gate"], as_index=False).agg(t=("n_tok", "sum"))
+    def gate_partial(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["lang", "gate"], as_index=False).agg(t=("n_tok", "sum"))
+        # emit an ARROW block: Ray's sort-aggregate over pandas blocks is
+        # ~10x slower (per-group pandas path); Arrow blocks take the
+        # vectorized path
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     sums = (
         docs.map_batches(gate_partial, batch_format="pandas")
