@@ -926,6 +926,18 @@ class StreamingJob:
                     f"partitions {sorted(missing)}; run with state_keep_last high "
                     "enough (or None) to retain rewind targets"
                 )
+            # compaction collapses per-epoch files into range files; a
+            # rewind INTO a compacted range cannot split the merged rows
+            # back out — refuse loudly before destroying anything (rewind
+            # to a boundary at/above every compact range stays fine)
+            blocking = self._compact_ranges_crossing(to_epoch)
+            if blocking:
+                raise ValueError(
+                    f"rewind: target epoch {to_epoch} falls inside compacted "
+                    f"range(s) {blocking}; compact() merges epochs — rewind "
+                    "only to an epoch >= every compact range's upper bound, "
+                    "or compact only after the rewind horizon you need"
+                )
             undone = [e for e in epochs if e > to_epoch]
             for e in sorted(undone, reverse=True):
                 self.store.delete_commit(e)
@@ -945,25 +957,71 @@ class StreamingJob:
         finally:
             lease.release()
 
+    def _compact_ranges_crossing(self, to_epoch: int) -> list:
+        """Compact files whose epoch range STRADDLES ``to_epoch`` (lo <=
+        target < hi): these would have to be split by a rewind. Ranges
+        entirely above the target are simply swept; entirely at-or-below
+        are untouched history."""
+        from dstream_ray.sinks.parquet_sink import parse_epoch_range
+
+        hits = []
+        for dirpath, _dirs, files in os.walk(self.cfg.sink_dir):
+            for f in files:
+                r = parse_epoch_range(f)
+                if r and r[0] < r[1] and r[0] <= to_epoch < r[1]:
+                    hits.append((os.path.relpath(os.path.join(dirpath, f),
+                                                 self.cfg.sink_dir)))
+        return sorted(hits)
+
     def _sweep_sink_after(self, to_epoch: int) -> int:
         """Remove every sink file (and .tmp stage) whose name carries an
-        epoch newer than ``to_epoch``. Epoch is part of the sink-file naming
-        contract (`ExactlyOnceParquetSink.file_path`), so this needs no
-        manifest lineage and heals orphans from crashed epochs/rewinds."""
-        import re as _re
+        epoch — or compact range — newer than ``to_epoch``. Epoch is part
+        of the sink-file naming contract (`ExactlyOnceParquetSink.file_path`
+        / `compact_dir`), so this needs no manifest lineage and heals
+        orphans from crashed epochs/rewinds. Compact ranges straddling the
+        target were refused upfront, so here a compact file is either
+        fully-history (kept) or fully-undone (removed)."""
+        from dstream_ray.sinks.parquet_sink import parse_epoch_range
 
-        pat = _re.compile(r"^epoch-(\d+)-wm-")
         removed = 0
         for dirpath, _dirs, files in os.walk(self.cfg.sink_dir):
             for f in files:
-                m = pat.match(f)
-                if m and int(m.group(1)) > to_epoch:
+                r = parse_epoch_range(f[:-4] if f.endswith(".tmp") else f)
+                if r and r[0] > to_epoch:
                     try:
                         os.remove(os.path.join(dirpath, f))
                         removed += 1
                     except FileNotFoundError:
                         pass
         return removed
+
+    def compact(self) -> dict:
+        """Collapse the sink's per-epoch files to one file per
+        ``(op, partition)`` — the small-file compaction a long-running
+        ingest needs (a follow-mode job commits one file per partition per
+        epoch; at 100 TB that's millions of small parquet files without
+        this verb). Exactly-once and crash-safety are carried by the sink's
+        range-naming + liveness rule (`parquet_sink.live_files`): readers
+        at ANY instant — including between a crashed compaction's promote
+        and cleanup — see each row exactly once, and re-running compact()
+        heals leftovers. Takes the job lease (never concurrent with run());
+        rewind() afterwards is limited to epochs at/above each compact
+        range's upper bound and refuses loudly otherwise."""
+        from dstream_ray.state.lease import Lease
+
+        lease = Lease(
+            os.path.join(self.cfg.out_dir, "_locks", "job.lock"),
+            owner=f"compact-pid-{os.getpid()}",
+            ttl_s=self.cfg.lease_ttl_s,
+        )
+        if not lease.acquire():
+            raise RuntimeError("compact refused: job lease held by a running driver")
+        try:
+            stats = self.sink.compact()
+            stats["status"] = "compacted"
+            return stats
+        finally:
+            lease.release()
 
     def rescale(self, new_num_partitions: int) -> dict:
         """Resume-at-a-different-parallelism (the Flink savepoint-rescale
@@ -1195,7 +1253,7 @@ def main(argv=None):  # pragma: no cover - CLI drive path
     p = argparse.ArgumentParser(description="dstream_ray streaming epoch runner")
     p.add_argument(
         "verb",
-        choices=["run", "init", "plan", "status", "destroy", "rewind", "rescale"],
+        choices=["run", "init", "plan", "status", "destroy", "rewind", "rescale", "compact"],
     )
     p.add_argument("--feed-dir", required=True)
     p.add_argument("--out-dir", required=True)

@@ -21,11 +21,68 @@ Partitioned layout doubles as resumability: a failed run skips finished
 from __future__ import annotations
 
 import os
+import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from dstream_ray.state.checkpoint import fsync_dir
+
+# sink-file naming contract: epoch files carry ONE epoch; compact files
+# carry the inclusive epoch range they replaced (see compact_dir)
+_EPOCH_RE = re.compile(r"^epoch-(\d+)-wm-(-?\d+)\.parquet$")
+_COMPACT_RE = re.compile(r"^compact-(\d+)-(\d+)-wm-(-?\d+)\.parquet$")
+
+
+def parse_epoch_range(fname: str) -> tuple[int, int, int] | None:
+    """``(lo_epoch, hi_epoch, watermark_us)`` encoded in a committed sink
+    file's NAME, or None for foreign files. The range is the visibility
+    unit: liveness, compaction and rewind all reason over it without any
+    manifest lookup."""
+    m = _EPOCH_RE.match(fname)
+    if m:
+        e = int(m.group(1))
+        return (e, e, int(m.group(2)))
+    m = _COMPACT_RE.match(fname)
+    if m:
+        return (int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    return None
+
+
+def live_files(paths: list[str]) -> list[str]:
+    """Visibility rule that makes compaction crash-safe WITHOUT a manifest:
+    within each directory, a file whose epoch range is contained in a
+    WIDER file's range is dead (it was an input to a promoted compaction
+    whose cleanup didn't finish). Readers skip dead files — so the crash
+    window between promoting a compact file and deleting its inputs can
+    never double-count — and the next compact() deletes them. Distinct
+    epoch files never contain one another, so pre-compaction trees are
+    returned unchanged."""
+    from collections import defaultdict
+
+    by_dir: dict[str, list[tuple[int, int, str]]] = defaultdict(list)
+    passthrough: list[str] = []
+    for p in paths:
+        r = parse_epoch_range(os.path.basename(p))
+        if r is None:
+            passthrough.append(p)  # foreign naming: never filtered here
+        else:
+            by_dir[os.path.dirname(p)].append((r[0], r[1], p))
+    out = list(passthrough)
+    for entries in by_dir.values():
+        # widest first; strict containment can then be checked against
+        # already-kept intervals only
+        entries.sort(key=lambda t: (t[0] - t[1], t[0]))
+        kept: list[tuple[int, int, str]] = []
+        for lo, hi, p in entries:
+            dead = any(
+                klo <= lo and hi <= khi and (klo, khi) != (lo, hi)
+                for klo, khi, _ in kept
+            )
+            if not dead:
+                kept.append((lo, hi, p))
+        out.extend(p for _, _, p in kept)
+    return sorted(out)
 
 
 class ExactlyOnceParquetSink:
@@ -81,7 +138,9 @@ class ExactlyOnceParquetSink:
 
     def read_op(self, op: str, committed_files: list[str] | None = None) -> pa.Table:
         """Read back an operator's committed output (test/verification path,
-        ≙ the reference's E2E queue drain test/e2e/e2e_test.go:263-316)."""
+        ≙ the reference's E2E queue drain test/e2e/e2e_test.go:263-316).
+        Only LIVE files are read (see :func:`live_files`), so a crashed
+        compaction cleanup never double-counts."""
         if committed_files is None:
             committed_files = []
             opdir = os.path.join(self.root, op)
@@ -89,7 +148,81 @@ class ExactlyOnceParquetSink:
                 committed_files.extend(
                     os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
                 )
-        committed_files = sorted(committed_files)
+        committed_files = live_files(sorted(committed_files))
         if not committed_files:
             return None
         return pa.concat_tables([pq.read_table(f) for f in committed_files])
+
+    def compact_dir(self, dirpath: str) -> dict | None:
+        """Merge one ``<op>/partition=K`` directory's committed files into a
+        single ``compact-<lo>-<hi>-wm-<wm>.parquet`` covering their whole
+        epoch range (inputs read in epoch order, so row order is the
+        concat order a reader would have seen).
+
+        Exactly-once is preserved by ordering, not logging: (1) dead
+        leftovers from a previous crashed cleanup are deleted first;
+        (2) the merged file is staged, fsynced and atomically renamed —
+        from that instant :func:`live_files` hides the inputs from every
+        reader; (3) only then are the inputs unlinked. A crash anywhere
+        leaves a readable, non-duplicating tree that the next compact()
+        finishes healing. Needs >= 2 live inputs (also keeps compact
+        ranges strictly wider than any single input, which the liveness
+        rule's strict-containment test relies on)."""
+        names = sorted(
+            f for f in os.listdir(dirpath)
+            if f.endswith(".parquet") and parse_epoch_range(f) is not None
+        )
+        paths = [os.path.join(dirpath, f) for f in names]
+        live = live_files(paths)
+        healed = 0
+        for p in set(paths) - set(live):
+            os.remove(p)  # dead input from a crashed cleanup
+            healed += 1
+        if healed:
+            fsync_dir(dirpath)
+        if len(live) < 2:
+            return {"compacted": 0, "healed": healed} if healed else None
+        parsed = sorted(
+            (parse_epoch_range(os.path.basename(p)), p) for p in live
+        )
+        lo = min(r[0] for r, _ in parsed)
+        hi = max(r[1] for r, _ in parsed)
+        wm = max(r[2] for r, _ in parsed)
+        merged = pa.concat_tables([pq.read_table(p) for _, p in parsed])
+        final = os.path.join(dirpath, f"compact-{lo:06d}-{hi:06d}-wm-{wm}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(merged, tmp)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.replace(tmp, final)
+        fsync_dir(dirpath)
+        for _, p in parsed:  # inputs are dead (contained) from here on
+            os.remove(p)
+        fsync_dir(dirpath)
+        return {"compacted": len(parsed), "healed": healed,
+                "lo": lo, "hi": hi, "rows": merged.num_rows}
+
+    def compact(self, op: str | None = None) -> dict:
+        """Compact every ``partition=K`` directory (of one op, or all ops):
+        the small-file answer for long-running ingest — thousands of
+        per-epoch files collapse to one file per partition while readers
+        stay correct at every instant. Returns per-directory stats."""
+        roots = (
+            [os.path.join(self.root, op)] if op is not None
+            else [os.path.join(self.root, d) for d in sorted(os.listdir(self.root))
+                  if os.path.isdir(os.path.join(self.root, d))]
+        )
+        stats: dict = {"dirs": 0, "files_merged": 0, "files_healed": 0}
+        for root in roots:
+            for dirpath, _dirs, _files in os.walk(root):
+                if not os.path.basename(dirpath).startswith("partition="):
+                    continue
+                r = self.compact_dir(dirpath)
+                if r:
+                    stats["dirs"] += 1
+                    stats["files_merged"] += r.get("compacted", 0)
+                    stats["files_healed"] += r.get("healed", 0)
+        return stats

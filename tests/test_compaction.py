@@ -1,0 +1,184 @@
+"""Sink compaction: collapse per-epoch files to one file per (op,
+partition) without ever violating exactly-once. The crash-safety story is
+the sink's range-naming + liveness rule (`parquet_sink.live_files`): a
+compact file's NAME carries the inclusive epoch range it replaced, any
+file whose range is contained in a wider sibling is invisible to readers,
+so the promote→cleanup window can never double-count and a re-run heals
+leftovers. Rewind interplay: a target INSIDE a compacted range is refused
+loudly; boundaries and above still work (test below).
+"""
+
+import os
+
+import pytest
+
+from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+from dstream_ray.sinks.parquet_sink import live_files, parse_epoch_range
+from dstream_ray.sources.transcripts import generate_transcripts
+
+OPS = {"tumbling": {"width_s": 600}, "session": {"gap_s": 120}, "dedup": {}}
+
+
+@pytest.fixture()
+def feed(tmp_path):
+    d = tmp_path / "feed"
+    generate_transcripts(n_convs=14, mean_turns=7, seed=23, out_path=str(d), n_shards=4)
+    return d
+
+
+def _cfg(feed, out, **kw):
+    kw.setdefault("state_keep_last", None)
+    return StreamingConfig(
+        feed_dir=str(feed), out_dir=str(out), num_partitions=2,
+        files_per_epoch=1, operators=dict(OPS), **kw,
+    )
+
+
+def _sink_snapshot(job):
+    out = {}
+    for op in ("events", "tumbling", "session", "dedup"):
+        t = job.sink.read_op(op)
+        out[op] = sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns]))) if t is not None else None
+    return out
+
+
+def _partition_dirs(job):
+    for op in sorted(os.listdir(job.sink.root)):
+        opdir = os.path.join(job.sink.root, op)
+        for d in sorted(os.listdir(opdir)):
+            if d.startswith("partition="):
+                yield os.path.join(opdir, d)
+
+
+def test_compact_collapses_files_and_preserves_reads(ray_session, tmp_path, feed):
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run()
+    before = _sink_snapshot(job)
+    n_before = sum(len(os.listdir(d)) for d in _partition_dirs(job))
+    stats = job.compact()
+    assert stats["status"] == "compacted" and stats["files_merged"] > 0
+    compacted_dirs = 0
+    for d in _partition_dirs(job):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d  # single-file dirs stay, multi-file merge
+        lo, hi, _wm = parse_epoch_range(files[0])
+        if files[0].startswith("compact-"):
+            assert hi > lo  # a range file always spans >= 2 epochs
+            compacted_dirs += 1
+    assert compacted_dirs > 0
+    n_after = sum(len(os.listdir(d)) for d in _partition_dirs(job))
+    assert n_after < n_before
+    assert _sink_snapshot(job) == before
+    # idempotent: nothing left to merge
+    again = job.compact()
+    assert again["files_merged"] == 0 and again["files_healed"] == 0
+
+
+def test_crash_window_never_double_counts_and_heals(ray_session, tmp_path, feed):
+    """Simulate a compaction that crashed AFTER promoting the merged file
+    but BEFORE deleting its inputs: readers must not double-count, and the
+    next compact() finishes the cleanup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run()
+    before = _sink_snapshot(job)
+    d = next(iter(_partition_dirs(job)))
+    inputs = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(inputs) >= 2
+    ranges = [parse_epoch_range(f) for f in inputs]
+    lo, hi = min(r[0] for r in ranges), max(r[1] for r in ranges)
+    wm = max(r[2] for r in ranges)
+    merged = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in inputs])
+    pq.write_table(merged, os.path.join(d, f"compact-{lo:06d}-{hi:06d}-wm-{wm}.parquet"))
+    # inputs still on disk next to the promoted compact file
+    assert _sink_snapshot(job) == before  # liveness rule hides the inputs
+    stats = job.compact()
+    assert stats["files_healed"] == len(inputs)
+    leftover = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert leftover == [f"compact-{lo:06d}-{hi:06d}-wm-{wm}.parquet"]
+    assert _sink_snapshot(job) == before
+
+
+def test_compact_midway_then_resume_then_compact(ray_session, tmp_path, feed):
+    """Compaction between micro-batches: a follow-mode deployment compacts
+    while the job is paused, resumes ingest, compacts again — reads equal
+    an uninterrupted run at every step, and the final tree is one range
+    file per partition covering every epoch."""
+    ref = StreamingJob(_cfg(feed, tmp_path / "ref"))
+    ref.run()
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=2, flush_at_end=False)
+    job.compact()
+    job.run()  # resume the remaining shards + flush
+    assert _sink_snapshot(job) == _sink_snapshot(ref)
+    job.compact()
+    assert _sink_snapshot(job) == _sink_snapshot(ref)
+    for d in _partition_dirs(job):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+
+def test_rewind_into_compacted_range_refused_boundary_ok(ray_session, tmp_path, feed):
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=3, flush_at_end=False)  # epochs 0..2
+    job.compact()  # ranges cover [0, 2]
+    job.run()  # epoch 3 (+ flush) appends per-epoch files above the range
+    with pytest.raises(ValueError, match="compacted range"):
+        job.rewind(1)
+    out = job.rewind(2)  # the range's upper bound: legal boundary
+    assert out["status"] == "rewound" and out["sink_files_removed"] > 0
+    # replay from the boundary reproduces the full run exactly-once
+    ref = StreamingJob(_cfg(feed, tmp_path / "ref"))
+    ref.run()
+    job.run()
+    assert _sink_snapshot(job) == _sink_snapshot(ref)
+
+
+def test_compact_refused_while_lease_held(ray_session, tmp_path, feed):
+    from dstream_ray.state.lease import Lease
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=1, flush_at_end=False)
+    holder = Lease(os.path.join(job.cfg.out_dir, "_locks", "job.lock"),
+                   owner="other-driver", ttl_s=30)
+    assert holder.acquire()
+    try:
+        with pytest.raises(RuntimeError, match="lease"):
+            job.compact()
+    finally:
+        holder.release()
+
+
+def test_live_files_rule_directly():
+    """Unit pin of the visibility rule: strict containment within a
+    directory kills the contained file; distinct epoch files and foreign
+    names pass through; directories are independent."""
+    a = "/s/op/partition=0000"
+    b = "/s/op/partition=0001"
+    paths = [
+        f"{a}/epoch-000000-wm-10.parquet",
+        f"{a}/epoch-000001-wm-20.parquet",
+        f"{a}/compact-000000-000001-wm-20.parquet",  # kills both epochs in a
+        f"{b}/epoch-000000-wm-10.parquet",           # other dir: untouched
+        f"{a}/notes.txt",                            # foreign: passthrough
+    ]
+    live = live_files(paths)
+    assert f"{a}/compact-000000-000001-wm-20.parquet" in live
+    assert f"{a}/epoch-000000-wm-10.parquet" not in live
+    assert f"{a}/epoch-000001-wm-20.parquet" not in live
+    assert f"{b}/epoch-000000-wm-10.parquet" in live
+    assert f"{a}/notes.txt" in live
+    # nested compaction leftovers: the widest range wins
+    live2 = live_files([
+        f"{a}/compact-000000-000003-wm-40.parquet",
+        f"{a}/compact-000000-000001-wm-20.parquet",
+        f"{a}/epoch-000002-wm-30.parquet",
+        f"{a}/epoch-000004-wm-50.parquet",  # above the range: live
+    ])
+    assert sorted(os.path.basename(p) for p in live2) == [
+        "compact-000000-000003-wm-40.parquet",
+        "epoch-000004-wm-50.parquet",
+    ]
