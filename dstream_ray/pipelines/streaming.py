@@ -211,6 +211,11 @@ class StreamingConfig:
     # streams (and leaves headroom for raylet/driver) — size
     # (num_cpus_total / task_num_cpus) to the node like an actor pool.
     task_num_cpus: int = 1
+    # Steady-state small-file control: > 0 compacts the sink after every
+    # N committed epochs (inside the run lease; staged .tmp files of
+    # pipelined later epochs are untouched). Collapses rewind granularity
+    # to compaction boundaries — rewind() refuses mid-range targets.
+    compact_every: int = 0
 
     @property
     def sink_dir(self) -> str:
@@ -787,6 +792,11 @@ class StreamingJob:
         # retention beyond 2 exists solely to give rewind() targets
         if self.cfg.state_keep_last is not None:
             self.store.prune_state(keep_last=max(2, self.cfg.state_keep_last))
+        # steady-state small-file control (under the caller's run lease):
+        # only COMMITTED files are merged — pipelined later epochs are
+        # still .tmp stages, which compact_dir never touches
+        if self.cfg.compact_every and (epoch + 1) % self.cfg.compact_every == 0:
+            self.sink.compact()
         return manifest
 
     def run_epoch(self, files: list[str], *, flush: bool = False) -> dict:

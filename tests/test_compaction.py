@@ -137,6 +137,21 @@ def test_rewind_into_compacted_range_refused_boundary_ok(ray_session, tmp_path, 
     assert _sink_snapshot(job) == _sink_snapshot(ref)
 
 
+def test_auto_compaction_in_steady_state(ray_session, tmp_path, feed):
+    """compact_every=2: the run loop compacts after every second committed
+    epoch — output equals an uncompacted reference run, and every
+    multi-file partition directory ends at <= 2 files (one range file +
+    at most the trailing uncompacted epoch)."""
+    ref = StreamingJob(_cfg(feed, tmp_path / "ref"))
+    ref.run()
+    job = StreamingJob(_cfg(feed, tmp_path / "out", compact_every=2))
+    job.run()
+    assert _sink_snapshot(job) == _sink_snapshot(ref)
+    for d in _partition_dirs(job):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) <= 2, (d, files)
+
+
 def test_compact_refused_while_lease_held(ray_session, tmp_path, feed):
     from dstream_ray.state.lease import Lease
 
