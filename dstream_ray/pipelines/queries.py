@@ -885,6 +885,61 @@ def q_streaming_events(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("events")
 
 
+def _run_streaming_compacted(sf_dir: str):
+    """A third engine run with the MOST AGGRESSIVE compaction schedule
+    (compact after every committed epoch): its committed sinks must hit
+    the exact same oracles as the uncompacted runs — compaction is pure
+    file-layout, invisible to every reader at every instant."""
+    key = ("compact", sf_dir)
+    if key in _STREAMING_CACHE:
+        return _STREAMING_CACHE[key]
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+
+    workdir = tempfile.mkdtemp(prefix="dstream_q_compact_")
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    feed = q_transcripts_feed(sf_dir).to_pandas()
+    feed = feed.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    tbl = pa.Table.from_pandas(feed.drop(columns=["partition_id"]), preserve_index=False)
+    n = tbl.num_rows
+    bounds = np.linspace(0, n, 4).astype(int)
+    for i in range(3):
+        pq_mod.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(feed_dir, f"feed-{i:02d}.parquet"),
+        )
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=8,
+            files_per_epoch=1,
+            operators={"tumbling": {"width_s": TUMBLING_S}},
+            compact_every=1,
+        )
+    )
+    job.run()
+    _STREAMING_CACHE[key] = job
+    return job
+
+
+def q_streaming_events_compacted(sf_dir: str) -> pa.Table:
+    """The relay sink read THROUGH per-epoch compaction (compact_every=1,
+    range files only) == the same transcripts-feed oracle as
+    streaming_events: exactly-once survives the merge at every epoch."""
+    return _run_streaming_compacted(sf_dir).sink.read_op("events")
+
+
+def q_streaming_tumbling_compacted(sf_dir: str) -> pa.Table:
+    """The tumbling sink through per-epoch compaction == the uncompacted
+    run's oracle (window closure + compaction compose transparently)."""
+    return _run_streaming_compacted(sf_dir).sink.read_op("tumbling")
+
+
 def q_streaming_tumbling(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("tumbling")
 

@@ -112,6 +112,8 @@ def main() -> int:
         ("pivot_roles", _q.q_pivot_roles),
         ("streaming_scrub", _q.q_streaming_scrub),
         ("streaming_anomaly", _q.q_streaming_anomaly),
+        ("streaming_events_compacted", _q.q_streaming_events_compacted),
+        ("streaming_tumbling_compacted", _q.q_streaming_tumbling_compacted),
         ("domain_filter", _d.q_domain_filter),
         # late-round-4 cessions: generic relational demos + twins whose
         # families stay driver-gated (see __ray_entry__.queries docstring)
