@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": d.q_kmeans_step,  # one exact Lloyd iteration (coarse-quantizer trainer)
         "kmeans_train": d.q_kmeans_train,  # full N-iteration exact Lloyd trainer
         "knn_ivf_trained": d.q_knn_ivf_trained,  # IVF search over the trained quantizer
+        "knn_ivfpq_trained": d.q_knn_ivfpq_trained,  # trained coarse + PQ-ADC: the full stack
         # ---- rows-only below ----
         "knn_ivf_lloyd": d.q_knn_ivf,  # rows-only (float Lloyd centroids; pytest recall, both quantizers)
         "multimodal_features": d.q_multimodal_features,  # mixed real/fake decode; pytest plumbing

@@ -3344,6 +3344,127 @@ def q_knn_ivfpq_rerank(
     return pd.concat(out, ignore_index=True)
 
 
+def q_knn_ivfpq_trained(
+    sf_dir: str,
+    n_lists: int = IVF_INT_LISTS,
+    n_probe: int = IVF_INT_PROBE,
+    n_iters: int | None = None,
+    k: int = KNN_K,
+) -> pd.DataFrame:
+    """The full production ANN stack, composed end-to-end: the
+    :func:`q_kmeans_train` Lloyd loop trains the coarse quantizer, every
+    corpus vector routes to its L2-nearest TRAINED centroid, queries
+    probe their ``n_probe`` L2-nearest lists, and candidates in probed
+    lists are scored by the PQ-ADC tables of :func:`q_pq_search` (codes
+    from the sampled codebook — training the 8 sub-codebooks is the same
+    loop per subspace and deliberately left sampled so the oracle stays
+    one chain). Train → route → compress → probe → ADC: every stage in
+    the 1e6 fixed-point integer domain, DuckDB replays the whole
+    composition bit-for-bit. Ties break on smaller id; self excluded.
+
+    Scale shape: N bounded-groupby training passes, then the
+    :func:`q_knn_ivfpq` search shape (broadcast bundle, route + prune
+    BEFORE the PQ encode, nq*k partial rows per batch, tiny driver
+    merge). The ``path='precoded'`` layout of q_knn_ivfpq applies
+    unchanged — at deployment the encode stage writes
+    (vec_id, trained_list, codes) partitioned by list."""
+    trained = q_kmeans_train(sf_dir, n_clusters=n_lists, n_iters=n_iters)
+    D = int(trained["dim"].max()) + 1
+    C_ivf = np.zeros((n_lists, D))
+    C_ivf[trained["cluster_id"].to_numpy(), trained["dim"].to_numpy()] = (
+        trained["c"].to_numpy(dtype=np.float64))
+    ctbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_K)],
+    )
+    corder = np.argsort(np.asarray(ctbl["vec_id"].to_pylist(), dtype=np.int64))
+    C_pq = np.floor(ann._stack(ctbl["embedding"])[corder] * PQ_SCALE)
+    d_sub = C_pq.shape[1] // PQ_M
+
+    q = _load_queries(sf_dir)
+    qids = np.asarray(q["ids"], dtype=np.int64)
+    Qf = np.floor(np.asarray(q["vecs"], dtype=np.float64) * PQ_SCALE)
+    qd2 = ((Qf * Qf).sum(axis=1)[:, None] - 2.0 * (Qf @ C_ivf.T)
+           + (C_ivf * C_ivf).sum(axis=1)[None, :])
+    probe_mat = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    probes = [np.sort(probe_mat[qi]).astype(np.int64) for qi in range(len(qids))]
+    wanted = np.unique(np.concatenate(probes))
+    T = np.zeros((len(qids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        qs = Qf[:, m * d_sub:(m + 1) * d_sub]
+        cs = C_pq[:, m * d_sub:(m + 1) * d_sub]
+        T[:, m, :] = ((qs * qs).sum(axis=1)[:, None]
+                      - 2.0 * (qs @ cs.T)
+                      + (cs * cs).sum(axis=1)[None, :])
+    ref = ray.put((qids, T, C_ivf, C_pq, probes, wanted))
+
+    def trained_ivfpq_partial(b: pa.Table) -> pa.Table:
+        _qids, tables, cents, codebook, _probes, _wanted = ray.get(ref)
+        X = np.floor(ann._stack(b["embedding"]) * PQ_SCALE)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2c = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ cents.T)
+               + (cents * cents).sum(axis=1)[None, :])
+        lists = np.argmin(d2c, axis=1).astype(np.int64)  # L2 routing
+        keep = np.isin(lists, _wanted)  # prune before the PQ encode
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        X, vec_ids, lists = X[keep], vec_ids[keep], lists[keep]
+        dist = np.zeros((len(_qids), len(X)))
+        for m in range(PQ_M):
+            sub = X[:, m * d_sub:(m + 1) * d_sub]
+            cs = codebook[:, m * d_sub:(m + 1) * d_sub]
+            dd = ((sub * sub).sum(axis=1)[:, None]
+                  - 2.0 * (sub @ cs.T)
+                  + (cs * cs).sum(axis=1)[None, :])
+            codes = np.argmin(dd, axis=1)
+            dist += tables[:, m, codes]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(_qids)):
+            allowed = np.isin(lists, _probes[qi])
+            if not allowed.any():
+                continue
+            row, ids = dist[qi][allowed], vec_ids[allowed]
+            kn = min(k + 1, len(row))
+            top = np.argpartition(row, kn - 1)[:kn]
+            top = top[np.lexsort((ids[top], row[top]))]
+            out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_d.append(row[top].astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adc": pa.array(np.concatenate(out_d)),
+        })
+
+    partials = (_read_embeddings(sf_dir)
+                .map_batches(trained_ivfpq_partial, batch_format="pyarrow",
+                             batch_size=4096)
+                .to_pandas())
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["adc", "neighbor_id"]).head(k).reset_index(drop=True)
+        out.append(pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+            "adc": g["adc"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        }))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "adc": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return pd.concat(out, ignore_index=True)
+
+
 def q_big_spenders(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer with Ray Data's native hash join (both sides
     treated as large; contrast with the broadcast join in queries.py),

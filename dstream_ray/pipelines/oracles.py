@@ -2612,6 +2612,71 @@ SELECT query_id, neighbor_id, d2, CAST(rank AS BIGINT) AS rank FROM (
 
 ORACLE_SQL["knn_ivf_trained"] = _knn_ivf_trained_oracle_sql()
 
+
+def _knn_ivfpq_trained_oracle_sql(n_iters: int = KMEANS_TRAIN_ITERS) -> str:
+    """The full trained production stack (dataops.q_knn_ivfpq_trained):
+    the Lloyd chain's c_N routes every vector by integer L2 (smaller
+    ties), queries probe their 4 L2-nearest trained lists, and candidates
+    are scored by the PQ-ADC sums over the sampled codebook's codes —
+    train → route → compress → probe → ADC in one replayed chain."""
+    parts = _kmeans_chain_parts(n_iters)
+    parts.append(f""", cent AS (SELECT k, j, c FROM c{n_iters}),
+ad AS (
+  SELECT a.vec_id, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM vals a JOIN cent b ON a.j = b.j
+  GROUP BY 1, 2
+),
+fassign AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM ad) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, k AS pl FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM ad WHERE vec_id < 8) WHERE rn <= 4
+),
+sub AS (SELECT vec_id, x, j, CAST((j - 1) // 8 AS BIGINT) AS m FROM vals),
+cb AS (SELECT vec_id AS k, x AS c, j, m FROM sub WHERE vec_id < 16),
+pqd AS (
+  SELECT a.vec_id, a.m, b.k, sum((a.x - b.c) * (a.x - b.c)) AS dd
+  FROM sub a JOIN cb b ON a.m = b.m AND a.j = b.j
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) AS rn
+    FROM pqd) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS qid, m, k, dd FROM pqd WHERE vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM qprobe p JOIN fassign a ON a.k = p.pl
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT cd.qid AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(q.dd) AS BIGINT) AS adc
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.nid
+  JOIN qd q ON q.qid = cd.qid AND q.m = c.m AND q.k = c.k
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+  FROM adc) WHERE rank <= 10
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL["knn_ivfpq_trained"] = _knn_ivfpq_trained_oracle_sql()
+
 # Nucleus vocabulary coverage: smallest number of token TYPES reaching
 # >= pct% of total token mass under (count desc, token asc) order; the
 # threshold compares 100*cumsum >= pct*total in integers.

@@ -1940,6 +1940,21 @@ def test_knn_ivf_trained_full_probe_is_exact_knn(ray_session, sf_tiny):
     assert sum(recs) / len(recs) >= 0.15, recs
 
 
+def test_knn_ivfpq_trained_full_probe_equals_flat_pq(ray_session, sf_tiny):
+    """Routing by the TRAINED quantizer changes which lists are probed,
+    never the ADC scores — probing all lists must reduce to the flat
+    PQ-ADC scan bit-for-bit, exactly like the sampled-quantizer variant."""
+    import pandas as pd
+
+    import dstream_ray.pipelines.dataops as d
+
+    flat = (d.q_pq_search(sf_tiny)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    full = (d.q_knn_ivfpq_trained(sf_tiny, n_probe=d.IVF_INT_LISTS)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(full, flat[full.columns])
+
+
 def test_png_roundtrip_all_filters():
     """The minimal stdlib-zlib PNG codec: encode with each of the five
     scanline filters (and the mixed cycle) and decode back bit-exact;
