@@ -2866,8 +2866,7 @@ def q_knn_ivf_trained(
                 continue
             row, ids = d2[qi][allowed], vec_ids[allowed]
             kn = min(k + 1, len(row))  # +1 survives self-exclusion
-            top = np.argpartition(row, kn - 1)[:kn]
-            top = top[np.lexsort((ids[top], row[top]))]
+            top = np.lexsort((ids, row))[:kn]  # ties: argpartition is arbitrary at the boundary
             out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_d.append(row[top].astype(np.int64))
@@ -3014,8 +3013,7 @@ def q_pq_search(sf_dir: str) -> pd.DataFrame:
         k = min(KNN_K + 1, dist.shape[1])
         for qi in range(len(qids)):
             row = dist[qi]
-            top = np.argpartition(row, k - 1)[:k]
-            top = top[np.lexsort((vec_ids[top], row[top]))]
+            top = np.lexsort((vec_ids, row))[:k]  # ties: argpartition is arbitrary at the boundary
             out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
             out_n.append(vec_ids[top])
             out_d.append(row[top].astype(np.int64))
@@ -3136,8 +3134,7 @@ def q_knn_ivfpq(
                 continue
             row, ids = dist[qi][allowed], vec_ids[allowed]
             kn = min(k + 1, len(row))  # +1 survives self-exclusion
-            top = np.argpartition(row, kn - 1)[:kn]
-            top = top[np.lexsort((ids[top], row[top]))]
+            top = np.lexsort((ids, row))[:kn]  # ties: argpartition is arbitrary at the boundary
             out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_d.append(row[top].astype(np.int64))
@@ -3194,8 +3191,7 @@ def q_knn_ivfpq(
                 continue
             row, ids = dist[qi][allowed], vec_ids[allowed]
             kn = min(k + 1, len(row))
-            top = np.argpartition(row, kn - 1)[:kn]
-            top = top[np.lexsort((ids[top], row[top]))]
+            top = np.lexsort((ids, row))[:kn]  # ties: argpartition is arbitrary at the boundary
             out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_d.append(row[top].astype(np.int64))
@@ -3428,8 +3424,7 @@ def q_knn_ivfpq_trained(
                 continue
             row, ids = dist[qi][allowed], vec_ids[allowed]
             kn = min(k + 1, len(row))
-            top = np.argpartition(row, kn - 1)[:kn]
-            top = top[np.lexsort((ids[top], row[top]))]
+            top = np.lexsort((ids, row))[:kn]  # ties: argpartition is arbitrary at the boundary
             out_q.append(np.full(len(top), _qids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_d.append(row[top].astype(np.int64))

@@ -51,8 +51,9 @@ class BruteForceTopK:
         k = min(self.k + 1, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k]
-            top = top[np.lexsort((vec_ids[top], -row[top]))]
+            # full deterministic order: argpartition picks ARBITRARY tied
+            # members at the cut boundary (adversarial duplicate vectors)
+            top = np.lexsort((vec_ids, -row))[:k]
             out_q.append(np.full(len(top), self.query_ids[qi]))
             out_n.append(vec_ids[top])
             out_s.append(row[top])
@@ -161,8 +162,7 @@ class ProbedTopK:
             row = sims[qi][allowed]
             ids = vec_ids[allowed]
             k = min(self.k + 1, len(row))  # +1 survives self-exclusion
-            top = np.argpartition(-row, k - 1)[:k]
-            top = top[np.lexsort((ids[top], -row[top]))]
+            top = np.lexsort((ids, -row))[:k]  # ties: argpartition is arbitrary at the boundary
             out_q.append(np.full(len(top), self.query_ids[qi]))
             out_n.append(ids[top])
             out_s.append(row[top])

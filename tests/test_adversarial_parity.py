@@ -88,6 +88,9 @@ def _queries_and_oracles():
     qs.setdefault("inverted_index", dataops.q_inverted_index)
     qs.setdefault("vocab_coverage", dataops.q_vocab_coverage)
     qs.setdefault("curriculum_shards", dataops.q_curriculum_shards)
+    qs.setdefault("embedding_norms", dataops.q_embedding_norms)
+    qs.setdefault("pq_encode", dataops.q_pq_encode)
+    qs.setdefault("pq_search", dataops.q_pq_search)
     # late-round-4 cessions (driver slots went to the curation family;
     # full local parity retained — see __ray_entry__.queries docstring)
     qs.setdefault("sample_balanced", dataops.q_sample_balanced)
@@ -178,6 +181,107 @@ def test_adversarial_documents_parity(ray_session, tmp_path, qname):
         normalize(got).head(),
         normalize(exp).head(),
     )
+
+
+EMBEDDING_QUERIES = [
+    "embedding_norms",     # library-only (integer-scaled norms)
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",             # integer-exact sampled coarse quantizer
+    # embedding_neardup / _lsh: see test_adversarial_embeddings_cosine_pairs
+    # (identical vectors put cos exactly on the 1/1000 floor grid, where
+    # numpy and DuckDB float paths legitimately differ by one ulp)
+    "pq_encode",           # library-only (PQ codes + recon err)
+    "pq_search",           # library-only (ADC top-k)
+    "knn_ivfpq",
+    "knn_ivfpq_rerank",    # IVFADC+R exact refine
+    "kmeans_step",         # one exact Lloyd iteration
+    "kmeans_train",        # N-iteration exact Lloyd trainer
+    "knn_ivf_trained",     # IVF over the trained quantizer
+    "knn_ivfpq_trained",   # trained coarse + PQ-ADC
+    "centroid_by_label",   # library-only (per-label integer centroids)
+]
+
+
+def make_adversarial_embeddings(tmp_path) -> str:
+    """Edge-case embeddings: vec_ids 0 and 1 IDENTICAL (they are queries,
+    coarse centroids AND codebook entries -> ties in routing, ADC and
+    ranking everywhere; a Lloyd cluster empties then may repopulate),
+    exact duplicates deep in the corpus (neighbor-id tie-breaks), a
+    scaled copy (cosine ties), a near-zero vector, coordinates at exact
+    fixed-point boundaries (0.5, -0.25) and inexact floats, one skewed
+    label stratum."""
+    rng = np.random.default_rng(7)
+    D, n = 64, 60
+    X = rng.normal(0, 1, (n, D)).astype(np.float32)
+    X[1] = X[0]                      # identical centroids/queries
+    X[30] = X[5]                     # duplicate of a query vector
+    X[31] = X[5]                     # second duplicate -> 3-way tie
+    X[32] = X[12] * 2.0              # collinear (cosine tie, L2 differs)
+    X[33] = np.full(D, 1e-6, np.float32)   # near-zero vector
+    X[34] = np.full(D, 0.5, np.float32)    # exact fixed-point boundary
+    X[35] = np.full(D, -0.25, np.float32)  # negative exact boundary
+    X[36] = np.full(D, 0.1, np.float32)    # inexact float32
+    labels = (np.arange(n) % 3).astype(np.int32)
+    labels[40:] = 0                  # skewed stratum
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("qname", EMBEDDING_QUERIES)
+def test_adversarial_embeddings_parity(ray_session, tmp_path, qname):
+    sf_dir = make_adversarial_embeddings(tmp_path)
+    qs, sqls = _queries_and_oracles()
+    got = to_pandas(qs[qname](sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = con.execute(sqls[qname]).fetch_df()
+    assert len(got) == len(exp), (qname, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), qname
+    assert value_hash(got) == value_hash(exp), (
+        qname,
+        normalize(got).head(),
+        normalize(exp).head(),
+    )
+
+
+def test_adversarial_embeddings_cosine_pairs(ray_session, tmp_path):
+    """The cosine-pair queries under the adversarial corpus: identical
+    vectors put the true cosine EXACTLY on the 1/1000 grid, where
+    floor(1000*cos) legitimately differs by one ulp between numpy's
+    normalize→dot and DuckDB's list_cosine_similarity (documented float
+    fragility — a hash gate would be flaky by construction, and benign
+    corpora never sit on a grid point). Pin the strong invariants
+    instead: identical PAIR SETS, and every cos value within ±1 of the
+    oracle, exactly equal off the grid boundary."""
+    import dstream_ray.pipelines.dataops as d
+
+    sf_dir = make_adversarial_embeddings(tmp_path)
+    _qs, sqls = _queries_and_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    for qname, fn in [("embedding_neardup_lsh", d.q_embedding_neardup_lsh),
+                      ("embedding_neardup", d.q_embedding_neardup)]:
+        got = to_pandas(fn(sf_dir)).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        exp = (con.execute(sqls[qname]).fetch_df()
+               .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+        assert list(map(tuple, got[["vec_a", "vec_b"]].to_numpy())) == \
+               list(map(tuple, exp[["vec_a", "vec_b"]].to_numpy())), qname
+        dcos = (got["cos_x1000"].to_numpy() - exp["cos_x1000"].to_numpy())
+        assert (abs(dcos) <= 1).all(), (qname, got, exp)
+        off_grid = exp["cos_x1000"].to_numpy() % 1000 != 0
+        near_grid = np.isin(exp["cos_x1000"].to_numpy() % 1000, [0, 999])
+        assert (dcos[~near_grid & off_grid] == 0).all(), qname
 
 
 EVENT_QUERIES = [
