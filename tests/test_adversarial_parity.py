@@ -302,6 +302,8 @@ EVENT_QUERIES = [
     "pivot_roles",  # library-only (one-hot pivot, per-partition-final)
     "cohort_retention",  # library-only (first-day cohorts × distinct actives)
     "funnel_stages",  # library-only (chained first-occurrence funnel)
+    "asof_join",  # strictly-prior semantics under duplicate timestamps
+    "range_join",  # (ts, ts+7d] boundaries: purchase AT signup ts / AT +7d
 ]
 
 
@@ -339,6 +341,19 @@ def make_adversarial_events(tmp_path) -> str:
     # burst: 50 events in one second across users
     for i in range(50):
         add(4 + (i % 3), base + 5_000_000 + i * 1000)
+    # asof/range-join tie traps (user 9): a signup and a click at the SAME
+    # ts (strictly-prior must NOT see it), two signups at one ts (orderings
+    # by (ts, event_id) must agree), a purchase AT a signup's ts (range is
+    # strictly after), purchases exactly AT +7d (inclusive) and +7d+1µs
+    # (excluded)
+    DAY7_US = 7 * 86_400 * 1_000_000
+    add(9, base + 10_000_000, etype="signup")
+    add(9, base + 10_000_000, etype="click")
+    add(9, base + 10_000_000, etype="purchase")   # == signup ts: outside range
+    add(9, base + 20_000_000, etype="signup")
+    add(9, base + 20_000_000, etype="signup")     # duplicate-ts signups
+    add(9, base + 10_000_000 + DAY7_US, etype="purchase")      # exactly +7d: in
+    add(9, base + 20_000_000 + DAY7_US + 1, etype="purchase")  # +7d+1µs: out
     tbl = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
