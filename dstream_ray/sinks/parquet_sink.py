@@ -153,7 +153,35 @@ class ExactlyOnceParquetSink:
             return None
         return pa.concat_tables([pq.read_table(f) for f in committed_files])
 
-    def compact_dir(self, dirpath: str) -> dict | None:
+    # ---- incremental consumers (the receiver side) --------------------
+
+    def _consumer_dir(self) -> str:
+        return os.path.join(self.root, "_consumers")
+
+    def consumer_cursors(self, op: str) -> dict:
+        """name -> highest epoch fully consumed for ``op`` (registered
+        followers only). Compaction consults these so it never merges
+        ACROSS a consumer's cursor — a range file straddling a cursor
+        would force the consumer to re-read rows it already drained."""
+        out = {}
+        cdir = self._consumer_dir()
+        if not os.path.isdir(cdir):
+            return out
+        import json
+
+        for f in sorted(os.listdir(cdir)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(cdir, f)) as fh:
+                    data = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if op in data:
+                out[f[:-5]] = int(data[op])
+        return out
+
+    def compact_dir(self, dirpath: str, boundaries: tuple = ()) -> dict | None:
         """Merge one ``<op>/partition=K`` directory's committed files into a
         single ``compact-<lo>-<hi>-wm-<wm>.parquet`` covering their whole
         epoch range (inputs read in epoch order, so row order is the
@@ -167,7 +195,13 @@ class ExactlyOnceParquetSink:
         leaves a readable, non-duplicating tree that the next compact()
         finishes healing. Needs >= 2 live inputs (also keeps compact
         ranges strictly wider than any single input, which the liveness
-        rule's strict-containment test relies on)."""
+        rule's strict-containment test relies on).
+
+        ``boundaries`` (sorted consumer epoch cursors) split the merge:
+        no produced range ever straddles a registered consumer's cursor,
+        so an incremental :class:`SinkFollower` can always consume whole
+        files — the Kafka-retention interplay (files at or below a
+        cursor compact among themselves; files above it separately)."""
         names = sorted(
             f for f in os.listdir(dirpath)
             if f.endswith(".parquet") and parse_epoch_range(f) is not None
@@ -180,49 +214,142 @@ class ExactlyOnceParquetSink:
             healed += 1
         if healed:
             fsync_dir(dirpath)
-        if len(live) < 2:
+        # segment the live files at consumer cursors: file with range
+        # (lo, hi) belongs to the segment of the smallest boundary >= hi
+        # (its lo is also <= that boundary, else a previous compaction
+        # already violated the rule)
+        segments: dict[float, list] = {}
+        bnd = sorted(boundaries)
+        for p in live:
+            r = parse_epoch_range(os.path.basename(p))
+            seg = next((b for b in bnd if r[1] <= b), float("inf"))
+            segments.setdefault(seg, []).append((r, p))
+        total = {"compacted": 0, "healed": healed, "rows": 0}
+        did = False
+        for seg in sorted(segments):
+            parsed = sorted(segments[seg])
+            if len(parsed) < 2:
+                continue
+            lo = min(r[0] for r, _ in parsed)
+            hi = max(r[1] for r, _ in parsed)
+            wm = max(r[2] for r, _ in parsed)
+            merged = pa.concat_tables([pq.read_table(p) for _, p in parsed])
+            final = os.path.join(
+                dirpath, f"compact-{lo:06d}-{hi:06d}-wm-{wm}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(merged, tmp)
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, final)
+            fsync_dir(dirpath)
+            for _, p in parsed:  # inputs are dead (contained) from here on
+                os.remove(p)
+            fsync_dir(dirpath)
+            total["compacted"] += len(parsed)
+            total["rows"] += merged.num_rows
+            did = True
+        if not did:
             return {"compacted": 0, "healed": healed} if healed else None
-        parsed = sorted(
-            (parse_epoch_range(os.path.basename(p)), p) for p in live
-        )
-        lo = min(r[0] for r, _ in parsed)
-        hi = max(r[1] for r, _ in parsed)
-        wm = max(r[2] for r, _ in parsed)
-        merged = pa.concat_tables([pq.read_table(p) for _, p in parsed])
-        final = os.path.join(dirpath, f"compact-{lo:06d}-{hi:06d}-wm-{wm}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(merged, tmp)
-        fd = os.open(tmp, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        os.replace(tmp, final)
-        fsync_dir(dirpath)
-        for _, p in parsed:  # inputs are dead (contained) from here on
-            os.remove(p)
-        fsync_dir(dirpath)
-        return {"compacted": len(parsed), "healed": healed,
-                "lo": lo, "hi": hi, "rows": merged.num_rows}
+        return total
 
     def compact(self, op: str | None = None) -> dict:
         """Compact every ``partition=K`` directory (of one op, or all ops):
         the small-file answer for long-running ingest — thousands of
         per-epoch files collapse to one file per partition while readers
-        stay correct at every instant. Returns per-directory stats."""
+        stay correct at every instant. Registered consumer cursors
+        (:meth:`consumer_cursors`) become merge boundaries. Returns
+        per-directory stats."""
         roots = (
-            [os.path.join(self.root, op)] if op is not None
-            else [os.path.join(self.root, d) for d in sorted(os.listdir(self.root))
-                  if os.path.isdir(os.path.join(self.root, d))]
+            [(op, os.path.join(self.root, op))] if op is not None
+            else [(d, os.path.join(self.root, d))
+                  for d in sorted(os.listdir(self.root))
+                  if os.path.isdir(os.path.join(self.root, d))
+                  and not d.startswith("_")]
         )
         stats: dict = {"dirs": 0, "files_merged": 0, "files_healed": 0}
-        for root in roots:
+        for op_name, root in roots:
+            boundaries = tuple(sorted(set(self.consumer_cursors(op_name).values())))
             for dirpath, _dirs, _files in os.walk(root):
                 if not os.path.basename(dirpath).startswith("partition="):
                     continue
-                r = self.compact_dir(dirpath)
+                r = self.compact_dir(dirpath, boundaries=boundaries)
                 if r:
                     stats["dirs"] += 1
                     stats["files_merged"] += r.get("compacted", 0)
                     stats["files_healed"] += r.get("healed", 0)
         return stats
+
+
+class SinkFollower:
+    """Incremental exactly-once CONSUMER of one operator's committed sink —
+    the receiver half of the reference's publish/receive pair
+    (test/e2e/e2e_test.go:263-316's drain loop, made durable): each
+    ``poll()`` returns only rows from files entirely ABOVE the persisted
+    epoch cursor, then advances and fsyncs the cursor — crash anywhere
+    and the next poll re-reads at most the files whose rows the caller
+    never saw committed. Registering the follower (its cursor file)
+    makes :meth:`ExactlyOnceParquetSink.compact` treat the cursor as a
+    merge boundary, so no compact file ever straddles it; a straddling
+    file (e.g. compaction raced an unregistered consumer) fails loudly
+    instead of silently double-delivering."""
+
+    def __init__(self, sink: ExactlyOnceParquetSink, op: str, name: str):
+        self.sink = sink
+        self.op = op
+        self.name = name
+        self.path = os.path.join(sink._consumer_dir(), f"{name}.json")
+        self.cursor = self._load().get(op, -1)
+
+    def _load(self) -> dict:
+        import json
+
+        try:
+            with open(self.path) as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _persist(self) -> None:
+        import json
+
+        data = self._load()
+        data[self.op] = self.cursor
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(data))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.path)
+        fsync_dir(os.path.dirname(self.path))
+
+    def poll(self) -> pa.Table | None:
+        """Rows committed since the last poll (None if nothing new)."""
+        opdir = os.path.join(self.sink.root, self.op)
+        found: list[str] = []
+        for dirpath, _dirs, files in os.walk(opdir):
+            found.extend(os.path.join(dirpath, f) for f in files
+                         if f.endswith(".parquet"))
+        fresh: list[tuple[tuple, str]] = []
+        for p in live_files(sorted(found)):
+            r = parse_epoch_range(os.path.basename(p))
+            if r is None or r[1] <= self.cursor:
+                continue
+            if r[0] <= self.cursor:
+                raise RuntimeError(
+                    f"sink file {p} straddles consumer '{self.name}' cursor "
+                    f"{self.cursor}: compaction ran without this consumer "
+                    "registered — rows at or below the cursor would be "
+                    "re-delivered"
+                )
+            fresh.append((r, p))
+        if not fresh:
+            return None
+        fresh.sort()
+        out = pa.concat_tables([pq.read_table(p) for _, p in fresh])
+        self.cursor = max(r[1] for r, _ in fresh)
+        self._persist()
+        return out

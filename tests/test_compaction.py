@@ -197,3 +197,72 @@ def test_live_files_rule_directly():
         "compact-000000-000003-wm-40.parquet",
         "epoch-000004-wm-50.parquet",
     ]
+
+
+def test_sink_follower_incremental_drain(ray_session, tmp_path, feed):
+    """The receiver loop: polls between epochs are disjoint, their union is
+    the full committed sink, cursor persists across follower restarts, and
+    an idle poll returns None."""
+    import pyarrow as pa
+
+    from dstream_ray.sinks.parquet_sink import SinkFollower
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=2, flush_at_end=False)
+    f1 = SinkFollower(job.sink, "events", "drainer")
+    first = f1.poll()
+    assert first is not None and f1.poll() is None  # drained; idle poll
+    job.run()  # remaining epochs + flush
+    f2 = SinkFollower(job.sink, "events", "drainer")  # restart: cursor loads
+    assert f2.cursor == f1.cursor
+    second = f2.poll()
+    assert second is not None
+    union = sorted(map(tuple, zip(*[c.to_pylist() for c in
+                                    pa.concat_tables([first, second]).columns])))
+    full = sorted(map(tuple, zip(*[c.to_pylist()
+                                   for c in job.sink.read_op("events").columns])))
+    assert union == full
+
+
+def test_compaction_respects_follower_cursor(ray_session, tmp_path, feed):
+    """A registered consumer's cursor is a merge boundary: compact() never
+    produces a file straddling it, so the follower keeps draining whole
+    files with no re-delivery; an UNREGISTERED straddle fails loudly."""
+    import pyarrow as pa
+
+    from dstream_ray.sinks.parquet_sink import SinkFollower, parse_epoch_range
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=2, flush_at_end=False)
+    f = SinkFollower(job.sink, "events", "drainer")
+    first = f.poll()
+    assert first is not None
+    job.run()  # more epochs
+    job.compact()
+    # no live file straddles the cursor, in any op dir of 'events'
+    for d in _partition_dirs(job):
+        if f"/events/" not in d + "/":
+            continue
+        for name in os.listdir(d):
+            r = parse_epoch_range(name)
+            if r:
+                assert not (r[0] <= f.cursor < r[1]), (d, name, f.cursor)
+    second = f.poll()  # drains the above-cursor compact files
+    union = sorted(map(tuple, zip(*[c.to_pylist() for c in
+                                    pa.concat_tables([first, second]).columns])))
+    full = sorted(map(tuple, zip(*[c.to_pylist()
+                                   for c in job.sink.read_op("events").columns])))
+    assert union == full
+
+    # unregistered-consumer hazard fails loudly: a follower whose cursor
+    # sits INSIDE an existing compact range refuses to double-deliver
+    g = SinkFollower(job.sink, "tumbling", "late-joiner")
+    g.cursor = 1  # simulate a cursor from before an unboundaried compaction
+    ranges = []
+    for d in _partition_dirs(job):
+        if "/tumbling/" in d + "/":
+            ranges += [parse_epoch_range(x) for x in os.listdir(d)
+                       if parse_epoch_range(x)]
+    if any(r[0] <= 1 < r[1] for r in ranges):
+        with pytest.raises(RuntimeError, match="straddles"):
+            g.poll()
