@@ -266,3 +266,43 @@ def test_compaction_respects_follower_cursor(ray_session, tmp_path, feed):
     if any(r[0] <= 1 < r[1] for r in ranges):
         with pytest.raises(RuntimeError, match="straddles"):
             g.poll()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).map(
+        lambda t: (min(t), max(t))),
+    min_size=1, max_size=12, unique=True))
+def test_live_files_properties(ranges):
+    """Property pin of the visibility rule over arbitrary interval sets
+    (mixing epoch files and compact ranges): (1) live files are exactly
+    the non-strictly-contained intervals; (2) the union of live ranges
+    equals the union of all ranges (no committed epoch ever becomes
+    unreadable); (3) the rule is idempotent."""
+    d = "/s/op/partition=0000"
+    paths = []
+    for lo, hi in ranges:
+        if lo == hi:
+            paths.append(f"{d}/epoch-{lo:06d}-wm-0.parquet")
+        else:
+            paths.append(f"{d}/compact-{lo:06d}-{hi:06d}-wm-0.parquet")
+    live = live_files(paths)
+    rng = {p: parse_epoch_range(os.path.basename(p)) for p in paths}
+    # (1) exact characterization: dead iff strictly contained in another
+    for p in paths:
+        lo, hi, _ = rng[p]
+        contained = any(
+            rng[q][0] <= lo and hi <= rng[q][1] and (rng[q][0], rng[q][1]) != (lo, hi)
+            for q in paths if q != p)
+        assert (p not in live) == contained, (p, ranges)
+    # (2) no epoch lost
+    cover_all = set().union(*(range(r[0], r[1] + 1) for r in rng.values()))
+    cover_live = set().union(
+        *(range(rng[p][0], rng[p][1] + 1) for p in live)) if live else set()
+    assert cover_live == cover_all
+    # (3) idempotent
+    assert sorted(live_files(live)) == sorted(live)
