@@ -428,6 +428,7 @@ ORACLE_SQL["streaming_tumbling"] = ORACLE_SQL["tumbling_window"]
 # sinks read THROUGH per-epoch compaction (compact_every=1) must hit the
 # very same oracles — compaction is file layout, invisible to readers
 ORACLE_SQL["streaming_events_compacted"] = ORACLE_SQL["streaming_events"]
+ORACLE_SQL["streaming_events_follower"] = ORACLE_SQL["streaming_events"]
 ORACLE_SQL["streaming_tumbling_compacted"] = ORACLE_SQL["tumbling_window"]
 ORACLE_SQL["streaming_session"] = ORACLE_SQL["session_window"]
 ORACLE_SQL["streaming_join"] = ORACLE_SQL["stream_join"]

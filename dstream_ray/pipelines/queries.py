@@ -940,6 +940,57 @@ def q_streaming_tumbling_compacted(sf_dir: str) -> pa.Table:
     return _run_streaming_compacted(sf_dir).sink.read_op("tumbling")
 
 
+def q_streaming_events_follower(sf_dir: str) -> pa.Table:
+    """Incremental delivery under the oracle gate: a registered
+    SinkFollower drains the relay sink in TWO polls — one mid-run (after
+    the first two epochs commit), one after the job resumes, finishes and
+    compacts (the follower's cursor is a merge boundary, so compaction
+    never straddles it) — and the polls' UNION must equal the same
+    transcripts-feed oracle as streaming_events. Exactly-once end to end:
+    engine → committed files → compaction → incremental consumer."""
+    key = ("follower", sf_dir)
+    if key in _STREAMING_CACHE:
+        return _STREAMING_CACHE[key]
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+    from dstream_ray.sinks.parquet_sink import SinkFollower
+
+    workdir = tempfile.mkdtemp(prefix="dstream_q_follower_")
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    feed = q_transcripts_feed(sf_dir).to_pandas()
+    feed = feed.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    tbl = pa.Table.from_pandas(feed.drop(columns=["partition_id"]), preserve_index=False)
+    n = tbl.num_rows
+    bounds = np.linspace(0, n, 4).astype(int)
+    for i in range(3):
+        pq_mod.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(feed_dir, f"feed-{i:02d}.parquet"),
+        )
+    job = StreamingJob(
+        StreamingConfig(
+            feed_dir=feed_dir,
+            out_dir=os.path.join(workdir, "out"),
+            num_partitions=8,
+            files_per_epoch=1,
+            operators={"tumbling": {"width_s": TUMBLING_S}},
+        )
+    )
+    job.run(max_epochs=2, flush_at_end=False)
+    follower = SinkFollower(job.sink, "events", "gate-drainer")
+    polls = [follower.poll()]
+    job.run()  # remaining epoch + flush
+    job.compact()  # cursor-aware: never straddles the follower
+    polls.append(follower.poll())
+    out = pa.concat_tables([p for p in polls if p is not None])
+    _STREAMING_CACHE[key] = out
+    return out
+
+
 def q_streaming_tumbling(sf_dir: str) -> pa.Table:
     return _run_streaming(sf_dir).sink.read_op("tumbling")
 

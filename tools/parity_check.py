@@ -114,6 +114,7 @@ def main() -> int:
         ("streaming_anomaly", _q.q_streaming_anomaly),
         ("streaming_events_compacted", _q.q_streaming_events_compacted),
         ("streaming_tumbling_compacted", _q.q_streaming_tumbling_compacted),
+        ("streaming_events_follower", _q.q_streaming_events_follower),
         ("domain_filter", _d.q_domain_filter),
         # late-round-4 cessions: generic relational demos + twins whose
         # families stay driver-gated (see __ray_entry__.queries docstring)
