@@ -551,6 +551,27 @@ class StreamingJob:
         for p in parts.values():
             for op, n in p.get("rows_out_total", {}).items():
                 cumulative_out[op] = cumulative_out.get(op, 0) + n
+        # sink health: live/dead file counts per op (compaction pressure)
+        # and registered consumer cursors (compaction merge boundaries)
+        from dstream_ray.sinks.parquet_sink import live_files
+
+        sink_files: dict[str, dict] = {}
+        consumers: dict[str, dict] = {}
+        if os.path.isdir(self.cfg.sink_dir):
+            for op in sorted(os.listdir(self.cfg.sink_dir)):
+                opdir = os.path.join(self.cfg.sink_dir, op)
+                if op.startswith("_") or not os.path.isdir(opdir):
+                    continue
+                found = [
+                    os.path.join(dp, f)
+                    for dp, _dirs, files in os.walk(opdir)
+                    for f in files if f.endswith(".parquet")
+                ]
+                n_live = len(live_files(sorted(found)))
+                sink_files[op] = {"live": n_live, "dead": len(found) - n_live}
+                cur = self.sink.consumer_cursors(op)
+                if cur:
+                    consumers[op] = cur
         return {
             "committed_epochs": epoch + 1,
             "file_cursor": manifest["file_cursor"],
@@ -562,6 +583,8 @@ class StreamingJob:
                 "rows_out": cumulative_out,
             },
             "partitions": len(parts),
+            "sink_files": sink_files,
+            "consumers": consumers,
         }
 
     def destroy(self) -> dict:

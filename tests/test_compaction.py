@@ -306,3 +306,22 @@ def test_live_files_properties(ranges):
     assert cover_live == cover_all
     # (3) idempotent
     assert sorted(live_files(live)) == sorted(live)
+
+
+def test_status_reports_sink_files_and_consumers(ray_session, tmp_path, feed):
+    """status() surfaces compaction pressure (live/dead file counts per
+    op) and registered consumer cursors."""
+    from dstream_ray.sinks.parquet_sink import SinkFollower
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run()
+    st = job.status()
+    assert st["sink_files"]["events"]["live"] >= 2
+    assert st["consumers"] == {}
+    f = SinkFollower(job.sink, "events", "drainer")
+    f.poll()
+    job.compact()
+    st2 = job.status()
+    assert st2["consumers"]["events"] == {"drainer": f.cursor}
+    assert st2["sink_files"]["events"]["live"] <= st["sink_files"]["events"]["live"]
+    assert st2["sink_files"]["events"]["dead"] == 0
