@@ -433,6 +433,9 @@ def _split_task(path: str, num_partitions: int, envelope_payload: str = "canonic
         import pyarrow.parquet as pq
 
         t = pq.read_table(path)
+    if t.num_rows == 0:
+        # empty shard (producer rotation with no traffic): P empty slices
+        return tuple([t.slice(0, 0)] * num_partitions)
     pid = partition_ids(t["conv_id"], num_partitions)
     order = np.argsort(pid, kind="stable")
     t2 = t.take(pa.array(order))

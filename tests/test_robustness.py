@@ -668,3 +668,32 @@ def test_legacy_manifest_without_streams_resumes_correctly(ray_session, tmp_path
     pq.write_table(t, str(feed / "feed-0000.parquet"))
     with pytest.raises(RuntimeError, match="ordering violation"):
         StreamingJob(cfg).plan()
+
+
+def test_empty_shard_and_redelivered_shard(ray_session, tmp_path):
+    """Producer edge cases the feed contract allows: an EMPTY shard file
+    (rotation with no traffic) must flow through the exchange as P empty
+    slices (regression: _split_task IndexError'd on zero rows), and a
+    byte-identical REDELIVERED shard must be fully absorbed by the relay
+    cursor — committed events equal the unique feed rows exactly."""
+    import duckdb
+
+    feed = tmp_path / "feed"
+    generate_transcripts(n_convs=8, mean_turns=6, seed=2,
+                         out_path=str(feed), n_shards=2)
+    first = sorted(os.listdir(feed))[0]
+    t0 = pq.read_table(str(feed / first))
+    pq.write_table(t0.slice(0, 0), str(feed / "feed-aa-empty.parquet"))
+    pq.write_table(t0, str(feed / "feed-zz-redelivered.parquet"))
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=1,
+    ))
+    st = job.run()
+    assert st["committed_epochs"] == 4  # every shard (incl. empty) consumed
+    ev = job.sink.read_op("events")
+    con = duckdb.connect()
+    n_unique = con.execute(
+        f"SELECT count(*) FROM read_parquet('{feed}/feed-0*.parquet')"
+    ).fetchone()[0]
+    assert ev.num_rows == n_unique
