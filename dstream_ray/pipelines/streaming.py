@@ -427,12 +427,30 @@ def _split_task(path: str, num_partitions: int, envelope_payload: str = "canonic
     Returned as P separate objects (num_returns=P) so each reduce task pulls
     only its slice — the object-store analog of a network exchange."""
     if path.endswith((".ndjson", ".jsonl")):
-        # dstream wire format: JSON-line envelopes (readme.md:250-272)
+        # dstream wire format: JSON-line envelopes (readme.md:250-272);
+        # carries its own (lsn, seq) cursor columns — no projection here
         t = read_envelope_file(path, payload=envelope_payload)
     else:
         import pyarrow.parquet as pq
 
         t = pq.read_table(path)
+        from dstream_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        names = TRANSCRIPT_SCHEMA.names
+        if t.column_names != names:
+            # feed contract normalization: tolerate producer schema
+            # EVOLUTION (extra metadata columns are dropped, column order
+            # is canonical — per-epoch sink files must share one schema
+            # for readers to concat) but fail loudly on a shard MISSING
+            # contract columns
+            missing = [c for c in names if c not in t.column_names]
+            if missing:
+                raise ValueError(
+                    f"feed shard {os.path.basename(path)} is missing "
+                    f"transcript contract columns {missing} "
+                    f"(have {t.column_names})"
+                )
+            t = t.select(names)
     if t.num_rows == 0:
         # empty shard (producer rotation with no traffic): P empty slices
         return tuple([t.slice(0, 0)] * num_partitions)

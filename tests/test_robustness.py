@@ -697,3 +697,36 @@ def test_empty_shard_and_redelivered_shard(ray_session, tmp_path):
         f"SELECT count(*) FROM read_parquet('{feed}/feed-0*.parquet')"
     ).fetchone()[0]
     assert ev.num_rows == n_unique
+
+
+def test_feed_schema_evolution_tolerated_missing_columns_loud(ray_session, tmp_path):
+    """Producer schema evolution: a shard with EXTRA columns is projected
+    to the transcript contract (per-epoch sink files must share one
+    schema); a shard MISSING contract columns fails loudly with the
+    column list."""
+    feed = tmp_path / "feed"
+    generate_transcripts(n_convs=6, mean_turns=5, seed=4,
+                         out_path=str(feed), n_shards=2)
+    shards = sorted(os.listdir(feed))
+    t1 = pq.read_table(str(feed / shards[1]))
+    pq.write_table(t1.append_column("new_meta", pa.array(["x"] * t1.num_rows)),
+                   str(feed / shards[1]))
+    job = StreamingJob(StreamingConfig(
+        feed_dir=str(feed), out_dir=str(tmp_path / "out"),
+        num_partitions=2, files_per_epoch=1,
+    ))
+    st = job.run()
+    ev = job.sink.read_op("events")
+    total = sum(pq.read_metadata(str(feed / s)).num_rows for s in shards)
+    assert st["committed_epochs"] == 2 and ev.num_rows == total
+    assert "new_meta" not in ev.column_names
+
+    bad = tmp_path / "feed_bad"
+    os.makedirs(bad)
+    pq.write_table(t1.drop_columns(["tool"]), str(bad / "feed-00.parquet"))
+    job2 = StreamingJob(StreamingConfig(
+        feed_dir=str(bad), out_dir=str(tmp_path / "out_bad"),
+        num_partitions=2, files_per_epoch=1,
+    ))
+    with pytest.raises(Exception, match="missing transcript contract"):
+        job2.run()
