@@ -325,3 +325,22 @@ def test_status_reports_sink_files_and_consumers(ray_session, tmp_path, feed):
     assert st2["consumers"]["events"] == {"drainer": f.cursor}
     assert st2["sink_files"]["events"]["live"] <= st["sink_files"]["events"]["live"]
     assert st2["sink_files"]["events"]["dead"] == 0
+
+
+def test_compact_rescale_resume_compact_equals_reference(ray_session, tmp_path, feed):
+    """The full lifecycle interplay: compact mid-stream, RESCALE to twice
+    the partitions, resume, compact again — committed rows equal an
+    uninterrupted fixed-parallelism run exactly (compaction is layout,
+    rescale re-keys state; neither may touch content)."""
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=2, flush_at_end=False)
+    job.compact()
+    job.rescale(4)
+    cfg4 = _cfg(feed, tmp_path / "out")
+    cfg4.num_partitions = 4
+    job4 = StreamingJob(cfg4)
+    job4.run()
+    job4.compact()
+    ref = StreamingJob(_cfg(feed, tmp_path / "ref"))
+    ref.run()
+    assert _sink_snapshot(job4) == _sink_snapshot(ref)
