@@ -344,3 +344,40 @@ def test_compact_rescale_resume_compact_equals_reference(ray_session, tmp_path, 
     ref = StreamingJob(_cfg(feed, tmp_path / "ref"))
     ref.run()
     assert _sink_snapshot(job4) == _sink_snapshot(ref)
+
+
+def test_compaction_segments_at_multiple_consumer_cursors(ray_session, tmp_path, feed):
+    """Two followers at DIFFERENT positions: compaction splits each
+    partition directory at BOTH cursors — no produced range straddles
+    either — and both consumers drain to the same full content."""
+    import pyarrow as pa
+
+    from dstream_ray.sinks.parquet_sink import SinkFollower, parse_epoch_range
+
+    job = StreamingJob(_cfg(feed, tmp_path / "out"))
+    job.run(max_epochs=1, flush_at_end=False)
+    slow = SinkFollower(job.sink, "events", "slow")
+    s1 = slow.poll()          # cursor after epoch 0
+    job.run(max_epochs=2, flush_at_end=False)
+    fast = SinkFollower(job.sink, "events", "fast")
+    f1 = fast.poll()          # cursor after epoch 1 (epochs 0..1 consumed)
+    job.run()                 # remaining epochs + flush
+    job.compact()
+    cursors = {slow.cursor, fast.cursor}
+    assert len(cursors) == 2  # genuinely different boundaries
+    for d in _partition_dirs(job):
+        if "/events/" not in d + "/":
+            continue
+        for name in os.listdir(d):
+            r = parse_epoch_range(name)
+            if r:
+                for c in cursors:
+                    assert not (r[0] <= c < r[1]), (d, name, c)
+    full = sorted(map(tuple, zip(*[col.to_pylist()
+                                   for col in job.sink.read_op("events").columns])))
+    for follower, first in ((slow, s1), (fast, f1)):
+        rest = follower.poll()
+        got = sorted(map(tuple, zip(*[col.to_pylist()
+                                      for col in pa.concat_tables(
+                                          [t for t in (first, rest) if t is not None]).columns])))
+        assert got == full, follower.name
