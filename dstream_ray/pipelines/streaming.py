@@ -44,6 +44,13 @@ from dstream_ray.common import partition_ids
 from dstream_ray.sinks.parquet_sink import ExactlyOnceParquetSink
 from dstream_ray.sinks.registry import create_sink
 from dstream_ray.sources.envelopes import read_envelope_file
+
+# feed-contract column set, captured at module scope so the pickled-by-value
+# split task carries it (a runtime `import dstream_ray...` inside a remote
+# task breaks workers whose cwd is not the repo)
+from dstream_ray.sources.transcripts import TRANSCRIPT_SCHEMA as _FEED_SCHEMA
+
+_FEED_COLUMNS = tuple(_FEED_SCHEMA.names)
 from dstream_ray.stages.capture import (
     content_dedup_bloom_kernel,
     content_dedup_kernel,
@@ -434,9 +441,7 @@ def _split_task(path: str, num_partitions: int, envelope_payload: str = "canonic
         import pyarrow.parquet as pq
 
         t = pq.read_table(path)
-        from dstream_ray.sources.transcripts import TRANSCRIPT_SCHEMA
-
-        names = TRANSCRIPT_SCHEMA.names
+        names = list(_FEED_COLUMNS)
         if t.column_names != names:
             # feed contract normalization: tolerate producer schema
             # EVOLUTION (extra metadata columns are dropped, column order
