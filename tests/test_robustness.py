@@ -730,3 +730,34 @@ def test_feed_schema_evolution_tolerated_missing_columns_loud(ray_session, tmp_p
     ))
     with pytest.raises(Exception, match="missing transcript contract"):
         job2.run()
+
+
+def test_engine_runs_from_non_repo_cwd_without_pythonpath(tmp_path):
+    """Workers must unpickle every task UDF via the package's cloudpickle
+    by-value registration alone — a runtime `import dstream_ray...` inside
+    a remote task body breaks drivers whose cwd is not the repo (the
+    driver's own call pattern). Regression: the feed-contract check once
+    imported TRANSCRIPT_SCHEMA inside _split_task."""
+    import subprocess
+    import sys as _sys
+
+    feed = tmp_path / "feed"
+    generate_transcripts(n_convs=4, mean_turns=5, seed=6,
+                         out_path=str(feed), n_shards=1)
+    script = f"""
+import sys; sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+import ray.data; ray.data.DataContext.get_current().enable_progress_bars = False
+from dstream_ray.pipelines.streaming import StreamingConfig, StreamingJob
+job = StreamingJob(StreamingConfig(feed_dir={str(feed)!r}, out_dir={str(tmp_path / 'out')!r},
+                                   num_partitions=2, files_per_epoch=1))
+st = job.run()
+print("ROWS", job.sink.read_op("events").num_rows)
+ray.shutdown()
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run([_sys.executable, "-c", script], cwd="/tmp",
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ROWS" in r.stdout and int(r.stdout.split("ROWS")[1].split()[0]) > 0
